@@ -1,10 +1,10 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship query smoke check at sf0.001.
+``queries()`` — one entry per implemented operator (SURVEY.md §2 +
+LLM-pipeline extensions), each (spark, sf_dir) → DataFrame.
+``oracle_sql()`` — DuckDB-equivalent SQL per query, same column
+names/arithmetic so the driver's value-hash compare is exact.
 """
 
 from __future__ import annotations
@@ -13,26 +13,26 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from flink_assignment_spark.queries.synthetic import REGISTRY
+from flink_assignment_spark.session import configure_for_oracle
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    configure_for_oracle(spark)
+    return REGISTRY["q07_daily_summary_having"].spark(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    def wrap(fn):
+        def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            configure_for_oracle(spark)  # pin UTC on the driver's session
+            return fn(spark, sf_dir)
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+        return run
+
+    return {name: wrap(spec.spark) for name, spec in REGISTRY.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {name: spec.oracle for name, spec in REGISTRY.items() if spec.oracle is not None}

@@ -1,0 +1,44 @@
+"""Scalar column functions (SURVEY §2.7).
+
+Every helper is a pure Catalyst expression (no Python UDFs): these
+stay inside whole-stage codegen and cost nothing extra at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def file_extension(filename: Column) -> Column:
+    """Last '.'-separated segment of a filename.
+
+    Mirrors ``name.split("\\.").lastOption`` (reference
+    ``FlinkAssignment.scala:88``). Note Scala's ``split`` drops
+    trailing empty strings, so "a." → ["a"] → "a"; Spark keeps them,
+    so we filter empties and take the last non-empty segment.
+    """
+    parts = F.filter(F.split(filename, r"\."), lambda p: p != F.lit(""))
+    return F.element_at(parts, -1)
+
+
+def strip_query_string(url: Column) -> Column:
+    """``replaceAll("\\?.*$", "")`` (reference ``FlinkAssignment.scala:175,311``)."""
+    return F.regexp_replace(url, r"\?.*$", "")
+
+
+def repo_from_url(url: Column) -> Column:
+    """Parse ``owner/repo`` from a GitHub API commit URL.
+
+    Mirrors the split-on-'/'-take-2-after-"repos" logic of reference
+    ``FlinkAssignment.scala:174-183`` (and its inline copy at
+    ``:311-319``): strip the query string, then take the two path
+    segments following ``/repos/``.
+    """
+    return F.regexp_extract(strip_query_string(url), r"/repos/([^/]+/[^/]+)", 1)
+
+
+def day_str(ts: Column) -> Column:
+    """``SimpleDateFormat("dd-MM-yyyy")`` of a window start (reference
+    ``FlinkAssignment.scala:130-131, 201-202``), session TZ pinned UTC."""
+    return F.date_format(ts, "dd-MM-yyyy")

@@ -1,0 +1,72 @@
+"""Text-analysis column functions for the LLM-data-pipeline operators.
+
+Everything is Catalyst-native (split/transform/filter/aggregate over
+arrays) — the hot path of a 100 TB dedup run must not cross the
+Python boundary per row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Small embedded stopword list, shared verbatim with the DuckDB oracles.
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
+
+# 32-bit prime modulus for the MinHash permutation family.
+MINHASH_PRIME = 4294967291
+# Fixed (a, b) permutation parameters — literals shared with the oracle SQL.
+MINHASH_PERMS: list[tuple[int, int]] = [
+    (3, 1561587), (5, 9416514), (7, 8113651), (11, 2479412),
+    (13, 6649467), (17, 1957925), (19, 6095754), (23, 1829841),
+    (29, 7647963), (31, 3354286), (37, 9816735), (41, 4550749),
+    (43, 2103567), (47, 8525244), (53, 5559411), (59, 1842712),
+]
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization, empty tokens dropped (leading/trailing
+    whitespace would otherwise produce them)."""
+    return F.filter(F.split(text, r"\s+"), lambda t: t != F.lit(""))
+
+
+def word_shingles(toks: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of a token array.
+
+    ``transform(sequence(...))`` keeps shingling JVM-side; documents
+    shorter than ``n`` tokens yield an empty array.
+    """
+    joined = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )
+    # guard: sequence(0, negative) would generate a DESCENDING sequence
+    # for docs shorter than n tokens — such docs have no shingles
+    return F.when(F.size(toks) >= n, F.array_distinct(joined)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def hash60(s: Column) -> Column:
+    """Deterministic 60-bit positive integer hash of a string.
+
+    md5-hex → first 15 hex digits → bigint. Chosen over the engines'
+    native ``hash``/``xxhash64`` because the DuckDB oracle can compute
+    the identical value (``CAST('0x' || substring(md5(s), 1, 15) AS
+    BIGINT)``), making hash-dependent operators (MinHash, SimHash)
+    oracle-checkable.
+    """
+    return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+
+
+def minhash_value(h60: Column, a: int, b: int) -> Column:
+    """One universal-hash permutation g(h) = (a·(h mod p) + b) mod p
+    over the 32-bit prime field (no 64-bit overflow: a·p + b < 2^63)."""
+    return (F.lit(a) * (h60 % MINHASH_PRIME) + F.lit(b)) % MINHASH_PRIME
+
+
+def stopword_ratio(toks: Column) -> Column:
+    """Fraction of tokens in the embedded stopword list (integer /
+    integer in double — bit-exact across engines)."""
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    return n_stop.cast("double") / F.size(toks).cast("double")

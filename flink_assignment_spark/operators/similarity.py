@@ -1,0 +1,141 @@
+"""Similarity search over embedding columns.
+
+- :func:`cosine_topk` — brute-force top-k: query-set × corpus join
+  with JVM-side double-precision cosine, ranked per query. The
+  baseline and the verifier. With Q queries it is O(Q·N) — fine when
+  Q is small or as a re-rank stage.
+- :func:`lsh_topk` — the scale path: random-hyperplane (sign) LSH
+  bucketing; queries only compare against corpus vectors sharing a
+  bucket in ≥ 1 of ``n_tables`` hash tables. Approximate; recall
+  grows with tables. Hyperplanes derive deterministically from
+  md5-based hashes so results are reproducible across runs/engines.
+- Embedding near-dup (corpus × corpus pairs ≥ threshold) is
+  :func:`cosine_neardup_pairs`, same bucketing idea.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.vector import cosine
+
+
+def cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k neighbors per query by cosine (self-matches
+    excluded). Ranking key is (cosine rounded to 6, neighbor id) so
+    ordering is total and engine-independent. Returns
+    (query_id, neighbor_id, cos_sim, rank)."""
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    # the query side is small by construction — broadcast it so the
+    # corpus never shuffles
+    pairs = c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+    scored = pairs.select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def plane_weight(table: int, plane: int, d: int) -> float:
+    """Deterministic pseudo-random hyperplane weight in [-1000, 1000],
+    derived from md5 at plan-build time (no RNG state; identical for
+    the oracle). Folded into the plan as a literal."""
+    import hashlib
+
+    h = int(hashlib.md5(f"lsh:{table}:{plane}:{d}".encode()).hexdigest()[:8], 16)
+    return float(h % 2001 - 1000)
+
+
+def _sign_bits(vec_col, n_planes: int, dim: int, table: int):
+    """Random-hyperplane sign signature: bit p = sign(w_p · v)."""
+    sig = None
+    for p in range(n_planes):
+        acc = None
+        for d in range(dim):
+            term = F.lit(plane_weight(table, p, d)) * F.element_at(vec_col, d + 1).cast("double")
+            acc = term if acc is None else acc + term
+        bit = F.when(acc > 0, F.lit(1 << p)).otherwise(F.lit(0))
+        sig = bit if sig is None else sig + bit
+    return sig
+
+
+def lsh_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    n_tables: int = 4,
+) -> DataFrame:
+    """Approximate top-k: compare only bucket-colliding pairs.
+
+    Each vector gets ``n_tables`` bucket ids (8 sign bits each);
+    queries and corpus equi-join on (table, bucket) — a plain shuffle
+    join on a well-spread key — then exact cosine ranks candidates.
+    """
+    def bucketize(df: DataFrame, id_alias: str, vec_alias: str) -> DataFrame:
+        buckets = F.array(
+            *[
+                F.struct(F.lit(t).alias("tbl"), _sign_bits(F.col(vec_alias), n_planes, dim, t).alias("bkt"))
+                for t in range(n_tables)
+            ]
+        )
+        return df.select(
+            F.col(id_col).alias(id_alias), F.col(vec_col).alias(vec_alias)
+        ).select(id_alias, vec_alias, F.explode(buckets).alias("b")).select(
+            id_alias, vec_alias, F.col("b.tbl").alias("tbl"), F.col("b.bkt").alias("bkt")
+        )
+
+    qb = bucketize(queries, "query_id", "qv")
+    cb = bucketize(corpus, "neighbor_id", "cv")
+    cand = (
+        qb.join(cb, ["tbl", "bkt"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "qv", "neighbor_id", "cv")
+        .distinct()
+    )
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def cosine_neardup_pairs(
+    vectors: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All corpus pairs with cosine ≥ threshold (id_a < id_b).
+
+    Brute-force pair generation (the oracle-checkable form); at scale
+    swap the pair source for the LSH bucket join above — the scoring
+    and threshold stage is identical.
+    """
+    a = vectors.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("va"))
+    b = vectors.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("vb"))
+    pairs = a.join(b, F.col("vec_a") < F.col("vec_b"))
+    return (
+        pairs.select(
+            "vec_a", "vec_b", F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim")
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )

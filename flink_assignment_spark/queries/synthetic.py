@@ -1,0 +1,741 @@
+"""Driver-facing query registry over the synthetic test tables.
+
+Each entry re-expresses one operator from SURVEY §2 (or an
+LLM-pipeline extension) against ``/root/testdata/sf*`` and pairs it
+with a DuckDB oracle that computes the same result with identical
+arithmetic (same rounding, same association order for floating-point
+folds, same md5-derived hashing), so the driver's value-hash compare
+is exact, not approximate.
+
+Naming contract: every computed column is aliased identically in the
+Spark plan and the oracle SQL (the driver sorts columns by name
+before hashing).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.scalar import day_str
+from ..functions.text import MINHASH_PERMS, MINHASH_PRIME, STOPWORDS, stopword_ratio, tokens
+from ..functions.vector import cosine
+from ..operators.cep import followed_by
+from ..operators.dedup import (
+    SIMHASH_BITS,
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from ..operators.interval_join import bucketed_interval_join
+from ..operators.sessionize import session_stats
+from ..operators.similarity import cosine_neardup_pairs, cosine_topk
+from ..sources.loaders import load_table
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    spark: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # ANSI SQL for DuckDB; None → rows-only check
+    doc: str = ""
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------- P1/P2: Q1
+def q01_filter_project(spark, sf_dir):
+    """Reference Q1 (FlinkAssignment.scala:62-66): filter + project."""
+    return (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("value") >= 20)
+        .select("event_id", "event_type")
+    )
+
+
+Q01_SQL = "SELECT event_id, event_type FROM events WHERE value >= 20"
+
+
+# ------------------------------------------------------------------ P3: Q2
+def q02_explode_filter(spark, sf_dir):
+    """Reference Q2 (:72-77): explode array + filter + null-safe project.
+    Synthetic analogue: explode embedding vectors to (vec_id, pos, val)."""
+    return (
+        _t(spark, sf_dir, "embeddings")
+        .select("vec_id", F.posexplode("embedding").alias("pos", "val"))
+        .select(
+            "vec_id",
+            (F.col("pos") + 1).cast("int").alias("pos"),
+            F.round(F.col("val").cast("double"), 6).alias("val"),
+        )
+        .filter(F.col("val") > 0.25)
+    )
+
+
+Q02_SQL = """
+SELECT vec_id, CAST(u.pos AS INT) AS pos, round(CAST(u.val AS DOUBLE), 6) AS val
+FROM (SELECT vec_id,
+             unnest(list_transform(embedding, (e, i) -> {'pos': i, 'val': e})) AS u
+      FROM embeddings)
+WHERE round(CAST(u.val AS DOUBLE), 6) > 0.25
+"""
+
+
+# --------------------------------------------------------------- A1/A2: Q3
+def q03_keyed_count(spark, sf_dir):
+    """Reference Q3 final refinement (:83-96): count per key."""
+    return _t(spark, sf_dir, "events").groupBy("event_type").agg(F.count("*").alias("cnt"))
+
+
+Q03_SQL = "SELECT event_type, CAST(count(*) AS BIGINT) AS cnt FROM events GROUP BY event_type"
+
+
+def q03_running_count(spark, sf_dir):
+    """Reference Q3 running semantics (README.md:86-92): one output per
+    input element with the count-so-far — keyed state as an unbounded
+    preceding window."""
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        _t(spark, sf_dir, "events")
+        .select("event_type", "event_id", F.count("*").over(w).alias("running_cnt"))
+    )
+
+
+Q03_RUNNING_SQL = """
+SELECT event_type, event_id,
+       CAST(count(*) OVER (PARTITION BY event_type ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_cnt
+FROM events
+"""
+
+
+# --------------------------------------------------------------- A3/A4: Q4
+def q04_keyed_sum(spark, sf_dir):
+    """Reference Q4 (:103-114): derived composite key + keyed sum.
+    Key = (event_type, props.k mod 10) with k parsed from the JSON
+    props string — JVM-side regexp, no UDF."""
+    k = F.regexp_extract(F.col("props"), r'"k":\s*([0-9]+)', 1).cast("int")
+    return (
+        _t(spark, sf_dir, "events")
+        .withColumn("k_bucket", k % 10)
+        .groupBy("event_type", "k_bucket")
+        .agg(F.round(F.sum("value"), 2).alias("sum_value"), F.count("*").alias("cnt"))
+    )
+
+
+Q04_SQL = """
+SELECT event_type,
+       CAST(regexp_extract(props, '"k":\\s*([0-9]+)', 1) AS INT) % 10 AS k_bucket,
+       round(CAST(SUM(value) AS DOUBLE), 2) AS sum_value,
+       CAST(count(*) AS BIGINT) AS cnt
+FROM events GROUP BY 1, 2
+"""
+
+
+# ------------------------------------------------------------------ W1: Q5
+def q05_tumbling_daily(spark, sf_dir):
+    """Reference Q5 (:122-134): global 1-day tumbling window count,
+    date formatted dd-MM-yyyy."""
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "1 day").alias("w"))
+        .agg(F.count("*").alias("cnt"))
+        .select(day_str(F.col("w.start")).alias("date"), "cnt")
+    )
+
+
+Q05_SQL = """
+SELECT strftime(date_trunc('day', ts), '%d-%m-%Y') AS date,
+       CAST(count(*) AS BIGINT) AS cnt
+FROM events GROUP BY 1
+"""
+
+
+# ------------------------------------------------------------------ W2: Q6
+def q06_sliding_windows(spark, sf_dir):
+    """Reference Q6 (:141-155): keyed 48h/12h sliding window count;
+    key = small/large by value threshold. Every event is in 4 windows."""
+    typed = _t(spark, sf_dir, "events").withColumn(
+        "size_type", F.when(F.col("value") > 100, "large").otherwise("small")
+    )
+    return (
+        typed.groupBy(F.window("ts", "48 hours", "12 hours").alias("w"), "size_type")
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "size_type",
+            "cnt",
+        )
+    )
+
+
+Q06_SQL = """
+SELECT strftime(date_trunc('day', ts)
+                + CASE WHEN extract(hour FROM ts) >= 12
+                       THEN INTERVAL '12 hours' ELSE INTERVAL '0 seconds' END
+                - (t.i * INTERVAL '12 hours'),
+                '%Y-%m-%d %H:%M:%S') AS window_start,
+       CASE WHEN value > 100 THEN 'large' ELSE 'small' END AS size_type,
+       CAST(count(*) AS BIGINT) AS cnt
+FROM events, range(4) t(i)
+GROUP BY 1, 2
+"""
+
+
+# ------------------------------------------------------------------ W3: Q7
+def q07_daily_summary_having(spark, sf_dir):
+    """Reference Q7 (:172-239): per-key daily summary with
+    count/sum/distinct-count/argmax-with-sorted-tie-join + HAVING.
+
+    Two-level aggregation (per-type partials first) — the scalable
+    replacement for the reference's full-pane ProcessWindowFunction.
+    """
+    per_type = (
+        _t(spark, sf_dir, "events")
+        .select("user_id", F.window("ts", "1 day").alias("w"), "event_type", "value")
+        .groupBy("user_id", "w", "event_type")
+        .agg(F.count("*").alias("c"), F.sum("value").alias("sv"))
+    )
+    mx = Window.partitionBy("user_id", "w")
+    return (
+        per_type.withColumn("max_c", F.max("c").over(mx))
+        .groupBy("user_id", "w")
+        .agg(
+            F.sum("c").alias("n_events"),
+            F.count("*").alias("n_types"),
+            F.round(F.sum("sv"), 2).alias("total_value"),
+            F.array_join(
+                F.sort_array(F.collect_list(F.when(F.col("c") == F.col("max_c"), F.col("event_type")))),
+                ",",
+            ).alias("top_types"),
+        )
+        .filter((F.col("n_events") >= 6) & (F.col("n_types") <= 3))
+        .select(
+            "user_id",
+            day_str(F.col("w.start")).alias("date"),
+            "n_events",
+            "n_types",
+            "total_value",
+            "top_types",
+        )
+    )
+
+
+Q07_SQL = """
+WITH per_type AS (
+  SELECT user_id, date_trunc('day', ts) AS d, event_type,
+         count(*) AS c, SUM(value) AS sv
+  FROM events GROUP BY 1, 2, 3
+), with_max AS (
+  SELECT *, MAX(c) OVER (PARTITION BY user_id, d) AS max_c FROM per_type
+)
+SELECT user_id, strftime(d, '%d-%m-%Y') AS date,
+       CAST(SUM(c) AS BIGINT) AS n_events,
+       CAST(count(*) AS BIGINT) AS n_types,
+       round(CAST(SUM(sv) AS DOUBLE), 2) AS total_value,
+       string_agg(CASE WHEN c = max_c THEN event_type END, ',' ORDER BY event_type) AS top_types
+FROM with_max
+GROUP BY user_id, d
+HAVING CAST(SUM(c) AS BIGINT) >= 6 AND count(*) <= 3
+"""
+
+
+# --------------------------------------------------------------- J1/J2: Q8
+def q08_interval_join_weekly(spark, sf_dir):
+    """Reference Q8 (:249-291): event-time interval join (purchase.ts ∈
+    [click.ts − 1h, click.ts + 30m], equi on user) followed by a 7-day
+    tumbling window sum. Joined element timestamp = max of both sides
+    (Flink interval-join semantics). Uses the bucketed band join — the
+    plan that avoids per-key quadratic blow-up at scale."""
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("c_ts")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts"), "value"
+    )
+    joined = bucketed_interval_join(
+        clicks, purchases, ["user_id"], "c_ts", "p_ts", -3600, 1800
+    ).select(
+        "user_id", F.greatest("c_ts", "p_ts").alias("jts"), "value"
+    )
+    return (
+        joined.groupBy(F.window("jts", "7 days").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_pairs"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd").alias("week_start"),
+            "user_id",
+            "n_pairs",
+            "sum_value",
+        )
+    )
+
+
+Q08_SQL = """
+WITH c AS (SELECT user_id, ts AS c_ts FROM events WHERE event_type = 'click'),
+p AS (SELECT user_id, ts AS p_ts, value FROM events WHERE event_type = 'purchase'),
+j AS (
+  SELECT c.user_id, greatest(c.c_ts, p.p_ts) AS jts, p.value
+  FROM c JOIN p ON c.user_id = p.user_id
+   AND p.p_ts >= c.c_ts - INTERVAL '1 hour'
+   AND p.p_ts <= c.c_ts + INTERVAL '30 minutes'
+)
+SELECT strftime(TIMESTAMP '1970-01-01'
+                + CAST(CAST(floor(epoch(jts)/604800) AS BIGINT)*604800 AS BIGINT)
+                  * INTERVAL '1 second', '%Y-%m-%d') AS week_start,
+       user_id,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       round(CAST(SUM(value) AS DOUBLE), 2) AS sum_value
+FROM j GROUP BY 1, 2
+"""
+
+
+# ------------------------------------------------------------------ C2: Q9
+def q09_followed_by(spark, sf_dir):
+    """Reference Q9 (:304-348): CEP 'A followedBy B within T' — signup
+    followed by first error within 1 day, keyed by user."""
+    m = followed_by(
+        _t(spark, sf_dir, "events"),
+        key_cols=["user_id"],
+        ts_col="ts",
+        type_col="event_type",
+        first_type="signup",
+        second_type="error",
+        within_s=86400,
+        carry_cols=["event_id"],
+    )
+    return m.select(
+        "user_id",
+        F.col("event_id").alias("signup_id"),
+        F.unix_millis("second_ts").alias("first_error_ms"),
+    )
+
+
+Q09_SQL = """
+SELECT s.user_id, s.event_id AS signup_id,
+       epoch_ms(MIN(e.ts)) AS first_error_ms
+FROM events s JOIN events e
+  ON s.user_id = e.user_id AND s.event_type = 'signup' AND e.event_type = 'error'
+ AND e.ts > s.ts AND e.ts <= s.ts + INTERVAL '1 day'
+GROUP BY 1, 2
+"""
+
+
+# -------------------------------------------------------- sessionization
+def q10_sessionize(spark, sf_dir):
+    """Sessionization (gap > 30 min) — lag + cumulative boundary sum,
+    one sort/exchange reused by both window functions."""
+    return session_stats(
+        _t(spark, sf_dir, "events"), ["user_id"], "ts", 1800, order_tiebreak="event_id"
+    ).select(
+        "user_id",
+        F.col("session_seq").cast("long").alias("session_seq"),
+        "n_events",
+        "start_ms",
+        "end_ms",
+        "duration_ms",
+    )
+
+
+Q10_SQL = """
+WITH x AS (
+  SELECT user_id, ts, event_id,
+         LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+), y AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN prev IS NULL OR epoch_us(ts) - epoch_us(prev) > 1800000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM x
+), z AS (
+  SELECT user_id, ts,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM y
+)
+SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+       CAST(count(*) AS BIGINT) AS n_events,
+       epoch_ms(MIN(ts)) AS start_ms, epoch_ms(MAX(ts)) AS end_ms,
+       epoch_ms(MAX(ts)) - epoch_ms(MIN(ts)) AS duration_ms
+FROM z GROUP BY 1, 2
+"""
+
+
+# ----------------------------------------------------- TPC-H-style queries
+def q11_pricing_summary(spark, sf_dir):
+    """TPC-H Q1-shaped pricing summary: scan-heavy groupBy with 8
+    aggregates; Catalyst plans partial+final hash aggregation, filter
+    and 7-column projection pushed into the parquet scan."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= "1998-09-02")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(charge), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+Q11_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(CAST(SUM(l_quantity) AS DOUBLE), 2) AS sum_qty,
+       round(CAST(SUM(l_extendedprice) AS DOUBLE), 2) AS sum_base_price,
+       round(CAST(SUM(l_extendedprice * (1 - l_discount)) AS DOUBLE), 2) AS sum_disc_price,
+       round(CAST(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS DOUBLE), 2) AS sum_charge,
+       round(CAST(AVG(l_quantity) AS DOUBLE), 4) AS avg_qty,
+       round(CAST(AVG(l_extendedprice) AS DOUBLE), 4) AS avg_price,
+       round(CAST(AVG(l_discount) AS DOUBLE), 6) AS avg_disc,
+       CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q12_top_revenue_orders(spark, sf_dir):
+    """TPC-H Q3-shaped: dimension-filtered 3-way join + top-10 by
+    revenue. The customer dim is broadcast (no shuffle of the fact
+    side on that join); ordering key includes l_orderkey so the cut
+    is total and engine-independent."""
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1998-01-01")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1996-01-01")
+    return (
+        li.join(F.broadcast(orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)),
+                li.l_orderkey == F.col("o_orderkey"))
+        .groupBy("l_orderkey", F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+                 "o_orderpriority")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+Q12_SQL = """
+SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate, o_orderpriority,
+       round(CAST(SUM(l_extendedprice * (1 - l_discount)) AS DOUBLE), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND l_shipdate > TIMESTAMP '1996-01-01 00:00:00'
+GROUP BY 1, 2, 3
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+def q13_regional_revenue(spark, sf_dir):
+    """TPC-H Q5-shaped: 6-way star join, all dims broadcast, revenue
+    per nation for one region + order-date year."""
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = _t(spark, sf_dir, "nation")
+    supplier = _t(spark, sf_dir, "supplier")
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), F.col("o_custkey") == customer.c_custkey)
+        .join(F.broadcast(supplier),
+              (li.l_suppkey == supplier.s_suppkey)
+              & (customer.c_nationkey == supplier.s_nationkey))
+        .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )
+
+
+Q13_SQL = """
+SELECT n_name,
+       round(CAST(SUM(l_extendedprice * (1 - l_discount)) AS DOUBLE), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY n_name
+"""
+
+
+# ----------------------------------------------------------- dedup family
+def q14_dedup_exact(spark, sf_dir):
+    """Exact dedup: hash-groupBy on full text."""
+    return exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+Q14_SQL = """
+SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_id,
+       CAST(count(*) AS BIGINT) AS n_dups
+FROM documents GROUP BY md5(text)
+"""
+
+# Shared DuckDB CTEs for shingle-based dedup oracles (tokenize → word
+# 3-gram shingles → exploded inverted index → pairwise intersection).
+_SHINGLE_CTES = """
+WITH toks AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '') AS tk
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(tk) - 1),
+                                      i -> array_to_string(tk[i:i+2], ' '))) AS s
+  FROM toks
+), ex AS (
+  SELECT doc_id, len(s) AS ns, unnest(s) AS shingle FROM sh
+), pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.ns AS na, b.ns AS nb,
+         count(*) AS inter
+  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4
+), jac AS (
+  SELECT doc_a, doc_b,
+         CAST(inter AS DOUBLE) / (na + nb - inter) AS j
+  FROM pairs
+)
+"""
+
+
+def q15_dedup_ngram_jaccard(spark, sf_dir):
+    """Near-dup pairs by word-3-gram Jaccard ≥ 0.3 via inverted-index
+    join (no N² cross join)."""
+    return ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.3)
+
+
+Q15_SQL = _SHINGLE_CTES + """
+SELECT doc_a, doc_b, round(j, 6) AS jaccard FROM jac WHERE j >= 0.3
+"""
+
+_PERM_VALUES = ", ".join(f"({i}, {a}, {b})" for i, (a, b) in enumerate(MINHASH_PERMS))
+
+Q16_SQL = _SHINGLE_CTES + f""",
+perms AS (SELECT * FROM (VALUES {_PERM_VALUES}) t(i, a, b)),
+hx AS (
+  SELECT doc_id, CAST('0x' || substring(md5(shingle), 1, 15) AS BIGINT) % {MINHASH_PRIME} AS h32
+  FROM ex
+), sigs AS (
+  SELECT doc_id, p.i AS i, MIN((p.a * h32 + p.b) % {MINHASH_PRIME}) AS m
+  FROM hx CROSS JOIN perms p GROUP BY 1, 2
+), bands AS (
+  SELECT doc_id, i // 2 AS band, string_agg(CAST(m AS VARCHAR), ',' ORDER BY i) AS key
+  FROM sigs GROUP BY 1, 2
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+)
+SELECT c.doc_a, c.doc_b, round(j.j, 6) AS jaccard
+FROM cand c JOIN jac j ON c.doc_a = j.doc_a AND c.doc_b = j.doc_b
+WHERE j.j >= 0.3
+"""
+
+
+def q16_dedup_minhash_lsh(spark, sf_dir):
+    """MinHash(16)+LSH(8 bands × 2) candidate pairs, verified by exact
+    Jaccard ≥ 0.3. Hashing is md5-derived so the oracle reproduces the
+    identical signatures."""
+    return minhash_lsh_pairs(_t(spark, sf_dir, "documents"), threshold=0.3)
+
+
+SIMHASH_MAX_HAMMING = 7
+
+
+def _simhash_oracle_sql() -> str:
+    bit_sums = ", ".join(
+        f"SUM(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS s{j}"
+        for j in range(SIMHASH_BITS)
+    )
+    fp = " + ".join(
+        f"CASE WHEN s{j} > 0 THEN CAST({1 << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+        for j in range(SIMHASH_BITS)
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '')) AS tok
+  FROM documents
+), h AS (
+  SELECT doc_id, CAST('0x' || substring(md5(tok), 1, 15) AS BIGINT) AS h FROM tok
+), bits AS (
+  SELECT doc_id, {bit_sums} FROM h GROUP BY doc_id
+), fp AS (
+  SELECT doc_id, {fp} AS simhash FROM bits
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}
+"""
+
+
+def q17_dedup_simhash(spark, sf_dir):
+    """SimHash near-dup pairs (Hamming ≤ 7) via pigeonhole bit-block
+    blocking — exact recall without an N² scan."""
+    return simhash_pairs(_t(spark, sf_dir, "documents"), max_hamming=SIMHASH_MAX_HAMMING)
+
+
+def _dot_sql(a: str, b: str, dim: int = 64) -> str:
+    return " + ".join(
+        f"CAST({a}[{i}] AS DOUBLE)*CAST({b}[{i}] AS DOUBLE)" for i in range(1, dim + 1)
+    )
+
+
+def _cos_sql(a: str, b: str, dim: int = 64) -> str:
+    return (
+        f"(({_dot_sql(a, b, dim)}) / "
+        f"(sqrt({_dot_sql(a, a, dim)}) * sqrt({_dot_sql(b, b, dim)})))"
+    )
+
+
+def q18_embedding_neardup(spark, sf_dir):
+    """Embedding near-dup: all pairs with cosine ≥ 0.4 (double
+    precision, in-order fold — bit-identical to the oracle)."""
+    return cosine_neardup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.4)
+
+
+Q18_SQL = f"""
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round({_cos_sql('a.embedding', 'b.embedding')}, 6) AS cos_sim
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE round({_cos_sql('a.embedding', 'b.embedding')}, 6) >= 0.4
+"""
+
+
+def q19_similarity_topk(spark, sf_dir):
+    """ANN baseline: exact top-5 cosine neighbors for 20 query vectors
+    (broadcast queries × corpus, ranked per query)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return cosine_topk(emb.filter(F.col("vec_id") < 20), emb, k=5).select(
+        "query_id", "neighbor_id", "cos_sim", F.col("rank").cast("int").alias("rank")
+    )
+
+
+Q19_SQL = f"""
+WITH scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round({_cos_sql('q.embedding', 'c.embedding')}, 6) AS cos_sim
+  FROM embeddings q, embeddings c
+  WHERE q.vec_id < 20 AND q.vec_id <> c.vec_id
+)
+SELECT query_id, neighbor_id, cos_sim, CAST(rank AS INT) AS rank
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, neighbor_id) AS rank
+      FROM scored)
+WHERE rank <= 5
+"""
+
+
+# ------------------------------------------------------------ text analysis
+def q20_text_stats(spark, sf_dir):
+    """Per-document text statistics: token count, mean token length,
+    stopword ratio, md5 fingerprint of the normalized text. All
+    ratios are int/int in double — bit-exact vs the oracle."""
+    docs = _t(spark, sf_dir, "documents")
+    tk = tokens(F.col("text"))
+    total_len = F.aggregate(
+        F.transform(tk, lambda t: F.length(t)), F.lit(0), lambda acc, x: acc + x
+    )
+    return docs.select(
+        "doc_id",
+        F.size(tk).alias("n_tokens"),
+        F.round(total_len.cast("double") / F.size(tk).cast("double"), 6).alias("avg_token_len"),
+        F.round(stopword_ratio(tk), 6).alias("stop_ratio"),
+        F.md5(F.concat_ws(" ", tk)).alias("fingerprint"),
+        F.length("text").alias("text_len"),
+    )
+
+
+_STOP_SQL = "[" + ", ".join(f"'{w}'" for w in STOPWORDS) + "]"
+
+Q20_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, text,
+         list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '') AS tk
+  FROM documents
+)
+SELECT doc_id, CAST(len(tk) AS INT) AS n_tokens,
+       round(CAST(list_sum(list_transform(tk, t -> length(t))) AS DOUBLE)
+             / CAST(len(tk) AS DOUBLE), 6) AS avg_token_len,
+       round(CAST(len(list_filter(tk, t -> list_contains({_STOP_SQL}, t))) AS DOUBLE)
+             / CAST(len(tk) AS DOUBLE), 6) AS stop_ratio,
+       md5(array_to_string(tk, ' ')) AS fingerprint,
+       CAST(length(text) AS INT) AS text_len
+FROM toks
+"""
+
+
+def q21_lang_id(spark, sf_dir):
+    """Heuristic language ID (stopword-ratio rule) cross-tabulated
+    against the labeled lang column."""
+    docs = _t(spark, sf_dir, "documents")
+    tk = tokens(F.col("text"))
+    pred = F.when(stopword_ratio(tk) >= 0.05, "en").otherwise("other")
+    return (
+        docs.select("lang", pred.alias("predicted"))
+        .groupBy("lang", "predicted")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+Q21_SQL = f"""
+WITH toks AS (
+  SELECT lang, list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '') AS tk
+  FROM documents
+)
+SELECT lang,
+       CASE WHEN CAST(len(list_filter(tk, t -> list_contains({_STOP_SQL}, t))) AS DOUBLE)
+                 / CAST(len(tk) AS DOUBLE) >= 0.05
+            THEN 'en' ELSE 'other' END AS predicted,
+       CAST(count(*) AS BIGINT) AS cnt
+FROM toks GROUP BY 1, 2
+"""
+
+
+REGISTRY: dict[str, QuerySpec] = {
+    "q01_filter_project": QuerySpec(q01_filter_project, Q01_SQL),
+    "q02_explode_filter": QuerySpec(q02_explode_filter, Q02_SQL),
+    "q03_keyed_count": QuerySpec(q03_keyed_count, Q03_SQL),
+    "q03_running_count": QuerySpec(q03_running_count, Q03_RUNNING_SQL),
+    "q04_keyed_sum": QuerySpec(q04_keyed_sum, Q04_SQL),
+    "q05_tumbling_daily": QuerySpec(q05_tumbling_daily, Q05_SQL),
+    "q06_sliding_windows": QuerySpec(q06_sliding_windows, Q06_SQL),
+    "q07_daily_summary_having": QuerySpec(q07_daily_summary_having, Q07_SQL),
+    "q08_interval_join_weekly": QuerySpec(q08_interval_join_weekly, Q08_SQL),
+    "q09_followed_by": QuerySpec(q09_followed_by, Q09_SQL),
+    "q10_sessionize": QuerySpec(q10_sessionize, Q10_SQL),
+    "q11_pricing_summary": QuerySpec(q11_pricing_summary, Q11_SQL),
+    "q12_top_revenue_orders": QuerySpec(q12_top_revenue_orders, Q12_SQL),
+    "q13_regional_revenue": QuerySpec(q13_regional_revenue, Q13_SQL),
+    "q14_dedup_exact": QuerySpec(q14_dedup_exact, Q14_SQL),
+    "q15_dedup_ngram_jaccard": QuerySpec(q15_dedup_ngram_jaccard, Q15_SQL),
+    "q16_dedup_minhash_lsh": QuerySpec(q16_dedup_minhash_lsh, Q16_SQL),
+    "q17_dedup_simhash": QuerySpec(q17_dedup_simhash, _simhash_oracle_sql()),
+    "q18_embedding_neardup": QuerySpec(q18_embedding_neardup, Q18_SQL),
+    "q19_similarity_topk": QuerySpec(q19_similarity_topk, Q19_SQL),
+    "q20_text_stats": QuerySpec(q20_text_stats, Q20_SQL),
+    "q21_lang_id": QuerySpec(q21_lang_id, Q21_SQL),
+}
