@@ -1,0 +1,62 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs every registry query at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line:
+  {"metric": "...", "value": total_sec, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": 0.1}
+
+Execution is forced with the noop sink (full plan runs, no driver-side
+collect overhead). Each query is timed individually after a session
+warm-up query so JVM/codegen startup isn't attributed to the first one.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+from flink_assignment_spark.queries.synthetic import REGISTRY
+from flink_assignment_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def sf_value(sf_dir: str) -> float:
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    return float(m.group(1)) if m else -1.0
+
+
+def run_query(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    spark = get_spark("fas-bench")
+    # warm-up: JVM, codegen, parquet footer caches
+    run_query(REGISTRY["q01_filter_project"].spark(spark, SF_DIR))
+
+    timings: dict[str, float] = {}
+    for name, spec in REGISTRY.items():
+        t0 = time.monotonic()
+        run_query(spec.spark(spark, SF_DIR))
+        timings[name] = round(time.monotonic() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "total wall-clock over all registry queries (noop sink)",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_value(SF_DIR),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -38,16 +38,39 @@ def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     )
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Round-robin repartition to the session's parallelism.
+
+    Compute-dense text/pair stages have tiny input bytes but heavy
+    per-row work; a single small parquet file would otherwise pin the
+    whole stage to one task. Results are partitioning-invariant (all
+    downstream aggs are over integers / per-row expressions)."""
+    n = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n)
+
+
 def doc_shingles(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3) -> DataFrame:
-    """(id, shingle) exploded inverted-index input + per-doc set size."""
+    """(id, shingle) exploded inverted-index input + per-doc set size.
+
+    Uses ``explode_outer`` + null-filter instead of ``explode``:
+    plain explode implies a ``size(arr) > 0`` predicate that Catalyst
+    pushes below the projection — re-evaluating the full shingling
+    expression in the filter AND the parquet scan (3× per row).
+    ``explode_outer`` generates no such predicate, so shingling runs
+    exactly once per document.
+    """
+    docs = _spread(docs)
     with_sh = docs.select(
         F.col(id_col).alias("doc_id"),
         word_shingles(tokens(F.col(text_col)), n).alias("shingles"),
     )
-    return with_sh.select(
-        "doc_id",
-        F.size("shingles").alias("n_shingles"),
-        F.explode("shingles").alias("shingle"),
+    return (
+        with_sh.select(
+            "doc_id",
+            F.size("shingles").alias("n_shingles"),
+            F.explode_outer("shingles").alias("shingle"),
+        )
+        .filter(F.col("shingle").isNotNull())
     )
 
 
@@ -57,17 +80,19 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 3,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """All pairs with word-n-gram Jaccard ≥ threshold, via inverted
     index: explode shingles → self equi-join on shingle → count
     intersections per pair → |A∩B| / (|A|+|B|−|A∩B|).
 
     No N² cross join: pair candidates are generated only for docs
-    sharing ≥ 1 shingle. At 100 TB the one refinement needed is
-    dropping ultra-frequent shingles (stop-shingles) before the join —
-    exposed via ``max_shingle_freq``.
+    sharing ≥ 1 shingle. The (doc, shingle) index is cached: Spark
+    performs no common-subexpression elimination across self-join
+    sides, so without it the shingling subtree runs once per side (at
+    cluster scale you would persist this index to storage instead).
     """
-    sh = doc_shingles(docs, text_col, id_col, n)
+    sh = shingles if shingles is not None else doc_shingles(docs, text_col, id_col, n).cache()
     a = sh.alias("a")
     b = sh.alias("b")
     inter = (
@@ -89,12 +114,18 @@ def ngram_jaccard_pairs(
 
 
 def minhash_signatures(
-    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """16-permutation MinHash signature per doc: explode shingles,
     hash once, take 16 column-wise mins in a single partial-aggregated
     groupBy (one shuffle, no per-doc list materialization)."""
-    sh = doc_shingles(docs, text_col, id_col, n).withColumn("h", hash60(F.col("shingle")))
+    sh = (
+        shingles if shingles is not None else doc_shingles(docs, text_col, id_col, n)
+    ).withColumn("h", hash60(F.col("shingle")))
     aggs = [
         F.min(minhash_value(F.col("h"), a, b)).alias(f"mh{i}")
         for i, (a, b) in enumerate(MINHASH_PERMS)
@@ -118,7 +149,8 @@ def minhash_lsh_pairs(
     shuffle on a well-distributed key; nothing is quadratic in corpus
     size. Returns (doc_a, doc_b, jaccard).
     """
-    sigs = minhash_signatures(docs, text_col, id_col, n)
+    sh = doc_shingles(docs, text_col, id_col, n).cache()
+    sigs = minhash_signatures(docs, text_col, id_col, n, shingles=sh)
     n_perms = len(MINHASH_PERMS)
     bands = []
     for band_idx in range(0, n_perms // rows_per_band):
@@ -141,7 +173,7 @@ def minhash_lsh_pairs(
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    exact = ngram_jaccard_pairs(docs, threshold, text_col, id_col, n)
+    exact = ngram_jaccard_pairs(docs, threshold, text_col, id_col, n, shingles=sh)
     return cand.join(exact, ["doc_a", "doc_b"], "inner")
 
 
@@ -160,9 +192,18 @@ def simhash_fingerprints(
     wide but flat aggregation, fully codegen'd, single shuffle.
     Bit j of the fingerprint is set iff the bit-j sum > 0.
     """
-    tok = docs.select(
-        F.col(id_col).alias("doc_id"), F.explode(tokens(F.col(text_col))).alias("tok")
-    ).withColumn("h", hash60(F.col("tok")))
+    tok = (
+        _spread(docs)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            # explode_outer: avoid the implicit size>0 predicate being
+            # pushed down with the full tokenize expression (see
+            # doc_shingles)
+            F.explode_outer(tokens(F.col(text_col))).alias("tok"),
+        )
+        .filter(F.col("tok").isNotNull())
+        .withColumn("h", hash60(F.col("tok")))
+    )
     bit_sums = [
         F.sum(
             F.when(F.shiftright(F.col("h"), j).bitwiseAND(1) == 1, 1).otherwise(-1)

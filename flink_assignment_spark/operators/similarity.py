@@ -18,7 +18,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.vector import cosine
+from ..functions.vector import cosine, dot, dot_fixed, make_pair_dot_udf, norm
+
+
+def _spread(df: DataFrame) -> DataFrame:
+    """Round-robin repartition to session parallelism — pairwise
+    similarity stages are compute-bound on tiny input bytes; without
+    this a single small parquet file pins them to one task."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
 
 def cosine_topk(
@@ -27,20 +34,32 @@ def cosine_topk(
     k: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Exact top-k neighbors per query by cosine (self-matches
     excluded). Ranking key is (cosine rounded to 6, neighbor id) so
     ordering is total and engine-independent. Returns
     (query_id, neighbor_id, cos_sim, rank)."""
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    # precompute norms row-side: bit-identical to computing them
+    # per-pair (same operands, same op order), but the pairwise stage
+    # shrinks to a single dot product — keeps the expression inside
+    # whole-stage codegen's method-size limit
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
+        norm(F.col(vec_col), dim).alias("qn"),
+    )
+    c = _spread(corpus).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"),
+        norm(F.col(vec_col), dim).alias("cn"),
+    )
     # the query side is small by construction — broadcast it so the
     # corpus never shuffles
     pairs = c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+    pair_dot = make_pair_dot_udf()
     scored = pairs.select(
         "query_id",
         "neighbor_id",
-        F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
+        F.round(pair_dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6).alias("cos_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (
@@ -112,7 +131,7 @@ def lsh_topk(
     scored = cand.select(
         "query_id",
         "neighbor_id",
-        F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
+        F.round(cosine(F.col("qv"), F.col("cv"), dim), 6).alias("cos_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
@@ -123,6 +142,7 @@ def cosine_neardup_pairs(
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """All corpus pairs with cosine ≥ threshold (id_a < id_b).
 
@@ -130,12 +150,20 @@ def cosine_neardup_pairs(
     swap the pair source for the LSH bucket join above — the scoring
     and threshold stage is identical.
     """
-    a = vectors.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("va"))
-    b = vectors.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("vb"))
+    a = _spread(vectors).select(
+        F.col(id_col).alias("vec_a"), F.col(vec_col).alias("va"),
+        norm(F.col(vec_col), dim).alias("na"),
+    )
+    b = vectors.select(
+        F.col(id_col).alias("vec_b"), F.col(vec_col).alias("vb"),
+        norm(F.col(vec_col), dim).alias("nb"),
+    )
     pairs = a.join(b, F.col("vec_a") < F.col("vec_b"))
+    pair_dot = make_pair_dot_udf()
     return (
         pairs.select(
-            "vec_a", "vec_b", F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim")
+            "vec_a", "vec_b",
+            F.round(pair_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
     )

@@ -614,7 +614,7 @@ def _cos_sql(a: str, b: str, dim: int = 64) -> str:
 def q18_embedding_neardup(spark, sf_dir):
     """Embedding near-dup: all pairs with cosine ≥ 0.4 (double
     precision, in-order fold — bit-identical to the oracle)."""
-    return cosine_neardup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.4)
+    return cosine_neardup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.4, dim=64)
 
 
 Q18_SQL = f"""
@@ -629,7 +629,7 @@ def q19_similarity_topk(spark, sf_dir):
     """ANN baseline: exact top-5 cosine neighbors for 20 query vectors
     (broadcast queries × corpus, ranked per query)."""
     emb = _t(spark, sf_dir, "embeddings")
-    return cosine_topk(emb.filter(F.col("vec_id") < 20), emb, k=5).select(
+    return cosine_topk(emb.filter(F.col("vec_id") < 20), emb, k=5, dim=64).select(
         "query_id", "neighbor_id", "cos_sim", F.col("rank").cast("int").alias("rank")
     )
 
