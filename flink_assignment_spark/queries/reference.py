@@ -18,7 +18,10 @@ from pyspark.sql import functions as F
 
 from ..functions.scalar import day_str, file_extension, repo_from_url
 
-EVENT_TS = F.col("commit.committer.date")  # event time (README.md:112)
+def EVENT_TS():
+    """Event-time column (README.md:112). Function, not module constant:
+    building a Column requires an active SparkContext."""
+    return F.col("commit.committer.date")
 
 
 def dummy_question(commits: DataFrame) -> DataFrame:
@@ -53,7 +56,7 @@ def _java_scala_files(commits: DataFrame) -> DataFrame:
     """Shared Q3 prefix: explode files, extract extension, keep java/scala
     (reference :83-94)."""
     return (
-        commits.select(EVENT_TS.alias("ts"), F.explode("files").alias("f"))
+        commits.select(EVENT_TS().alias("ts"), F.explode("files").alias("f"))
         .filter(F.col("f.filename").isNotNull())
         .withColumn("ext", file_extension(F.col("f.filename")))
         .filter(F.col("ext").isin("java", "scala"))
@@ -91,7 +94,7 @@ def _js_py_files(commits: DataFrame) -> DataFrame:
     (ext, status, changes) with status null → 'unknown'."""
     f = F.col("f")
     return (
-        commits.select(EVENT_TS.alias("ts"), F.explode("files").alias("f"))
+        commits.select(EVENT_TS().alias("ts"), F.explode("files").alias("f"))
         .filter(f.filename.endswith(".js") | f.filename.endswith(".py"))
         .select(
             "ts",
@@ -122,7 +125,7 @@ def question_five(commits: DataFrame) -> DataFrame:
     extra key; both Flink and Spark windows are epoch-aligned UTC.
     """
     return (
-        commits.groupBy(F.window(EVENT_TS, "1 day").alias("w"))
+        commits.groupBy(F.window(EVENT_TS(), "1 day").alias("w"))
         .agg(F.count("*").alias("count"))
         .select(day_str(F.col("w.start")).alias("date"), "count")
     )
@@ -136,7 +139,7 @@ def question_six(commits: DataFrame) -> DataFrame:
     overlapping windows; output one (type, count) per (window, type).
     """
     typed = commits.select(
-        EVENT_TS.alias("ts"),
+        EVENT_TS().alias("ts"),
         F.when(F.coalesce(F.col("stats.total"), F.lit(0)) > 20, "large")
         .otherwise("small")
         .alias("commit_type"),
@@ -165,7 +168,7 @@ def question_seven(commits: DataFrame) -> DataFrame:
     per_committer = (
         commits.select(
             repo_from_url(F.col("url")).alias("repo"),
-            F.window(EVENT_TS, "1 day").alias("w"),
+            F.window(EVENT_TS(), "1 day").alias("w"),
             F.col("commit.committer.name").alias("committer"),
             F.coalesce(F.col("stats.total"), F.lit(0)).alias("total"),
         )
@@ -213,7 +216,7 @@ def question_eight(commits: DataFrame, geo: DataFrame) -> DataFrame:
     7-day tumbling window (``:288-290``).
     """
     java_files = (
-        commits.select(EVENT_TS.alias("commit_ts"), "sha", F.explode("files").alias("f"))
+        commits.select(EVENT_TS().alias("commit_ts"), "sha", F.explode("files").alias("f"))
         .filter(F.col("f.filename").isNotNull() & F.col("f.filename").endswith(".java"))
         .select("sha", "commit_ts", F.col("f.changes").alias("changes"))
     )
@@ -249,7 +252,7 @@ def question_nine(commits: DataFrame) -> DataFrame:
     base = (
         commits.select(
             repo_from_url(F.col("url")).alias("repo"),
-            EVENT_TS.alias("ts"),
+            EVENT_TS().alias("ts"),
             F.explode("files").alias("f"),
         )
         .filter(F.col("f.filename").isNotNull())
