@@ -1,0 +1,63 @@
+"""Multimodal plumbing tests: schemas, Arrow batching, partition
+spread, and deterministic fake kernels (decode itself is stubbed —
+no codec libs in this environment)."""
+
+from __future__ import annotations
+
+from flink_assignment_spark.operators.multimodal import (
+    MEDIA_SCHEMA,
+    frame_sample,
+    image_features,
+    resize_images,
+)
+
+
+def _media_df(spark, n=20):
+    rows = [
+        (
+            i,
+            bytes([(i * 7 + j) % 256 for j in range(256 + i)]),
+            {
+                "media_type": "video" if i % 3 == 0 else "image",
+                "format": "mp4" if i % 3 == 0 else "png",
+                "width": 64,
+                "height": 48,
+                "duration_ms": 3500 if i % 3 == 0 else None,
+            },
+        )
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def test_image_features_deterministic(spark):
+    df = _media_df(spark)
+    rows = {r.media_id: r for r in image_features(df).collect()}
+    assert len(rows) == 20
+    r0 = rows[0]
+    assert r0.n_bytes == 256
+    assert 0 <= r0.byte_mean <= 255
+    assert r0.byte_entropy > 0
+    # rerun → identical (stub decode is deterministic)
+    again = {r.media_id: r for r in image_features(df).collect()}
+    assert all(tuple(rows[k]) == tuple(again[k]) for k in rows)
+
+
+def test_frame_sample_counts(spark):
+    df = _media_df(spark)
+    frames = frame_sample(df, every_ms=1000).collect()
+    videos = [r for r in df.collect() if r.meta.media_type == "video"]
+    # 3500 ms at 1 fps → frames 0,1,2 (idx < duration//1000)
+    assert len(frames) == len(videos) * 3
+    assert {f.frame_ts_ms for f in frames} == {0, 1000, 2000}
+
+
+def test_resize_rewrites_meta_keeps_payload(spark):
+    df = _media_df(spark)
+    out = {r.media_id: r for r in resize_images(df, 32, 32).collect()}
+    orig = {r.media_id: r for r in df.collect()}
+    assert out.keys() == orig.keys()
+    for k in out:
+        assert bytes(out[k].payload) == bytes(orig[k].payload)
+        assert (out[k].meta.width, out[k].meta.height) == (32, 32)
+        assert out[k].meta.media_type == orig[k].meta.media_type

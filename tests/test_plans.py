@@ -1,0 +1,68 @@
+"""Scale-contract tests: assert on PHYSICAL PLANS, not just results.
+
+These encode the "would it survive 100 TB" review (SURVEY §7): filter
+pushdown into the parquet scan, column pruning, broadcast joins for
+dimension tables, and bounded shuffle counts for the two-level
+aggregation.
+"""
+
+from __future__ import annotations
+
+from flink_assignment_spark.plans import (
+    count_exchanges,
+    has_broadcast_hash_join,
+    physical_plan,
+    pushed_filters,
+    scan_read_schema,
+)
+from flink_assignment_spark.queries.synthetic import REGISTRY
+
+from .conftest import SF_DIR
+
+
+def test_q01_filter_pushed_to_scan(spark):
+    df = REGISTRY["q01_filter_project"].spark(spark, SF_DIR)
+    assert any("value" in f for f in pushed_filters(df)), pushed_filters(df)
+
+
+def test_q01_column_pruning(spark):
+    df = REGISTRY["q01_filter_project"].spark(spark, SF_DIR)
+    schema = scan_read_schema(df, "events")
+    # only the referenced columns are read; props/user_id/ts are pruned
+    assert "props" not in schema and "user_id" not in schema, schema
+
+
+def test_q11_scan_prunes_to_agg_columns(spark):
+    df = REGISTRY["q11_pricing_summary"].spark(spark, SF_DIR)
+    schema = scan_read_schema(df, "lineitem")
+    assert "l_orderkey" not in schema and "l_partkey" not in schema, schema
+    assert any("l_shipdate" in f for f in pushed_filters(df))
+
+
+def test_q12_broadcasts_dimensions(spark):
+    df = REGISTRY["q12_top_revenue_orders"].spark(spark, SF_DIR)
+    assert has_broadcast_hash_join(df)
+
+
+def test_q13_star_join_broadcasts(spark):
+    df = REGISTRY["q13_regional_revenue"].spark(spark, SF_DIR)
+    plan = physical_plan(df)
+    # every dimension join is a broadcast: no sort-merge join appears
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 4
+
+
+def test_q07_two_level_agg_shuffle_bound(spark):
+    """Two-level aggregation: level-1 partial aggregation means the
+    shuffle count stays bounded (scan→agg1 exchange, window, agg2 —
+    not one shuffle per aggregate expression)."""
+    df = REGISTRY["q07_daily_summary_having"].spark(spark, SF_DIR)
+    assert count_exchanges(df) <= 3, physical_plan(df)
+
+
+def test_q08_bucketed_join_is_equi(spark):
+    """The bucketed interval join must plan as an equi join (hash or
+    sort-merge on (bucket, key)) — NOT a nested-loop over the band."""
+    df = REGISTRY["q08_interval_join_weekly"].spark(spark, SF_DIR)
+    plan = physical_plan(df)
+    assert "NestedLoop" not in plan, plan
