@@ -25,3 +25,23 @@ def make_pair_dot_udf():
         return pd.Series((A * B).cumsum(axis=1)[:, -1])
 
     return pair_dot
+
+
+def make_lsh_buckets_udf(weights):
+    """Bucket ids for all LSH tables at once: V @ W.T sign bits packed
+    per table. ``weights`` is a prebuilt (n_tables, n_planes, dim)
+    float64 ndarray of deterministic hyperplane weights; the matmul
+    replaces an n_tables*n_planes*dim-term Catalyst expression whose
+    plan compilation alone dominates runtime."""
+    n_tables, n_planes, dim = weights.shape
+    W = weights.reshape(n_tables * n_planes, dim)
+
+    @pandas_udf("array<int>")
+    def buckets(v: pd.Series) -> pd.Series:
+        V = np.stack(v.values).astype(np.float64)
+        S = (V @ W.T) > 0  # (rows, tables*planes)
+        S = S.reshape(len(V), n_tables, n_planes)
+        packed = (S.astype(np.int64) << np.arange(n_planes, dtype=np.int64)).sum(axis=2)
+        return pd.Series(list(packed.astype(np.int32)))
+
+    return buckets

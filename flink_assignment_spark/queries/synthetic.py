@@ -739,3 +739,144 @@ REGISTRY: dict[str, QuerySpec] = {
     "q20_text_stats": QuerySpec(q20_text_stats, Q20_SQL),
     "q21_lang_id": QuerySpec(q21_lang_id, Q21_SQL),
 }
+
+
+# ------------------------------------------------ analytic-pattern queries
+def q22_topk_per_group(spark, sf_dir):
+    """Top-3 parts by revenue per brand: the canonical top-k-per-group
+    pattern (Window.partitionBy + row_number), ranking on rounded
+    revenue + partkey so the cut is total and engine-independent.
+    The part dimension broadcasts; lineitem never shuffles for the join."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    rev = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_partkey")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )
+    w = Window.partitionBy("p_brand").orderBy(F.desc("revenue"), F.asc("p_partkey"))
+    return (
+        rev.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("p_brand", "p_partkey", "revenue", F.col("rnk").cast("int").alias("rnk"))
+    )
+
+
+Q22_SQL = """
+WITH rev AS (
+  SELECT p_brand, p_partkey,
+         round(CAST(SUM(l_extendedprice * (1 - l_discount)) AS DOUBLE), 2) AS revenue
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY 1, 2
+)
+SELECT p_brand, p_partkey, revenue, CAST(rnk AS INT) AS rnk
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY p_brand
+                                   ORDER BY revenue DESC, p_partkey) AS rnk
+      FROM rev)
+WHERE rnk <= 3
+"""
+
+
+def q23_distinct_daily(spark, sf_dir):
+    """Daily distinct-user and event counts (exact distinct aggregate —
+    Catalyst expands to a two-phase aggregation)."""
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "1 day").alias("w"))
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count("*").alias("n_events"),
+        )
+        .select(F.date_format(F.col("w.start"), "yyyy-MM-dd").alias("day"), "n_users", "n_events")
+    )
+
+
+Q23_SQL = """
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM events GROUP BY 1
+"""
+
+
+def q24_set_ops(spark, sf_dir):
+    """Set operations (EXCEPT / INTERSECT / UNION ALL) over keyed
+    event projections."""
+    ev = _t(spark, sf_dir, "events")
+    clickers = ev.filter(F.col("event_type") == "click").select("user_id").distinct()
+    purchasers = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    signups = ev.filter(F.col("event_type") == "signup").select("user_id").distinct()
+    errors = ev.filter(F.col("event_type") == "error").select("user_id").distinct()
+    a = clickers.exceptAll(purchasers).select("user_id", F.lit("click_no_purchase").alias("tag"))
+    b = signups.intersect(errors).select("user_id", F.lit("signup_and_error").alias("tag"))
+    return a.unionAll(b)
+
+
+Q24_SQL = """
+SELECT user_id, 'click_no_purchase' AS tag FROM (
+  SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+  EXCEPT
+  SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+UNION ALL
+SELECT user_id, 'signup_and_error' AS tag FROM (
+  SELECT DISTINCT user_id FROM events WHERE event_type = 'signup'
+  INTERSECT
+  SELECT DISTINCT user_id FROM events WHERE event_type = 'error')
+"""
+
+_EVENT_TYPES = ["click", "view", "purchase", "signup", "error"]
+
+
+def q25_pivot_daily_types(spark, sf_dir):
+    """Pivot: one row per day, one count column per event type
+    (explicit value list keeps the schema static — required for both
+    determinism and streaming compatibility)."""
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy(F.date_format(F.window("ts", "1 day").start, "yyyy-MM-dd").alias("day"))
+        .pivot("event_type", _EVENT_TYPES)
+        .count()
+        .na.fill(0, _EVENT_TYPES)
+    )
+
+
+Q25_SQL = """
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+       CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS click,
+       CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS view,
+       CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS purchase,
+       CAST(count(*) FILTER (event_type = 'signup') AS BIGINT) AS signup,
+       CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS error
+FROM events GROUP BY 1
+"""
+
+
+def q26_cube_pricing(spark, sf_dir):
+    """CUBE over (returnflag, linestatus): grouping sets with rollup
+    rows (null-marked), Catalyst expands then aggregates in one pass."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.count("*").alias("cnt"),
+        )
+    )
+
+
+Q26_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(CAST(SUM(l_quantity) AS DOUBLE), 2) AS sum_qty,
+       CAST(count(*) AS BIGINT) AS cnt
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+REGISTRY.update(
+    {
+        "q22_topk_per_group": QuerySpec(q22_topk_per_group, Q22_SQL),
+        "q23_distinct_daily": QuerySpec(q23_distinct_daily, Q23_SQL),
+        "q24_set_ops": QuerySpec(q24_set_ops, Q24_SQL),
+        "q25_pivot_daily_types": QuerySpec(q25_pivot_daily_types, Q25_SQL),
+        "q26_cube_pricing": QuerySpec(q26_cube_pricing, Q26_SQL),
+    }
+)
