@@ -880,3 +880,71 @@ REGISTRY.update(
         "q26_cube_pricing": QuerySpec(q26_cube_pricing, Q26_SQL),
     }
 )
+
+
+# ----------------------------------------------------- SQL API + JSON ops
+def q27_sql_api(spark, sf_dir):
+    """Same engine through the SQL parser: registers temp views and
+    runs ANSI SQL via spark.sql — Catalyst plans it identically to the
+    DataFrame form (one logical-plan front door, two dialects)."""
+    from ..sources.loaders import register_views
+
+    register_views(spark, sf_dir, ("nation", "customer", "orders"))
+    return spark.sql(
+        """
+        SELECT n_name,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               round(SUM(o_totalprice), 2) AS total_price
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE o_orderstatus = 'F'
+        GROUP BY n_name
+        """
+    )
+
+
+Q27_SQL = """
+SELECT n_name,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(CAST(SUM(o_totalprice) AS DOUBLE), 2) AS total_price
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE o_orderstatus = 'F'
+GROUP BY n_name
+"""
+
+
+def q28_json_extract(spark, sf_dir):
+    """Schema'd JSON parsing of the props column (from_json with an
+    explicit schema — JVM-side Jackson, prunable) aggregated per k
+    percentile bucket."""
+    parsed = _t(spark, sf_dir, "events").withColumn(
+        "props_s", F.from_json(F.col("props"), "struct<k: int>")
+    )
+    return (
+        parsed.select(
+            (F.col("props_s.k") - (F.col("props_s.k") % 25)).alias("k_quartile"),
+            "value",
+        )
+        .groupBy("k_quartile")
+        .agg(F.count("*").alias("cnt"), F.round(F.sum("value"), 2).alias("sum_value"))
+    )
+
+
+Q28_SQL = """
+SELECT k - (k % 25) AS k_quartile,
+       CAST(count(*) AS BIGINT) AS cnt,
+       round(CAST(SUM(value) AS DOUBLE), 2) AS sum_value
+FROM (SELECT CAST(regexp_extract(props, '"k":\\s*([0-9]+)', 1) AS INT) AS k, value
+      FROM events)
+GROUP BY 1
+"""
+
+REGISTRY.update(
+    {
+        "q27_sql_api": QuerySpec(q27_sql_api, Q27_SQL),
+        "q28_json_extract": QuerySpec(q28_json_extract, Q28_SQL),
+    }
+)

@@ -1,0 +1,106 @@
+"""Streaming session windows and late-data (watermark) semantics."""
+
+from __future__ import annotations
+
+from datetime import datetime, timezone
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType, StructField, StructType, TimestampType
+
+
+SCHEMA = StructType(
+    [StructField("user", StringType()), StructField("ts", TimestampType())]
+)
+
+
+def ts(s):
+    return datetime.strptime(s, "%Y-%m-%d %H:%M").replace(tzinfo=timezone.utc)
+
+
+def run(df, mode, name):
+    q = df.writeStream.outputMode(mode).format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+
+def test_session_window_stream(spark, tmp_path):
+    """Native streaming session windows (gap 30 min) — the streaming
+    counterpart of operators.sessionize."""
+    d = tmp_path / "sess"
+    d.mkdir()
+    rows = [
+        ("u1", ts("2024-01-01 10:00")),
+        ("u1", ts("2024-01-01 10:10")),  # same session
+        ("u1", ts("2024-01-01 11:30")),  # new session (gap 80 min)
+        ("u2", ts("2024-01-01 10:00")),
+    ]
+    spark.createDataFrame(rows, SCHEMA).coalesce(1).write.parquet(str(d / "f1"))
+    # sentinel to advance the watermark past all session gaps
+    spark.createDataFrame([("zz", ts("2024-02-01 00:00"))], SCHEMA).coalesce(1).write.parquet(str(d / "f2"))
+
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d) + "/*")
+        .withWatermark("ts", "0 seconds")
+    )
+    agg = stream.groupBy(F.session_window("ts", "30 minutes"), "user").agg(
+        F.count("*").alias("n")
+    )
+    run(
+        agg.select("user", F.col("session_window.start").alias("start"), "n"),
+        "append",
+        "sess_out",
+    )
+    got = {
+        (r.user, r.start.strftime("%H:%M"), r.n)
+        for r in spark.sql("SELECT * FROM sess_out WHERE user != 'zz'").collect()
+    }
+    assert got == {("u1", "10:00", 2), ("u1", "11:30", 1), ("u2", "10:00", 1)}
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """Event-time late-data contract (the reference assumes in-order
+    input; this pins down what happens when that is violated):
+
+    - late rows whose window is still in state are MERGED (watermark
+      eviction lags one batch behind watermark advancement);
+    - once the window is evicted, late rows are DROPPED — visible in
+      numRowsDroppedByWatermark and absent from the output."""
+    d = tmp_path / "late"
+    d.mkdir()
+    import time as _time
+
+    batches = [
+        [("u1", ts("2024-01-01 10:00")), ("u1", ts("2024-01-01 23:59"))],
+        [("u3", ts("2024-02-01 00:00"))],  # advances watermark past Jan 1
+        [("u3", ts("2024-02-01 00:10"))],  # spacer: Jan windows evicted here
+        [("u1", ts("2024-01-01 10:05"))],  # late, after eviction → dropped
+        [("u4", ts("2024-03-01 00:00"))],  # flush
+    ]
+    for i, b in enumerate(batches):
+        spark.createDataFrame(b, SCHEMA).coalesce(1).write.parquet(str(d / f"f{i}"))
+        _time.sleep(1.1)  # distinct mtimes keep file-source replay order
+
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d) + "/*")
+        .withWatermark("ts", "0 seconds")
+    )
+    agg = stream.groupBy(F.window("ts", "1 day"), "user").agg(F.count("*").alias("n"))
+    q = agg.writeStream.outputMode("append").format("memory").queryName("late_out").start()
+    try:
+        q.processAllAvailable()
+        dropped = sum(
+            p["stateOperators"][0].get("numRowsDroppedByWatermark", 0)
+            for p in q.recentProgress
+            if p["stateOperators"]
+        )
+    finally:
+        q.stop()
+    got = {(r.user, r.n) for r in spark.sql("SELECT * FROM late_out WHERE user='u1'").collect()}
+    assert got == {("u1", 2)}  # late 10:05 row NOT in the Jan 1 window
+    assert dropped == 1
