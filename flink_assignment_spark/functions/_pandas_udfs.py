@@ -45,3 +45,43 @@ def make_lsh_buckets_udf(weights):
         return pd.Series(list(packed.astype(np.int32)))
 
     return buckets
+
+
+def make_block_pair_scorer(corpus_ids, corpus_matrix, mode):
+    """mapInPandas kernel for blocked all-pairs cosine scoring.
+
+    The corpus (ids + float64 matrix) is captured in the closure —
+    Spark ships it once per executor (broadcast-variable pattern), so
+    pairwise scoring is a per-batch numpy computation with NO pairwise
+    shuffle or nested-loop join.
+
+    Exactness: products are summed with ``cumsum`` along the dim axis
+    (left-to-right) and norms use the same fold, so the UNROUNDED
+    cosine is bit-identical to the SQL oracle's left-associated
+    expression; rounding/thresholding stays engine-side. ``mode``:
+      'upper' → emit pairs with row_id < corpus_id (near-dup dedup)
+      'all'   → emit all non-self pairs (feeds top-k ranking)
+    """
+    C = corpus_matrix.astype(np.float64)
+    c_norms = np.sqrt((C * C).cumsum(axis=1)[:, -1])
+
+    def score(batches):
+        for pdf in batches:
+            rows_id = pdf.iloc[:, 0].values
+            R = np.stack(pdf.iloc[:, 1].values).astype(np.float64)
+            r_norms = np.sqrt((R * R).cumsum(axis=1)[:, -1])
+            prod = R[:, None, :] * C[None, :, :]
+            cos = prod.cumsum(axis=2)[:, :, -1] / (r_norms[:, None] * c_norms[None, :])
+            out_a, out_b, out_c = [], [], []
+            for i in range(len(rows_id)):
+                if mode == "upper":
+                    mask = rows_id[i] < corpus_ids
+                else:
+                    mask = corpus_ids != rows_id[i]
+                sel = np.nonzero(mask)[0]
+                out_a.extend([int(rows_id[i])] * len(sel))
+                out_b.extend(int(corpus_ids[j]) for j in sel)
+                out_c.extend(float(cos[i, j]) for j in sel)
+            yield pd.DataFrame({"id_a": out_a, "id_b": out_b, "cos_sim": out_c})
+
+    return score

@@ -28,6 +28,26 @@ def _spread(df: DataFrame) -> DataFrame:
     return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
 
+def _block_score(rows: DataFrame, corpus: DataFrame, id_col: str, vec_col: str, mode: str) -> DataFrame:
+    """All (row, corpus) cosine pairs via the broadcast-matrix kernel.
+
+    The corpus side is collected to the driver and closure-captured
+    (the "broadcast the small side" pattern — at cluster scale this is
+    the IVF/blocked-ANN cell matrix, bounded by design). The row side
+    stays fully distributed.
+    """
+    import numpy as np
+
+    from ..functions._pandas_udfs import make_block_pair_scorer
+
+    collected = corpus.select(F.col(id_col), F.col(vec_col)).collect()
+    ids = np.array([r[0] for r in collected], dtype=np.int64)
+    matrix = np.array([list(r[1]) for r in collected], dtype=np.float64)
+    kernel = make_block_pair_scorer(ids, matrix, mode)
+    src = _spread(rows.select(F.col(id_col), F.col(vec_col)))
+    return src.mapInPandas(kernel, schema="id_a bigint, id_b bigint, cos_sim double")
+
+
 def cosine_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -40,26 +60,13 @@ def cosine_topk(
     excluded). Ranking key is (cosine rounded to 6, neighbor id) so
     ordering is total and engine-independent. Returns
     (query_id, neighbor_id, cos_sim, rank)."""
-    # precompute norms row-side: bit-identical to computing them
-    # per-pair (same operands, same op order), but the pairwise stage
-    # shrinks to a single dot product — keeps the expression inside
-    # whole-stage codegen's method-size limit
-    q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
-        norm(F.col(vec_col), dim).alias("qn"),
-    )
-    c = _spread(corpus).select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"),
-        norm(F.col(vec_col), dim).alias("cn"),
-    )
-    # the query side is small by construction — broadcast it so the
-    # corpus never shuffles
-    pairs = c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
-    pair_dot = make_pair_dot_udf()
-    scored = pairs.select(
-        "query_id",
-        "neighbor_id",
-        F.round(pair_dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6).alias("cos_sim"),
+    # blocked broadcast-matrix scoring: the corpus ships to executors
+    # inside the kernel closure; each query-side Arrow batch scores
+    # against the whole matrix in one numpy pass (no pairwise join)
+    scored = _block_score(queries, corpus, id_col, vec_col, mode="all").select(
+        F.col("id_a").alias("query_id"),
+        F.col("id_b").alias("neighbor_id"),
+        F.round("cos_sim", 6).alias("cos_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (
@@ -156,20 +163,12 @@ def cosine_neardup_pairs(
     swap the pair source for the LSH bucket join above — the scoring
     and threshold stage is identical.
     """
-    a = _spread(vectors).select(
-        F.col(id_col).alias("vec_a"), F.col(vec_col).alias("va"),
-        norm(F.col(vec_col), dim).alias("na"),
-    )
-    b = vectors.select(
-        F.col(id_col).alias("vec_b"), F.col(vec_col).alias("vb"),
-        norm(F.col(vec_col), dim).alias("nb"),
-    )
-    pairs = a.join(b, F.col("vec_a") < F.col("vec_b"))
-    pair_dot = make_pair_dot_udf()
     return (
-        pairs.select(
-            "vec_a", "vec_b",
-            F.round(pair_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6).alias("cos_sim"),
+        _block_score(vectors, vectors, id_col, vec_col, mode="upper")
+        .select(
+            F.col("id_a").alias("vec_a"),
+            F.col("id_b").alias("vec_b"),
+            F.round("cos_sim", 6).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
     )
