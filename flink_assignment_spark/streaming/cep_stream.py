@@ -10,6 +10,12 @@ match per A. Expired A's are dropped once their window passes.
 
 State is bounded by ``within_s`` per key — the same contract as
 Flink CEP's NFA state pruning.
+
+Input-order contract: events must arrive in event-time order ACROSS
+micro-batches per key (within a batch they are sorted). This mirrors
+the reference's explicit in-order assumption
+(``AscendingTimestampExtractor``, reference README.md:114); for
+out-of-order sources, buffer-and-sort on the watermark upstream.
 """
 
 from __future__ import annotations

@@ -173,3 +173,27 @@ def question_eight_join_stream(
     ).select(
         "continent", "changes", F.greatest("commit_ts", "geo_ts").alias("joined_ts")
     )
+
+
+def question_nine_stream(commits: DataFrame, delay: str = "0 seconds") -> DataFrame:
+    """Q9 streaming: the CEP pattern over the live commit stream —
+    explode to (repo, filename, status) events, then the stateful
+    followed-by operator keyed by (repo, filename). Emits one row per
+    matched 'added' event, exactly the batch question_nine semantics,
+    with state bounded by the 1-day match horizon."""
+    from .cep_stream import followed_by_stream
+
+    base = (
+        commits.withColumn(EVENT_TS_NAME, F.col("commit.committer.date"))
+        .withWatermark(EVENT_TS_NAME, delay)
+        .select(
+            repo_from_url(F.col("url")).alias("repo"),
+            F.explode("files").alias("f"),
+            EVENT_TS_NAME,
+        )
+        .filter(F.col("f.filename").isNotNull() & F.col("f.status").isin("added", "removed"))
+        .select("repo", F.col("f.filename").alias("filename"), F.col("f.status").alias("status"), EVENT_TS_NAME)
+    )
+    return followed_by_stream(
+        base, ["repo", "filename"], EVENT_TS_NAME, "status", "added", "removed", within_s=86400
+    ).select("repo", "filename")

@@ -50,7 +50,10 @@ SENTINEL = {
 @pytest.fixture(scope="module")
 def stream_dirs(tmp_path_factory):
     d = tmp_path_factory.mktemp("stream")
-    commits = make_commits()
+    # the reference's input contract is IN-ORDER event time
+    # (AscendingTimestampExtractor, README.md:114) — replay the corpus
+    # sorted by event time, split across two files/micro-batches
+    commits = sorted(make_commits(), key=lambda c: c["commit"]["committer"]["date"])
     geo = make_geo(commits)
     cdir, gdir = d / "commits", d / "geo"
     cdir.mkdir(), gdir.mkdir()
@@ -182,3 +185,49 @@ def test_followed_by_stream_cross_batch_state(spark, tmp_path):
         ("u1", int(ts("2024-01-01 10:00").timestamp() * 1_000_000),
          int(ts("2024-01-01 12:00").timestamp() * 1_000_000))
     }
+
+
+def test_q9_stream_matches_batch(spark, stream_dirs):
+    """Full streaming CEP over the commit corpus equals batch Q9."""
+    from flink_assignment_spark.streaming.queries import question_nine_stream
+
+    commits, _, cdir, _ = stream_dirs
+    run_stream(question_nine_stream(read_commits_stream(spark, cdir, max_files=1)), "append", "q9s")
+    got = Counter((r.repo, r.filename) for r in spark.sql("SELECT * FROM q9s").collect())
+    want = Counter(
+        (r.repo, r.filename)
+        for r in R.question_nine(read_commits_json(spark, cdir)).collect()
+    )
+    assert len(got) > 0 and got == want
+
+
+def test_q3_update_mode_refinement_cadence(spark, stream_dirs):
+    """Flink emits a refinement per element (README.md:86-92); Spark's
+    update mode emits a refinement per micro-batch. Verify the cadence:
+    with 2 input files as 2 batches, each key's count appears multiple
+    times with increasing values, ending at the batch total."""
+    _, _, cdir, _ = stream_dirs
+    stream = read_commits_stream(spark, cdir, max_files=1)
+    q = (
+        question_three_stream(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("q3u")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.sql("SELECT * FROM q3u").collect()
+    per_key = {}
+    for r in rows:
+        per_key.setdefault(r.ext, []).append(r["count"])
+    final = {
+        (r.ext, r["count"])
+        for r in R.question_three(read_commits_json(spark, cdir)).collect()
+    }
+    # at least one intermediate refinement before the final value, and
+    # the last refinement equals the batch result
+    assert any(len(v) > 1 for v in per_key.values())
+    assert {(k, max(v)) for k, v in per_key.items()} == final
