@@ -35,8 +35,29 @@ def run_query(df) -> None:
 
 def main() -> None:
     spark = get_spark("fas-bench")
-    # warm-up: JVM, codegen, parquet footer caches
+    # warm-up: JVM, codegen, parquet footer caches, and the Python
+    # UDF workers (fork + numpy/pandas import, otherwise billed to the
+    # first pandas-UDF query)
     run_query(REGISTRY["q01_filter_project"].spark(spark, SF_DIR))
+    from pyspark.sql import functions as F
+
+    from flink_assignment_spark.functions.vector import make_pair_dot_udf
+
+    pair_dot = make_pair_dot_udf()
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    run_query(
+        spark.range(256)
+        .repartition(n_part)
+        .select(pair_dot(F.array(F.lit(1.0)), F.array(F.lit(1.0))).alias("d"))
+    )
+
+    def _noop_kernel(batches):
+        import pandas as pd  # noqa: F401 — warm the worker imports
+
+        for pdf in batches:
+            yield pdf
+
+    run_query(spark.range(256).repartition(n_part).mapInPandas(_noop_kernel, "id long"))
 
     timings: dict[str, float] = {}
     for name, spec in REGISTRY.items():

@@ -1,0 +1,76 @@
+"""Connected components over a pair list (duplicate-cluster
+resolution).
+
+Near-dup detection yields PAIRS; deduplication needs CLUSTERS (keep
+one representative per transitively-connected group). This is
+min-label propagation — the standard large-graph connected-components
+algorithm (hash-min): every node starts labeled with its own id; each
+round, a node takes the min label in its neighborhood; converges in
+O(diameter) rounds.
+
+Execution shape: a driver-side loop over DataFrame joins. Each round
+is one shuffle join + aggregation (fully distributed); only the
+CONVERGENCE CHECK (a count) runs on the driver. Rounds are
+O(log n) for typical near-dup graphs (tiny diameters), so the loop
+does not become a driver bottleneck at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    pairs: DataFrame,
+    src_col: str = "doc_a",
+    dst_col: str = "doc_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """(node, component) for every node in ``pairs``; component = min
+    node id reachable through the pair graph."""
+    edges = (
+        pairs.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+        .union(pairs.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b")))
+        .distinct()
+        .cache()
+    )
+    labels = edges.select(F.col("a").alias("node")).distinct().withColumn(
+        "component", F.col("node")
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.b == labels.node)
+            .groupBy("a")
+            .agg(F.min("component").alias("nbr_min"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels.node == neighbor_min.a, "left")
+            .select(
+                "node",
+                F.least(F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))).alias(
+                    "new_component"
+                ),
+                "component",
+            )
+        ).cache()
+        changed = updated.filter(F.col("new_component") != F.col("component")).count()
+        labels = updated.select("node", F.col("new_component").alias("component"))
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_clusters(pairs: DataFrame) -> DataFrame:
+    """Duplicate clusters from near-dup pairs: every clustered doc with
+    its cluster representative (min doc_id) and cluster size."""
+    comp = connected_components(pairs)
+    sizes = comp.groupBy("component").agg(F.count("*").alias("cluster_size"))
+    return (
+        comp.join(sizes, "component")
+        .select(
+            F.col("node").alias("doc_id"),
+            F.col("component").alias("keep_id"),
+            "cluster_size",
+        )
+    )

