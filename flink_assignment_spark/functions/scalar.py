@@ -19,7 +19,10 @@ def file_extension(filename: Column) -> Column:
     so we filter empties and take the last non-empty segment.
     """
     parts = F.filter(F.split(filename, r"\."), lambda p: p != F.lit(""))
-    return F.element_at(parts, -1)
+    # try_element_at: a dots-only filename ("...") yields an empty
+    # array; plain element_at would throw under ANSI mode (Spark 4
+    # default) — Scala's lastOption returns None, so null is correct
+    return F.try_element_at(parts, F.lit(-1))
 
 
 def strip_query_string(url: Column) -> Column:

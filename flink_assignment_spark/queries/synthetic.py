@@ -979,3 +979,63 @@ FROM comp c JOIN (SELECT keep_id, count(*) AS n FROM comp GROUP BY 1) s USING (k
 """
 
 REGISTRY.update({"q29_dedup_clusters": QuerySpec(q29_dedup_clusters, Q29_SQL)})
+
+
+# ------------------------------------------------ winnowing fingerprints
+WINNOW_K = 8   # char k-gram size
+WINNOW_W = 8   # winnowing window (hashes per window)
+
+
+def q30_winnowing_fingerprints(spark, sf_dir):
+    """Document fingerprinting by winnowing: hash all char-8-grams
+    (rolling over the text), slide an 8-hash window keeping each
+    window's min, emit the distinct selected hashes per doc. The
+    standard plagiarism/near-dup fingerprint (Schleimer et al.,
+    SIGMOD'03) as pure Catalyst array expressions — hashes are
+    md5-derived so the oracle reproduces them exactly."""
+    from ..functions.text import hash60
+
+    text = F.col("text")
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.length("text") >= WINNOW_K + WINNOW_W + 6)
+        .select(
+            "doc_id",
+            F.transform(
+                F.sequence(F.lit(1), F.length(text) - (WINNOW_K - 1)),
+                lambda i: hash60(text.substr(i, F.lit(WINNOW_K))),
+            ).alias("h"),
+        )
+    )
+    mins = docs.select(
+        "doc_id",
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size("h") - (WINNOW_W - 1)),
+                lambda j: F.array_min(F.slice(F.col("h"), j, WINNOW_W)),
+            )
+        ).alias("fps"),
+    )
+    return (
+        mins.select("doc_id", F.explode_outer("fps").alias("fp"))
+        .filter(F.col("fp").isNotNull())
+    )
+
+
+Q30_SQL = f"""
+WITH grams AS (
+  SELECT doc_id,
+         list_transform(range(1, length(text) - {WINNOW_K - 2}),
+                        i -> CAST('0x' || substring(md5(substring(text, i, {WINNOW_K})), 1, 15) AS BIGINT)) AS h
+  FROM documents
+  WHERE length(text) >= {WINNOW_K + WINNOW_W + 6}
+), mins AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(h) - {WINNOW_W - 2}),
+                                      j -> list_min(h[j:j+{WINNOW_W - 1}]))) AS fps
+  FROM grams
+)
+SELECT doc_id, unnest(fps) AS fp FROM mins
+"""
+
+REGISTRY.update({"q30_winnowing_fingerprints": QuerySpec(q30_winnowing_fingerprints, Q30_SQL)})

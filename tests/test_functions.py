@@ -1,0 +1,50 @@
+"""Edge cases for the scalar/text column functions (mirroring the
+reference's Scala semantics, incl. ANSI-mode safety)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from flink_assignment_spark.functions.scalar import file_extension, repo_from_url
+from flink_assignment_spark.functions.text import tokens, word_shingles
+
+
+def _vals(spark, fn, inputs):
+    df = spark.createDataFrame([(v,) for v in inputs], "s string")
+    return [r.out for r in df.select(fn(F.col("s")).alias("out")).collect()]
+
+
+def test_file_extension_matches_scala_split(spark):
+    """Scala ``split("\\.")`` drops trailing empties; ``lastOption`` on
+    a dots-only name is None (reference FlinkAssignment.scala:88)."""
+    got = _vals(
+        spark, file_extension, ["a.java", "a.b.scala", "noext", "trailing.", ".leading", "..."]
+    )
+    assert got == ["java", "scala", "noext", "trailing", "leading", None]
+
+
+def test_repo_from_url_variants(spark):
+    got = _vals(
+        spark,
+        repo_from_url,
+        [
+            "https://api.github.com/repos/own/repo/commits/abc",
+            "https://api.github.com/repos/own/repo/commits/abc?page=2&per_page=5",
+            "https://example.com/no/repos-marker/here",
+        ],
+    )
+    assert got == ["own/repo", "own/repo", ""]
+
+
+def test_tokens_and_shingles_edges(spark):
+    df = spark.createDataFrame(
+        [("a b c d",), ("one two",), ("",), ("  padded   spaces  ",)], "s string"
+    )
+    out = df.select(
+        F.size(tokens(F.col("s"))).alias("n"),
+        word_shingles(tokens(F.col("s")), 3).alias("sh"),
+    ).collect()
+    assert [r.n for r in out] == [4, 2, 0, 2]
+    assert out[0].sh == ["a b c", "b c d"]
+    assert out[1].sh == []  # shorter than n → no shingles
+    assert out[2].sh == []

@@ -104,3 +104,31 @@ def test_watermark_drops_late_rows(spark, tmp_path):
     got = {(r.user, r.n) for r in spark.sql("SELECT * FROM late_out WHERE user='u1'").collect()}
     assert got == {("u1", 2)}  # late 10:05 row NOT in the Jan 1 window
     assert dropped == 1
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """Streaming exact dedup: dropDuplicatesWithinWatermark keeps the
+    first arrival of each key and drops re-deliveries across
+    micro-batches while the key is inside the watermark horizon."""
+    import time as _time
+
+    d = tmp_path / "dedup"
+    d.mkdir()
+    batches = [
+        [("k1", ts("2024-01-01 10:00")), ("k2", ts("2024-01-01 10:01"))],
+        [("k1", ts("2024-01-01 10:02"))],  # duplicate re-delivery → dropped
+        [("k3", ts("2024-01-01 10:03"))],
+    ]
+    for i, b in enumerate(batches):
+        spark.createDataFrame(b, SCHEMA).coalesce(1).write.parquet(str(d / f"f{i}"))
+        _time.sleep(1.1)
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d) + "/*")
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["user"])
+    )
+    run(stream.select("user"), "append", "dedup_out")
+    got = sorted(r.user for r in spark.sql("SELECT * FROM dedup_out").collect())
+    assert got == ["k1", "k2", "k3"]
