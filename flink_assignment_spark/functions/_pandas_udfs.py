@@ -85,3 +85,18 @@ def make_block_pair_scorer(corpus_ids, corpus_matrix, mode):
             yield pd.DataFrame({"id_a": out_a, "id_b": out_b, "cos_sim": out_c})
 
     return score
+
+
+def make_cell_assign_udf(centroids, n_nearest):
+    """array<int> of the ``n_nearest`` centroid ids by L2 distance —
+    one numpy pass per Arrow batch (IVF cell assignment / probing)."""
+    C = centroids.astype(np.float64)
+
+    @pandas_udf("array<int>")
+    def assign(v: pd.Series) -> pd.Series:
+        V = np.stack(v.values).astype(np.float64)
+        d2 = ((V[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        order = np.argsort(d2, axis=1, kind="stable")[:, :n_nearest]
+        return pd.Series(list(order.astype(np.int32)))
+
+    return assign

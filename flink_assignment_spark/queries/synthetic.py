@@ -1039,3 +1039,21 @@ SELECT doc_id, unnest(fps) AS fp FROM mins
 """
 
 REGISTRY.update({"q30_winnowing_fingerprints": QuerySpec(q30_winnowing_fingerprints, Q30_SQL)})
+
+
+# --------------------------------------------- IVF ANN (rows-only check)
+def q31_ivf_topk(spark, sf_dir):
+    """IVF approximate nearest neighbors: k-means cells + n_probe cell
+    scan + exact re-rank. No SQL oracle (iterative k-means is not
+    SQL-expressible) → rows-only driver check; recall and determinism
+    are pytest-verified against the exact top-k
+    (tests/test_operators.py::test_ivf_topk_recall)."""
+    from ..operators.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return ivf_topk(emb.filter(F.col("vec_id") < 20), emb, k=5).select(
+        "query_id", "neighbor_id", "cos_sim", F.col("rank").cast("int").alias("rank")
+    )
+
+
+REGISTRY.update({"q31_ivf_topk": QuerySpec(q31_ivf_topk, None)})

@@ -103,3 +103,23 @@ def test_lsh_topk_recall(spark):
     assert recall >= 0.5, f"LSH recall too low: {recall}"
     for p in hits:  # scores must agree exactly where both returned the pair
         assert exact_pairs[p] == approx_pairs[p]
+
+
+def test_ivf_topk_recall(spark):
+    """IVF at default 8 cells / 4 probes must recover most of the exact
+    top-5, with exact cosine scores on returned pairs."""
+    from flink_assignment_spark.operators.similarity import ivf_topk
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = {(r.query_id, r.neighbor_id): r.cos_sim for r in cosine_topk(queries, emb, k=5, dim=64).collect()}
+    approx = {(r.query_id, r.neighbor_id): r.cos_sim for r in ivf_topk(queries, emb, k=5).collect()}
+    hits = set(exact) & set(approx)
+    recall = len(hits) / len(exact)
+    assert recall >= 0.6, f"IVF recall too low: {recall}"
+    for p in hits:
+        assert exact[p] == approx[p]
+
+    # determinism: identical output across runs (seedless k-means)
+    again = {(r.query_id, r.neighbor_id): r.cos_sim for r in ivf_topk(queries, emb, k=5).collect()}
+    assert approx == again
