@@ -1057,3 +1057,108 @@ def q31_ivf_topk(spark, sf_dir):
 
 
 REGISTRY.update({"q31_ivf_topk": QuerySpec(q31_ivf_topk, None)})
+
+
+# ------------------------------------------- text quality + n-gram lang-ID
+def q32_text_quality(spark, sf_dir):
+    """Quality scoring for training-data filtering: whitespace vs
+    BPE-ish (regex pre-tokenizer) token counts, punctuation ratio, and
+    a deterministic composite score — all int/int ratios in double, so
+    bit-exact vs the oracle."""
+    text = F.col("text")
+    tk = tokens(text)
+    bpe = F.regexp_extract_all(text, F.lit(r"\w+|[^\w\s]"), 0)
+    punct = F.length(F.regexp_replace(text, r"[\w\s]", ""))
+    stop = stopword_ratio(tk)
+    punct_ratio = punct.cast("double") / F.length(text).cast("double")
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(tk).alias("n_tokens_ws"),
+        F.size(bpe).alias("n_tokens_bpe"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(F.lit(0.5) * stop + F.lit(0.5) * (F.lit(1.0) - punct_ratio), 6).alias(
+            "quality_score"
+        ),
+    )
+
+
+Q32_SQL = f"""
+WITH t AS (
+  SELECT doc_id, text,
+         list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS tk
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(tk) AS INT) AS n_tokens_ws,
+       CAST(len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS INT) AS n_tokens_bpe,
+       round(CAST(length(regexp_replace(text, '[\\w\\s]', '', 'g')) AS DOUBLE)
+             / CAST(length(text) AS DOUBLE), 6) AS punct_ratio,
+       round(0.5 * (CAST(len(list_filter(tk, x -> list_contains({_STOP_SQL}, x))) AS DOUBLE)
+                    / CAST(len(tk) AS DOUBLE))
+             + 0.5 * (1.0 - CAST(length(regexp_replace(text, '[\\w\\s]', '', 'g')) AS DOUBLE)
+                            / CAST(length(text) AS DOUBLE)), 6) AS quality_score
+FROM t
+"""
+
+# char-trigram profiles per language (tiny embedded models; shared
+# literals with the oracle)
+_LANG_PROFILES = {
+    "en": ("the", "ing", "and", "ion", "ent"),
+    "fr": ("les", "ent", "de ", "ion", "que"),
+    "es": ("de ", "la ", "os ", "ión", "que"),
+    "de": ("der", "ein", "ich", "sch", "und"),
+    "zh": ("的", "是", "了", "在", "我"),
+}
+
+
+def q33_langid_ngram(spark, sf_dir):
+    """Character-n-gram language ID: score each language by how many
+    of its profile trigrams occur in the text; predict the first
+    maximum in fixed language order (deterministic)."""
+    text = F.col("text")
+    scores = {
+        lang: sum(
+            (F.when(F.contains(text, F.lit(g)), 1).otherwise(0) for g in grams),
+            F.lit(0),
+        ).alias(f"s_{lang}")
+        for lang, grams in _LANG_PROFILES.items()
+    }
+    langs = list(_LANG_PROFILES)
+    scored = _t(spark, sf_dir, "documents").select("lang", *scores.values())
+    mx = F.greatest(*[F.col(f"s_{l}") for l in langs])
+    pred = None
+    for l in reversed(langs):
+        cond = F.when(F.col(f"s_{l}") == mx, l)
+        pred = cond.otherwise(pred) if pred is not None else cond
+    return (
+        scored.withColumn("predicted", pred)
+        .groupBy("lang", "predicted")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def _q33_oracle() -> str:
+    score_exprs = []
+    for lang, grams in _LANG_PROFILES.items():
+        terms = " + ".join(
+            f"CASE WHEN contains(text, '{g}') THEN 1 ELSE 0 END" for g in grams
+        )
+        score_exprs.append(f"({terms}) AS s_{lang}")
+    langs = list(_LANG_PROFILES)
+    mx = "greatest(" + ", ".join(f"s_{l}" for l in langs) + ")"
+    pred = "NULL"
+    for l in reversed(langs):
+        pred = f"CASE WHEN s_{l} = {mx} THEN '{l}' ELSE {pred} END"
+    return f"""
+WITH scored AS (SELECT lang, {', '.join(score_exprs)} FROM documents)
+SELECT lang, {pred} AS predicted, CAST(count(*) AS BIGINT) AS cnt
+FROM scored GROUP BY 1, 2
+"""
+
+
+REGISTRY.update(
+    {
+        "q32_text_quality": QuerySpec(q32_text_quality, Q32_SQL),
+        "q33_langid_ngram": QuerySpec(q33_langid_ngram, _q33_oracle()),
+    }
+)
