@@ -1,0 +1,84 @@
+#!/usr/bin/env python
+"""Scaling experiment: run representative event queries at 1×, 10×,
+and 100× the sf0.1 event volume and report rows/sec per scale.
+
+The claim under test is the 100 TB design contract: window
+aggregation, two-level aggregation, the bucketed interval join, and
+sessionization should scale ~linearly in input rows when data density
+per key is held constant (users grow with the data, as in reality).
+
+Data is generated IN SPARK (deterministic id-derived columns, no
+driver-side loop) and written as parquet under /tmp — the same shape
+as the driver's events table.
+
+Usage: python bench_scaling.py [--scales 100000 1000000 10000000]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+EPOCH_2024_US = 1704067200 * 1_000_000
+MONTH_US = 30 * 86400 * 1_000_000
+
+
+def ensure_events(spark, n_rows: int, path: str) -> None:
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        return
+    from pyspark.sql import functions as F
+
+    n_users = max(n_rows // 666, 1)  # constant per-user density
+    df = spark.range(n_rows).select(
+        F.col("id").alias("event_id"),
+        F.timestamp_micros(
+            F.lit(EPOCH_2024_US) + (F.col("id") * 2654435761) % MONTH_US
+        ).alias("ts"),
+        ((F.col("id") * 40503) % n_users).alias("user_id"),
+        F.element_at(
+            F.array(*[F.lit(t) for t in ["click", "view", "purchase", "signup", "error"]]),
+            (F.col("id") % 5 + 1).cast("int"),
+        ).alias("event_type"),
+        (((F.col("id") * 7919) % 49001) / 100.0).alias("value"),
+        F.concat(F.lit('{"k": '), (F.col("id") % 100).cast("string"), F.lit("}")).alias(
+            "props"
+        ),
+    )
+    df.write.mode("overwrite").parquet(path)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--scales", type=int, nargs="+", default=[100_000, 1_000_000, 10_000_000]
+    )
+    args = ap.parse_args()
+
+    from flink_assignment_spark.queries.synthetic import REGISTRY
+    from flink_assignment_spark.session import get_spark
+
+    spark = get_spark("fas-bench-scaling")
+    qnames = [
+        "q05_tumbling_daily",
+        "q07_daily_summary_having",
+        "q08_interval_join_weekly",
+        "q10_sessionize",
+    ]
+    results = {}
+    for n in args.scales:
+        base = f"/tmp/fas_scale_{n}"
+        ensure_events(spark, n, os.path.join(base, "events.parquet"))
+        per_query = {}
+        for qn in qnames:
+            t0 = time.monotonic()
+            REGISTRY[qn].spark(spark, base).write.format("noop").mode("overwrite").save()
+            dt = time.monotonic() - t0
+            per_query[qn] = {"sec": round(dt, 2), "rows_per_sec": int(n / dt)}
+        results[str(n)] = per_query
+    print(json.dumps({"metric": "event-query scaling 1x/10x/100x", "results": results}))
+
+
+if __name__ == "__main__":
+    main()

@@ -66,3 +66,30 @@ def test_q08_bucketed_join_is_equi(spark):
     df = REGISTRY["q08_interval_join_weekly"].spark(spark, SF_DIR)
     plan = physical_plan(df)
     assert "NestedLoop" not in plan, plan
+
+
+def test_commit_json_nested_schema_pruning(spark, tmp_path):
+    """Q1 over the commit JSON source must read only the referenced
+    nested fields (sha + stats.additions), not the full Commit struct —
+    nested-schema pruning is what makes schema-on-read JSON viable at
+    scale (the reference parses every field of every line,
+    CommitParser.scala:19-21)."""
+    import sys
+
+    sys.path.insert(0, str(tmp_path.parent))
+    from flink_assignment_spark.queries.reference import question_one
+    from flink_assignment_spark.sources.loaders import read_commits_json
+
+    from .commit_fixtures import make_commits, write_jsonl
+
+    p = str(tmp_path / "c.jsonl")
+    write_jsonl(make_commits(n=50), p)
+    df = question_one(read_commits_json(spark, p))
+    plan = physical_plan(df)
+    m = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert m, plan
+    schema_line = m[0]
+    assert "additions" in schema_line and "sha" in schema_line
+    # unreferenced heavy fields are pruned from the scan
+    for absent in ("message", "files", "parents", "verification"):
+        assert absent not in schema_line, schema_line
