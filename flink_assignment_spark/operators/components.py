@@ -29,9 +29,13 @@ def connected_components(
 ) -> DataFrame:
     """(node, component) for every node in ``pairs``; component = min
     node id reachable through the pair graph."""
+    # cache the pair source first: both union branches (and every
+    # propagation round) reference it, and Spark re-executes uncached
+    # subtrees once per reference
+    pairs = pairs.select(F.col(src_col).alias("pa"), F.col(dst_col).alias("pb")).cache()
     edges = (
-        pairs.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
-        .union(pairs.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b")))
+        pairs.select(F.col("pa").alias("a"), F.col("pb").alias("b"))
+        .union(pairs.select(F.col("pb").alias("a"), F.col("pa").alias("b")))
         .distinct()
         .cache()
     )
