@@ -1,3 +1,4 @@
+from .asof import asof_join
 from .cep import followed_by
 from .components import connected_components, dedup_clusters
 from .dedup import (
@@ -9,11 +10,16 @@ from .dedup import (
     simhash_pairs,
 )
 from .interval_join import bucketed_interval_join, interval_join
+from .sampling import assign_split, stratified_sample, uniform_from_key
 from .sessionize import session_stats, sessionize
 from .similarity import cosine_neardup_pairs, cosine_topk, ivf_topk, lsh_topk
 from .skew import salted_agg
 
 __all__ = [
+    "asof_join",
+    "assign_split",
+    "stratified_sample",
+    "uniform_from_key",
     "followed_by",
     "connected_components",
     "dedup_clusters",

@@ -1,0 +1,68 @@
+"""Deterministic (hash-based) sampling and split assignment.
+
+Training-data pipelines need *reproducible* sampling: re-running the
+job on the same corpus must keep exactly the same rows (so ablations
+are comparable and a resumed run doesn't re-draw). ``df.sample()``
+is seed-dependent per partition split — its output changes with
+partitioning, which a 100 TB job cannot promise. Instead we derive a
+uniform u ∈ [0, 1) from a salted md5 of the row key: stable under
+repartitioning, shuffles, and speculative re-execution, and cheap
+(one hash per row, JVM-side, no exchange at all — sampling is a
+narrow map + filter, so it composes with any upstream scan without
+adding a stage boundary).
+
+The hash → uniform construction (md5 hex → first 15 hex digits →
+60-bit int → /2^60) matches the DuckDB oracle bit-for-bit; see
+``functions.text.hash60``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import hash60
+
+TWO_POW_60 = 1 << 60
+
+
+def uniform_from_key(key: Column, salt: str) -> Column:
+    """Deterministic uniform double in [0, 1) from (salt, key)."""
+    h = hash60(F.concat(F.lit(salt + ":"), key.cast("string")))
+    return h.cast("double") / F.lit(float(TWO_POW_60))
+
+
+def stratified_sample(
+    df: DataFrame, key: str, stratum: str, rates: dict[str, float], salt: str = "sample"
+) -> DataFrame:
+    """Keep each row with probability ``rates[stratum]`` (missing
+    strata ⇒ dropped), decided by the deterministic uniform — e.g.
+    downsample an over-represented language before training."""
+    u = uniform_from_key(F.col(key), salt)
+    rate = None
+    for s, r in rates.items():
+        cond = F.when(F.col(stratum) == s, F.lit(r))
+        rate = cond if rate is None else rate.when(F.col(stratum) == s, F.lit(r))
+    return df.filter(u < rate.otherwise(F.lit(0.0)))
+
+
+def assign_split(
+    df: DataFrame,
+    key: str,
+    boundaries: list[tuple[str, float]],
+    salt: str = "split",
+    out_col: str = "split",
+) -> DataFrame:
+    """Add a train/val/test-style label: ``boundaries`` is a list of
+    (label, upper_bound) with a final catch-all bound of 1.0, e.g.
+    ``[("train", 0.8), ("val", 0.9), ("test", 1.0)]``. Assignment is
+    per-key deterministic and independent of the sampling hash (a
+    different salt), so sampling then splitting is unbiased."""
+    u = uniform_from_key(F.col(key), salt)
+    expr = None
+    for label, hi in boundaries[:-1]:
+        cond = F.when(u < F.lit(hi), F.lit(label))
+        expr = cond if expr is None else expr.when(u < F.lit(hi), F.lit(label))
+    last_label = boundaries[-1][0]
+    expr = expr.otherwise(F.lit(last_label)) if expr is not None else F.lit(last_label)
+    return df.withColumn(out_col, expr)

@@ -1162,3 +1162,88 @@ REGISTRY.update(
         "q33_langid_ngram": QuerySpec(q33_langid_ngram, _q33_oracle()),
     }
 )
+
+
+# ------------------------------------------------------------ as-of join
+def q34_asof_attribution(spark, sf_dir):
+    """Last-touch attribution: for each purchase event, the latest
+    'view' event by the same user at-or-before it (ties on timestamp
+    broken by max view id). Spark side is the union + running
+    last_value as-of join (operators/asof.py) — one shuffle, no
+    range-join pair blow-up; the oracle is the naive range join +
+    row_number, which is only feasible at oracle scale."""
+    from ..operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), "ts"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("event_id").alias("view_id"), "ts", "value"
+    )
+    out = asof_join(
+        purchases, views, on=["user_id"], left_ts="ts", right_ts="ts", tie_break="view_id"
+    )
+    return out.select(
+        "purchase_id",
+        "user_id",
+        F.col("asof_view_id").alias("view_id"),
+        (F.unix_micros(F.col("ts")) - F.unix_micros(F.col("asof_ts"))).alias("view_lag_us"),
+        F.round(F.col("asof_value"), 2).alias("view_value"),
+    )
+
+
+Q34_SQL = """
+WITH m AS (
+  SELECT p.event_id AS purchase_id, p.user_id, v.event_id AS view_id,
+         epoch_us(p.ts) - epoch_us(v.ts) AS view_lag_us,
+         round(v.value, 2) AS view_value,
+         row_number() OVER (PARTITION BY p.event_id ORDER BY v.ts DESC, v.event_id DESC) AS rn
+  FROM events p JOIN events v ON v.user_id = p.user_id AND v.ts <= p.ts
+  WHERE p.event_type = 'purchase' AND v.event_type = 'view'
+)
+SELECT purchase_id, user_id, view_id, view_lag_us, view_value FROM m WHERE rn = 1
+"""
+
+
+# ---------------------------------- deterministic sampling + split assign
+SAMPLE_RATES = {"en": 0.3, "fr": 0.8, "es": 0.8, "de": 0.8, "zh": 0.8}
+SPLIT_BOUNDS = [("train", 0.8), ("val", 0.9), ("test", 1.0)]
+
+
+def q35_stratified_sample(spark, sf_dir):
+    """Reproducible stratified sampling + train/val/test assignment:
+    downsample English (the over-represented stratum) to 30%, keep
+    80% of the rest, then label each kept doc by an independent
+    hash. Pure narrow ops — no shuffle; survives any repartitioning
+    with identical output (unlike seed-based df.sample)."""
+    from ..operators.sampling import assign_split, stratified_sample
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    kept = stratified_sample(docs, key="doc_id", stratum="lang", rates=SAMPLE_RATES)
+    return assign_split(kept, key="doc_id", boundaries=SPLIT_BOUNDS)
+
+
+def _q35_oracle() -> str:
+    rate = "CASE lang " + " ".join(
+        f"WHEN '{s}' THEN {r!r}" for s, r in SAMPLE_RATES.items()
+    ) + " ELSE 0.0 END"
+    u = ("CAST(CAST('0x' || substring(md5('{salt}:' || CAST(doc_id AS VARCHAR)), 1, 15)"
+         " AS BIGINT) AS DOUBLE) / 1152921504606846976.0")
+    split = (
+        f"CASE WHEN {u.format(salt='split')} < 0.8 THEN 'train' "
+        f"WHEN {u.format(salt='split')} < 0.9 THEN 'val' ELSE 'test' END"
+    )
+    return f"""
+SELECT doc_id, lang, {split} AS split
+FROM documents
+WHERE {u.format(salt='sample')} < {rate}
+"""
+
+
+REGISTRY.update(
+    {
+        "q34_asof_attribution": QuerySpec(q34_asof_attribution, Q34_SQL),
+        "q35_stratified_sample": QuerySpec(q35_stratified_sample, _q35_oracle()),
+    }
+)

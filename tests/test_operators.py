@@ -123,3 +123,95 @@ def test_ivf_topk_recall(spark):
     # determinism: identical output across runs (seedless k-means)
     again = {(r.query_id, r.neighbor_id): r.cos_sim for r in ivf_topk(queries, emb, k=5).collect()}
     assert approx == again
+
+
+# ------------------------------------------------------------ as-of join
+def _naive_asof(left, right):
+    """Reference semantics in plain Python: latest right (ts, tie) with
+    right ts <= left ts per key; max tie wins among equal ts."""
+    out = {}
+    for lk, lts, lv in left:
+        cands = [(rts, rv) for rk, rts, rv in right if rk == lk and rts <= lts]
+        if cands:
+            out[(lk, lts, lv)] = max(cands)
+    return out
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(left=st.lists(_row, max_size=12), right=st.lists(_row, max_size=12))
+def test_asof_join_equals_naive(spark, left, right):
+    """The one-shuffle union+last_value as-of join must match the naive
+    per-row argmax for any input, including timestamp ties."""
+    from flink_assignment_spark.operators.asof import asof_join
+
+    # drop duplicate (k, ts, v) left rows — the naive dict model keys on
+    # them; duplicates are legal but make counting ambiguous
+    left = list({(k, s, v) for k, s, v in left})
+    ldf = _df(spark, left, "l")
+    rdf = _df(spark, right, "r")
+    got = asof_join(ldf, rdf, ["k"], "l_ts", "r_ts", tie_break="r_v")
+    got_map = {
+        (r.k, r.l_ts.replace(tzinfo=timezone.utc), r.l_v): (
+            r.asof_r_ts.replace(tzinfo=timezone.utc),
+            r.asof_r_v,
+        )
+        for r in got.collect()
+    }
+    assert got_map == {
+        (k, lts, lv): m
+        for (k, lts, lv), m in _naive_asof(
+            [(k, BASE + timedelta(seconds=s), v) for k, s, v in left],
+            [(k, BASE + timedelta(seconds=s), v) for k, s, v in right],
+        ).items()
+    }
+
+
+def test_asof_join_edges(spark):
+    """Inclusive bound, max-tie at equal ts, and how='left' nulls."""
+    from flink_assignment_spark.operators.asof import asof_join
+
+    ldf = _df(spark, [("a", 100, 1), ("b", 50, 2)], "l")
+    rdf = _df(
+        spark,
+        [("a", 100, 7), ("a", 100, 9), ("a", 99, 1), ("b", 51, 3)],
+        "r",
+    )
+    inner = asof_join(ldf, rdf, ["k"], "l_ts", "r_ts", tie_break="r_v").collect()
+    assert len(inner) == 1  # b has no match at-or-before 50
+    assert inner[0].k == "a" and inner[0].asof_r_v == 9  # ties -> max tie_break
+
+    left = asof_join(ldf, rdf, ["k"], "l_ts", "r_ts", tie_break="r_v", how="left").collect()
+    by_k = {r.k: r for r in left}
+    assert len(left) == 2 and by_k["b"].asof_r_v is None
+
+
+# -------------------------------------------------- deterministic sampling
+def test_stratified_sample_repartition_invariant(spark):
+    """Hash-based sampling must keep EXACTLY the same rows regardless
+    of physical partitioning (the property df.sample lacks)."""
+    from flink_assignment_spark.operators.sampling import stratified_sample
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "lang")
+    rates = {"en": 0.3, "fr": 0.8, "es": 0.8, "de": 0.8, "zh": 0.8}
+    base = {r.doc_id for r in stratified_sample(docs, "doc_id", "lang", rates).collect()}
+    shuffled = {
+        r.doc_id
+        for r in stratified_sample(docs.repartition(13, "lang"), "doc_id", "lang", rates).collect()
+    }
+    assert base == shuffled and len(base) > 0
+
+
+def test_assign_split_covers_and_is_stable(spark):
+    """Every row gets exactly one split label; proportions are within
+    loose tolerance; labels don't change across invocations."""
+    from flink_assignment_spark.operators.sampling import assign_split
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id")
+    bounds = [("train", 0.8), ("val", 0.9), ("test", 1.0)]
+    a = {r.doc_id: r.split for r in assign_split(docs, "doc_id", bounds).collect()}
+    b = {r.doc_id: r.split for r in assign_split(docs, "doc_id", bounds).collect()}
+    assert a == b
+    n = len(a)
+    frac_train = sum(1 for s in a.values() if s == "train") / n
+    assert set(a.values()) <= {"train", "val", "test"}
+    assert 0.7 <= frac_train <= 0.9
