@@ -67,22 +67,28 @@ def make_block_pair_scorer(corpus_ids, corpus_matrix, mode):
 
     def score(batches):
         for pdf in batches:
-            rows_id = pdf.iloc[:, 0].values
+            if not len(pdf):
+                continue
+            rows_id = pdf.iloc[:, 0].values.astype(np.int64)
             R = np.stack(pdf.iloc[:, 1].values).astype(np.float64)
             r_norms = np.sqrt((R * R).cumsum(axis=1)[:, -1])
-            prod = R[:, None, :] * C[None, :, :]
-            cos = prod.cumsum(axis=2)[:, :, -1] / (r_norms[:, None] * c_norms[None, :])
-            out_a, out_b, out_c = [], [], []
-            for i in range(len(rows_id)):
-                if mode == "upper":
-                    mask = rows_id[i] < corpus_ids
-                else:
-                    mask = corpus_ids != rows_id[i]
-                sel = np.nonzero(mask)[0]
-                out_a.extend([int(rows_id[i])] * len(sel))
-                out_b.extend(int(corpus_ids[j]) for j in sel)
-                out_c.extend(float(cos[i, j]) for j in sel)
-            yield pd.DataFrame({"id_a": out_a, "id_b": out_b, "cos_sim": out_c})
+            # left-associative dot product accumulated one dim at a
+            # time: the identical fold order to cumsum(...)[..., -1]
+            # (and the oracle's left-assoc sum) WITHOUT materializing
+            # the (batch, corpus, dim) 3-D intermediate — the 2-D
+            # accumulator stays cache-resident, ~10x faster
+            acc = R[:, 0, None] * C[None, :, 0]
+            for d in range(1, C.shape[1]):
+                acc += R[:, d, None] * C[None, :, d]
+            cos = acc / (r_norms[:, None] * c_norms[None, :])
+            if mode == "upper":
+                mask = rows_id[:, None] < corpus_ids[None, :]
+            else:
+                mask = corpus_ids[None, :] != rows_id[:, None]
+            ii, jj = np.nonzero(mask)
+            yield pd.DataFrame(
+                {"id_a": rows_id[ii], "id_b": corpus_ids[jj], "cos_sim": cos[ii, jj]}
+            )
 
     return score
 
