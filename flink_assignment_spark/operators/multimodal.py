@@ -136,3 +136,22 @@ def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
 
     spread = media.repartition(media.sparkSession.sparkContext.defaultParallelism)
     return spread.mapInPandas(resize, schema=out_schema)
+
+
+def media_from_documents(docs: DataFrame) -> DataFrame:
+    """Deterministic synthetic media table over ``documents`` (the
+    container ships no binary media fixtures): payload = utf-8 bytes
+    of the text, metadata models a video whose duration tracks doc
+    length. Lets the media operators run through the driver contract
+    on real distributed input with reproducible values."""
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.col("text").cast("binary").alias("payload"),
+        F.struct(
+            F.lit("video").alias("media_type"),
+            F.lit("fake").alias("format"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.col("n_chars").cast("long").alias("duration_ms"),
+        ).alias("meta"),
+    )

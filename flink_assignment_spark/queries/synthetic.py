@@ -1247,3 +1247,54 @@ REGISTRY.update(
         "q35_stratified_sample": QuerySpec(q35_stratified_sample, _q35_oracle()),
     }
 )
+
+
+# ------------------------------------------------- multimodal plumbing
+def q36_frame_sample(spark, sf_dir):
+    """Video frame-sampling plumbing (operators/multimodal.py) over a
+    deterministic media table derived from documents: one row per
+    sampled frame at 250ms cadence, pure Catalyst (sequence+explode —
+    no payload decode, so it is oracle-checkable)."""
+    from ..operators.multimodal import frame_sample, media_from_documents
+
+    media = media_from_documents(_t(spark, sf_dir, "documents"))
+    return frame_sample(media, every_ms=250).select(
+        "media_id",
+        F.col("frame_idx").cast("bigint").alias("frame_idx"),
+        F.col("frame_ts_ms").cast("bigint").alias("frame_ts_ms"),
+    )
+
+
+Q36_SQL = """
+SELECT media_id, CAST(i AS BIGINT) AS frame_idx,
+       CAST(i * 250 AS BIGINT) AS frame_ts_ms
+FROM (SELECT doc_id AS media_id,
+             unnest(range(0, greatest(CAST(floor(n_chars / 250.0) AS INT), 1))) AS i
+      FROM documents)
+"""
+
+
+def q37_media_features(spark, sf_dir):
+    """Image/byte feature extraction through the mapInPandas media
+    pipeline (STUB decode — deterministic byte stats + toy phash).
+    Python-side numerics (log2 entropy, 64-bit phash fold) are not
+    reasonably SQL-expressible → rows-only driver check; determinism
+    is pytest-verified (tests/test_multimodal.py)."""
+    from ..operators.multimodal import image_features, media_from_documents
+
+    media = media_from_documents(_t(spark, sf_dir, "documents"))
+    return image_features(media).select(
+        "media_id",
+        "n_bytes",
+        F.round("byte_mean", 6).alias("byte_mean"),
+        F.round("byte_entropy", 6).alias("byte_entropy"),
+        "phash",
+    )
+
+
+REGISTRY.update(
+    {
+        "q36_frame_sample": QuerySpec(q36_frame_sample, Q36_SQL),
+        "q37_media_features": QuerySpec(q37_media_features, None),
+    }
+)
