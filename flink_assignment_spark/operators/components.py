@@ -21,6 +21,9 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+SMALL_GRAPH_EDGES = 500_000
+
+
 def connected_components(
     pairs: DataFrame,
     src_col: str = "doc_a",
@@ -39,9 +42,21 @@ def connected_components(
         .distinct()
         .cache()
     )
+    # Adaptive parallelism (the AQE idea applied across rounds): the
+    # pair graph holds only docs that HAVE a near-dup — usually orders
+    # of magnitude smaller than the corpus. For small graphs a
+    # single-partition loop wins: one-partition children satisfy every
+    # distribution requirement, so each round's join + agg runs with NO
+    # exchange at all. Big graphs keep the session parallelism.
+    if edges.count() <= SMALL_GRAPH_EDGES:
+        wide = edges
+        edges = edges.coalesce(1).cache()
+        edges.count()
+        wide.unpersist()
     labels = edges.select(F.col("a").alias("node")).distinct().withColumn(
         "component", F.col("node")
     )
+    prev = None
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges.b == labels.node)
@@ -59,6 +74,9 @@ def connected_components(
             )
         ).cache()
         changed = updated.filter(F.col("new_component") != F.col("component")).count()
+        if prev is not None:
+            prev.unpersist()
+        prev = updated
         labels = updated.select("node", F.col("new_component").alias("component"))
         if changed == 0:
             break
