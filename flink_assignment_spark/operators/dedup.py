@@ -172,8 +172,20 @@ def minhash_lsh_pairs(
         )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
+        .cache()
     )
-    exact = ngram_jaccard_pairs(docs, threshold, text_col, id_col, n, shingles=sh)
+    # verify ONLY candidate docs: the whole point of LSH banding is
+    # that the exact-Jaccard stage never touches the full corpus.
+    # Restricting the inverted index to candidate docs leaves the
+    # intersection counts of candidate pairs unchanged, and bounds the
+    # verify join by candidate volume instead of corpus size.
+    cand_docs = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .union(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sh_cand = sh.join(cand_docs, "doc_id", "left_semi")
+    exact = ngram_jaccard_pairs(docs, threshold, text_col, id_col, n, shingles=sh_cand)
     return cand.join(exact, ["doc_a", "doc_b"], "inner")
 
 
