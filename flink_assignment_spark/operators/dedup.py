@@ -257,9 +257,12 @@ def simhash_pairs(
                 F.shiftright(F.col("simhash"), lo).bitwiseAND(F.lit(mask)).alias("val"),
             )
         )
+    # cache: the self-join below references this subtree twice, and
+    # Spark re-executes the whole fingerprint pipeline (token explode +
+    # 48 bit-sums) once per side without it
     blocked = fps.select("doc_id", "simhash", F.explode(F.array(*blocks)).alias("b")).select(
         "doc_id", "simhash", F.col("b.blk").alias("blk"), F.col("b.val").alias("val")
-    )
+    ).cache()
     a = blocked.alias("a")
     b = blocked.alias("b")
     cand = (
