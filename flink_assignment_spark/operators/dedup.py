@@ -149,7 +149,14 @@ def minhash_lsh_pairs(
     shuffle on a well-distributed key; nothing is quadratic in corpus
     size. Returns (doc_a, doc_b, jaccard).
     """
+    # Caches below are followed by an explicit count(): each subtree is
+    # referenced by MULTIPLE branches of the same downstream action
+    # (self-join sides, the union, the final join), and branches of one
+    # job do NOT wait for each other's cache blocks — they'd race and
+    # recompute the subtree once per branch. A count() materializes the
+    # cache in its own job first, so every later reference is a read.
     sh = doc_shingles(docs, text_col, id_col, n).cache()
+    sh.count()
     sigs = minhash_signatures(docs, text_col, id_col, n, shingles=sh)
     n_perms = len(MINHASH_PERMS)
     bands = []
@@ -160,7 +167,7 @@ def minhash_lsh_pairs(
         )
     banded = sigs.select("doc_id", F.explode(F.array(*bands)).alias("bk")).select(
         "doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
-    )
+    ).cache()
     a = banded.alias("a")
     b = banded.alias("b")
     cand = (
@@ -174,6 +181,7 @@ def minhash_lsh_pairs(
         .distinct()
         .cache()
     )
+    cand.count()
     # verify ONLY candidate docs: the whole point of LSH banding is
     # that the exact-Jaccard stage never touches the full corpus.
     # Restricting the inverted index to candidate docs leaves the
