@@ -1298,3 +1298,66 @@ REGISTRY.update(
         "q37_media_features": QuerySpec(q37_media_features, None),
     }
 )
+
+
+# ----------------------------------------- exact interpolated percentiles
+def q38_percentiles(spark, sf_dir):
+    """Exact linear-interpolated percentiles per key (F.percentile —
+    Spark's exact sort-based form, matching DuckDB quantile_cont
+    bit-for-bit; NOT percentile_approx, whose sketch would not be
+    oracle-comparable). One shuffle, map-side partials collect the
+    per-group arrays."""
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.percentile("value", F.lit(0.5)).alias("p50"),
+            F.percentile("value", F.lit(0.9)).alias("p90"),
+            F.count("*").alias("cnt"),
+        )
+    )
+
+
+Q38_SQL = """
+SELECT event_type, quantile_cont(value, 0.5) AS p50,
+       quantile_cont(value, 0.9) AS p90, CAST(count(*) AS BIGINT) AS cnt
+FROM events GROUP BY 1
+"""
+
+
+# ------------------------------------------------------ semi / anti joins
+def q39_semi_anti(spark, sf_dir):
+    """Existence filtering with semi/anti joins (no row multiplication,
+    no payload from the probe side — at scale these build a hash set of
+    keys instead of materializing matches): users that produced at
+    least one 'view' event but never a high-value (>= 150) purchase."""
+    ev = _t(spark, sf_dir, "events")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    views = ev.filter(F.col("event_type") == "view").select(F.col("user_id").alias("c_custkey"))
+    purch = ev.filter(
+        (F.col("event_type") == "purchase") & (F.col("value") >= 150)
+    ).select(F.col("user_id").alias("c_custkey"))
+    return (
+        cust.join(views, "c_custkey", "left_semi")
+        .join(purch, "c_custkey", "left_anti")
+        .select("c_custkey", "c_mktsegment")
+    )
+
+
+Q39_SQL = """
+SELECT c_custkey, c_mktsegment
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM events e
+              WHERE e.user_id = c.c_custkey AND e.event_type = 'view')
+  AND NOT EXISTS (SELECT 1 FROM events e
+                  WHERE e.user_id = c.c_custkey AND e.event_type = 'purchase'
+                    AND e.value >= 150)
+"""
+
+
+REGISTRY.update(
+    {
+        "q38_percentiles": QuerySpec(q38_percentiles, Q38_SQL),
+        "q39_semi_anti": QuerySpec(q39_semi_anti, Q39_SQL),
+    }
+)

@@ -93,3 +93,24 @@ def test_commit_json_nested_schema_pruning(spark, tmp_path):
     # unreferenced heavy fields are pruned from the scan
     for absent in ("message", "files", "parents", "verification"):
         assert absent not in schema_line, schema_line
+
+
+def test_q34_asof_single_exchange_no_join(spark):
+    """The as-of join is the union + running-last_value pattern: ONE
+    hash exchange on the key and NO join node — never a range join
+    that would materialize per-key pair blow-ups."""
+    df = REGISTRY["q34_asof_attribution"].spark(spark, SF_DIR)
+    plan = physical_plan(df)
+    assert count_exchanges(df) == 1, plan
+    assert "Join" not in plan, plan
+    assert any("event_type" in f for f in pushed_filters(df)), pushed_filters(df)
+
+
+def test_q35_sampling_no_exchange(spark):
+    """Deterministic sampling + split assignment are narrow ops — the
+    plan must contain no exchange at all (composes with any upstream
+    scan without a stage boundary)."""
+    df = REGISTRY["q35_stratified_sample"].spark(spark, SF_DIR)
+    assert count_exchanges(df) == 0, physical_plan(df)
+    schema = scan_read_schema(df, "documents")
+    assert "text" not in schema, schema  # only doc_id/lang are read
