@@ -1361,3 +1361,25 @@ REGISTRY.update(
         "q39_semi_anti": QuerySpec(q39_semi_anti, Q39_SQL),
     }
 )
+
+
+# ------------------------------------------- approximate distinct (HLL)
+def q40_approx_distinct_daily(spark, sf_dir):
+    """Sketch path for distinct counts: HyperLogLog++ per day
+    (approx_count_distinct, rsd 2%). The scale form of q23 — at 100 TB
+    an exact distinct shuffles every key; the sketch is a fixed-size
+    mergeable state per group. Engines' HLL implementations differ →
+    rows-only driver check; accuracy vs the exact count is
+    pytest-asserted (tests/test_operators.py)."""
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+            F.count("*").alias("cnt"),
+        )
+        .select(F.date_format("day", "yyyy-MM-dd").alias("day"), "approx_users", "cnt")
+    )
+
+
+REGISTRY.update({"q40_approx_distinct_daily": QuerySpec(q40_approx_distinct_daily, None)})

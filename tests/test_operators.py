@@ -215,3 +215,25 @@ def test_assign_split_covers_and_is_stable(spark):
     frac_train = sum(1 for s in a.values() if s == "train") / n
     assert set(a.values()) <= {"train", "val", "test"}
     assert 0.7 <= frac_train <= 0.9
+
+
+def test_approx_distinct_within_tolerance(spark):
+    """HLL daily distinct-user counts must sit within 5% of exact."""
+    from pyspark.sql import functions as F
+
+    from flink_assignment_spark.queries.synthetic import REGISTRY
+
+    approx = {
+        r.day: r.approx_users
+        for r in REGISTRY["q40_approx_distinct_daily"].spark(spark, SF_DIR).collect()
+    }
+    exact = {
+        r.day: r.exact
+        for r in load_table(spark, SF_DIR, "events")
+        .groupBy(F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day"))
+        .agg(F.countDistinct("user_id").alias("exact"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for day, a in approx.items():
+        assert abs(a - exact[day]) <= max(0.05 * exact[day], 2), (day, a, exact[day])
