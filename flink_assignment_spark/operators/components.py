@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructField, StructType
 
 
 SMALL_GRAPH_EDGES = 500_000
@@ -36,23 +37,21 @@ def connected_components(
     # propagation round) reference it, and Spark re-executes uncached
     # subtrees once per reference
     pairs = pairs.select(F.col(src_col).alias("pa"), F.col(dst_col).alias("pb")).cache()
+    # Two-path design (size picked at runtime, the AQE idea applied to
+    # an iterative algorithm): the pair graph holds only docs that HAVE
+    # a near-dup — usually orders of magnitude smaller than the corpus.
+    # Below the threshold the edge list is collected and resolved with
+    # union-find on the driver (bounded memory by construction; zero
+    # per-round stage scheduling). Above it, distributed min-label
+    # propagation runs — O(diameter) rounds of one shuffle join each.
+    if pairs.count() <= SMALL_GRAPH_EDGES:
+        return _driver_union_find(pairs)
     edges = (
         pairs.select(F.col("pa").alias("a"), F.col("pb").alias("b"))
         .union(pairs.select(F.col("pb").alias("a"), F.col("pa").alias("b")))
         .distinct()
         .cache()
     )
-    # Adaptive parallelism (the AQE idea applied across rounds): the
-    # pair graph holds only docs that HAVE a near-dup — usually orders
-    # of magnitude smaller than the corpus. For small graphs a
-    # single-partition loop wins: one-partition children satisfy every
-    # distribution requirement, so each round's join + agg runs with NO
-    # exchange at all. Big graphs keep the session parallelism.
-    if edges.count() <= SMALL_GRAPH_EDGES:
-        wide = edges
-        edges = edges.coalesce(1).cache()
-        edges.count()
-        wide.unpersist()
     labels = edges.select(F.col("a").alias("node")).distinct().withColumn(
         "component", F.col("node")
     )
@@ -81,6 +80,39 @@ def connected_components(
         if changed == 0:
             break
     return labels
+
+
+def _driver_union_find(pairs: DataFrame) -> DataFrame:
+    """Union-find over a collected (small) pair list; same result as
+    min-label propagation: component = min reachable node id."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for r in pairs.collect():
+        a, b = r["pa"], r["pb"]
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    comp_min: dict = {}
+    for node in parent:
+        root = find(node)
+        m = comp_min.get(root)
+        comp_min[root] = node if m is None or node < m else m
+    node_t = pairs.schema["pa"].dataType
+    schema = StructType(
+        [StructField("node", node_t), StructField("component", node_t)]
+    )
+    rows = [(n, comp_min[find(n)]) for n in parent]
+    return pairs.sparkSession.createDataFrame(rows, schema)
 
 
 def dedup_clusters(pairs: DataFrame) -> DataFrame:

@@ -237,3 +237,28 @@ def test_approx_distinct_within_tolerance(spark):
     assert set(approx) == set(exact)
     for day, a in approx.items():
         assert abs(a - exact[day]) <= max(0.05 * exact[day], 2), (day, a, exact[day])
+
+
+# ------------------------------------------------- connected components
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    pairs=st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)), min_size=1, max_size=40
+    )
+)
+def test_components_driver_path_equals_distributed(spark, pairs):
+    """The small-graph union-find path must produce exactly the
+    distributed min-label propagation result for any pair graph
+    (self-loops and duplicate pairs included)."""
+    import flink_assignment_spark.operators.components as C
+
+    df = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+    saved = C.SMALL_GRAPH_EDGES
+    try:
+        C.SMALL_GRAPH_EDGES = 10**9
+        small = {(r.node, r.component) for r in C.connected_components(df).collect()}
+        C.SMALL_GRAPH_EDGES = -1
+        dist = {(r.node, r.component) for r in C.connected_components(df).collect()}
+    finally:
+        C.SMALL_GRAPH_EDGES = saved
+    assert small == dist
