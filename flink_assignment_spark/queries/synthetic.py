@@ -1383,3 +1383,228 @@ def q40_approx_distinct_daily(spark, sf_dir):
 
 
 REGISTRY.update({"q40_approx_distinct_daily": QuerySpec(q40_approx_distinct_daily, None)})
+
+
+# ------------------------------------- ROLLUP hierarchy over orders
+def q41_rollup_orders(spark, sf_dir):
+    """ROLLUP (priority -> status) over orders: hierarchical subtotal
+    rows with a grouping_id discriminator. Catalyst expands the
+    grouping sets and aggregates them in ONE pass over the input
+    (Expand + partial HashAggregate), so at 100 TB this costs a single
+    scan + one shuffle, not one scan per level. Complements q26's CUBE
+    (reference has no grouping sets at all — SURVEY §2.8 extension)."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .rollup("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+            F.grouping_id().cast("int").alias("gid"),
+        )
+    )
+
+
+Q41_SQL = """
+SELECT o_orderpriority, o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(CAST(SUM(o_totalprice) AS DOUBLE), 2) AS total_price,
+       CAST(GROUPING(o_orderpriority, o_orderstatus) AS INT) AS gid
+FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+"""
+
+
+# ------------------------------- analytic functions: lag/lead order gaps
+def q42_order_gaps(spark, sf_dir):
+    """Per-customer order-sequence analytics with lag/lead OVER
+    windows: sequence number, days since the previous order, and price
+    delta vs the previous order. One shuffle on o_custkey serves all
+    three window functions (same partitioning + ordering); gap math is
+    int date arithmetic — bit-exact vs the oracle. SURVEY §2.8 lists
+    analytic OVER functions as absent from the reference; this is the
+    Spark-native version."""
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.row_number().over(w).cast("int").alias("order_seq"),
+        F.datediff(F.col("o_orderdate"), F.lag("o_orderdate").over(w)).alias("gap_days"),
+        F.round(F.col("o_totalprice") - F.lag("o_totalprice").over(w), 2).alias("delta_price"),
+    )
+
+
+Q42_SQL = """
+SELECT o_custkey, o_orderkey,
+       CAST(ROW_NUMBER() OVER w AS INT) AS order_seq,
+       CAST(date_diff('day', LAG(CAST(o_orderdate AS DATE)) OVER w,
+                      CAST(o_orderdate AS DATE)) AS INT) AS gap_days,
+       round(CAST(o_totalprice - LAG(o_totalprice) OVER w AS DOUBLE), 2) AS delta_price
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+
+# --------------------------- random-hyperplane LSH ANN (rows-only check)
+def q43_lsh_ann(spark, sf_dir):
+    """Random-hyperplane LSH approximate nearest neighbors — the
+    bucketed scale path next to q31's IVF: queries and corpus meet
+    only inside (table, bucket) equi-join cells, so the candidate set
+    is O(collisions) instead of O(|Q|x|C|). Hyperplanes are md5-seeded
+    literals (operators/similarity.py::plane_weight) — fully
+    deterministic, but the bucketing itself is not SQL-expressible →
+    rows-only driver check; recall >= 0.6@5 and determinism are
+    pytest-verified (tests/test_operators.py::test_lsh_topk_recall)."""
+    from ..operators.similarity import lsh_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return lsh_topk(emb.filter(F.col("vec_id") < 20), emb, k=5, dim=64).select(
+        "query_id", "neighbor_id", "cos_sim", F.col("rank").cast("int").alias("rank")
+    )
+
+
+REGISTRY.update(
+    {
+        "q41_rollup_orders": QuerySpec(q41_rollup_orders, Q41_SQL),
+        "q42_order_gaps": QuerySpec(q42_order_gaps, Q42_SQL),
+        "q43_lsh_ann": QuerySpec(q43_lsh_ann, None),
+    }
+)
+
+
+# ------------------------- multi-way star join: nation x year revenue
+def q44_nation_year_revenue(spark, sf_dir):
+    """Revenue by supplier nation x order year for PROMO parts — the
+    TPC-H Q9 shape on the available tables: one big-big shuffle join
+    (lineitem x orders on orderkey) and three broadcast dims (part
+    filtered to PROMO before the join so the build side stays small,
+    supplier, nation). At scale the only exchange is the
+    lineitem/orders equi-join; Catalyst pushes the p_type filter below
+    the broadcast build."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    sup = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+Q44_SQL = """
+SELECT n_name AS nation,
+       CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+       round(CAST(SUM(l_extendedprice * (1 - l_discount)) AS DOUBLE), 2) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem
+JOIN part ON l_partkey = p_partkey AND p_type = 'PROMO'
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1, 2
+"""
+
+
+# ----------------- decorrelated "above customer average" (window reuse)
+def q45_above_avg_orders(spark, sf_dir):
+    """Orders priced > 1.5x their customer's average — the classic
+    correlated subquery, decorrelated into ONE window aggregate over
+    the o_custkey partition (single shuffle, no self-join, no
+    re-scan). Prices are 2-decimal, so the whole comparison runs in
+    exact integer cents (2*cents*cnt > 3*sum_cents) — no float fold
+    order to diverge between engines; the emitted average is one
+    deterministic IEEE division, rounded."""
+    w = Window.partitionBy("o_custkey")
+    o = _t(spark, sf_dir, "orders").withColumn(
+        "cents", F.round(F.col("o_totalprice") * 100).cast("long")
+    )
+    return (
+        o.withColumn("sum_cents", F.sum("cents").over(w))
+        .withColumn("cnt", F.count("*").over(w))
+        .filter(2 * F.col("cents") * F.col("cnt") > 3 * F.col("sum_cents"))
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_totalprice",
+            # round-half-up in integer cents (float round() diverges between
+            # engines at .xx5 boundaries: Spark rounds the shortest decimal
+            # repr, DuckDB the binary value)
+            (
+                F.expr("(2 * sum_cents + cnt) div (2 * cnt)").cast("double") / 100.0
+            ).alias("cust_avg"),
+        )
+    )
+
+
+Q45_SQL = """
+SELECT o_orderkey, o_custkey, o_totalprice,
+       CAST((2 * sum_cents + cnt) // (2 * cnt) AS DOUBLE) / 100.0 AS cust_avg
+FROM (SELECT *,
+             SUM(cents) OVER w AS sum_cents,
+             COUNT(*) OVER w AS cnt
+      FROM (SELECT *, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+            FROM orders)
+      WINDOW w AS (PARTITION BY o_custkey))
+WHERE 2 * cents * cnt > 3 * sum_cents
+"""
+
+
+# --------------- hierarchical time rollup: hourly -> daily reaggregation
+def q46_hierarchical_rollup(spark, sf_dir):
+    """Two-level time rollup (the hypertable/continuous-aggregate
+    pattern): events -> hourly partial aggregates -> daily totals
+    REAGGREGATED FROM THE HOURLY ROWS, not from raw events. At 100 TB
+    the hourly layer is what you'd persist; the daily layer reads
+    ~1/3600th of the raw volume. Sums of counts are associative so the
+    result is exactly the direct daily aggregate (the oracle computes
+    it directly — same values)."""
+    hourly = (
+        _t(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("hour", "ts").alias("hour"), "event_type")
+        .agg(F.count("*").alias("cnt"), F.round(F.sum("value"), 2).alias("val"))
+    )
+    return (
+        hourly.groupBy(F.date_trunc("day", "hour").alias("day"), "event_type")
+        .agg(
+            F.sum("cnt").alias("n_events"),
+            F.round(F.sum("val"), 2).alias("total_value"),
+            F.count("*").alias("n_hours"),
+        )
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "event_type",
+            "n_events",
+            "total_value",
+            "n_hours",
+        )
+    )
+
+
+Q46_SQL = """
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS hour, event_type,
+         count(*) AS cnt, round(CAST(SUM(value) AS DOUBLE), 2) AS val
+  FROM events GROUP BY 1, 2
+)
+SELECT strftime(date_trunc('day', hour), '%Y-%m-%d') AS day, event_type,
+       CAST(SUM(cnt) AS BIGINT) AS n_events,
+       round(CAST(SUM(val) AS DOUBLE), 2) AS total_value,
+       CAST(count(*) AS BIGINT) AS n_hours
+FROM hourly GROUP BY 1, 2
+"""
+
+
+REGISTRY.update(
+    {
+        "q44_nation_year_revenue": QuerySpec(q44_nation_year_revenue, Q44_SQL),
+        "q45_above_avg_orders": QuerySpec(q45_above_avg_orders, Q45_SQL),
+        "q46_hierarchical_rollup": QuerySpec(q46_hierarchical_rollup, Q46_SQL),
+    }
+)
