@@ -25,6 +25,30 @@ def write_parquet(
     w.parquet(path)
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed managed table: pre-shuffles ONCE at write time so
+    every later equi-join/aggregation on ``bucket_cols`` reads
+    co-located data and plans with ZERO exchanges. This is the 100 TB
+    answer to a fact-fact join that would otherwise shuffle both
+    sides on every query (e.g. lineitem x orders on orderkey —
+    bucket both by the key at ingest, join for free afterwards).
+
+    ``sort_cols`` additionally sorts within each bucket file so
+    sort-merge joins skip their Sort step too.
+    """
+    w = df.write.mode(mode).bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(table)
+
+
 def print_sink(df: DataFrame, n: int = 20) -> None:
     """Reference S4: the stdout sink (batch)."""
     df.show(n, truncate=False)

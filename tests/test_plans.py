@@ -114,3 +114,53 @@ def test_q35_sampling_no_exchange(spark):
     assert count_exchanges(df) == 0, physical_plan(df)
     schema = scan_read_schema(df, "documents")
     assert "text" not in schema, schema  # only doc_id/lang are read
+
+
+def test_q44_star_join_single_shuffle_join(spark):
+    """q44's dimensions all broadcast (at sf0.001 even orders fits the
+    broadcast threshold), nothing nest-loops, and the p_type filter is
+    pushed into the part scan so the build side is filtered before
+    broadcast. The aggregation is the only shuffle exchange."""
+    import re
+
+    df = REGISTRY["q44_nation_year_revenue"].spark(spark, SF_DIR)
+    plan = physical_plan(df)
+    assert len(re.findall(r"\(\d+\) BroadcastHashJoin", plan)) >= 3, plan
+    assert "NestedLoop" not in plan, plan
+    assert count_exchanges(df) == 1, plan
+    assert any("p_type" in f for f in pushed_filters(df)), pushed_filters(df)
+
+
+def test_q42_window_functions_share_one_shuffle(spark):
+    """row_number + two lags over the same (partition, order) spec must
+    plan as ONE Window node over ONE exchange — Spark collapses
+    same-spec window functions; a regression here triples the shuffle."""
+    import re
+
+    df = REGISTRY["q42_order_gaps"].spark(spark, SF_DIR)
+    plan = physical_plan(df)
+    assert count_exchanges(df) == 1, plan
+    assert len(re.findall(r"\(\d+\) Window", plan)) == 1, plan
+
+
+def test_q41_rollup_single_expand_pass(spark):
+    """ROLLUP plans as one Expand + one aggregation pipeline over a
+    single scan of orders (not one scan per grouping set), with one
+    shuffle on the expanded grouping keys."""
+    import re
+
+    df = REGISTRY["q41_rollup_orders"].spark(spark, SF_DIR)
+    plan = physical_plan(df)
+    assert len(re.findall(r"\(\d+\) Expand", plan)) == 1, plan
+    assert plan.count("Location: InMemoryFileIndex") == 1, plan
+    assert count_exchanges(df) == 1, plan
+
+
+def test_q46_two_level_rollup_two_shuffles(spark):
+    """Hourly->daily reaggregation: two aggregation levels, two
+    exchanges, one scan — the daily level reads hourly partials, never
+    the raw events again."""
+    df = REGISTRY["q46_hierarchical_rollup"].spark(spark, SF_DIR)
+    plan = physical_plan(df)
+    assert plan.count("Location: InMemoryFileIndex") == 1, plan
+    assert count_exchanges(df) <= 2, plan

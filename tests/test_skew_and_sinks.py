@@ -54,3 +54,49 @@ def test_partitioned_parquet_roundtrip(spark, tmp_path):
     # that directory
     one = back.filter(F.col("event_type") == "click")
     assert one.count() == ev.filter(F.col("event_type") == "click").count()
+
+
+def test_bucketed_join_zero_shuffle(spark, tmp_path):
+    """write_bucketed pre-shuffles at write time: a later
+    lineitem x orders equi-join on the bucket key plans with ZERO
+    shuffle exchanges (both scans are bucketed on l_orderkey /
+    o_orderkey with the same bucket count). This is the ingest-time
+    answer to a repeated fact-fact join at 100 TB."""
+    import re
+
+    from flink_assignment_spark.plans.inspect import physical_plan
+    from flink_assignment_spark.sources.loaders import load_table
+    from flink_assignment_spark.sources.sinks import write_bucketed
+
+    from .conftest import SF_DIR
+
+    li = load_table(spark, SF_DIR, "lineitem").select("l_orderkey", "l_extendedprice")
+    o = load_table(spark, SF_DIR, "orders").select("o_orderkey", "o_custkey")
+    prev_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # tiny test tables would broadcast; disable so the plan shows the
+        # co-located path a 100 TB fact-fact join would take
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        write_bucketed(li, "t_li_bucketed", ["l_orderkey"], 8, sort_cols=["l_orderkey"])
+        write_bucketed(o, "t_o_bucketed", ["o_orderkey"], 8, sort_cols=["o_orderkey"])
+        joined = (
+            spark.table("t_li_bucketed")
+            .join(
+                spark.table("t_o_bucketed"),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            )
+            .groupBy("o_custkey")
+            .agg(F.sum("l_extendedprice").alias("rev"))
+        )
+        plan = physical_plan(joined)
+        # the join itself must not shuffle either side; the only
+        # allowed exchange is the final groupBy on o_custkey
+        joins = re.findall(r"\(\d+\) (?:SortMergeJoin|ShuffledHashJoin)", plan)
+        assert joins, plan  # it IS a co-located equi join, not broadcast
+        n_exchanges = len(re.findall(r"\(\d+\) Exchange", plan))
+        assert n_exchanges <= 1, plan
+        assert joined.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
+        spark.sql("DROP TABLE IF EXISTS t_li_bucketed")
+        spark.sql("DROP TABLE IF EXISTS t_o_bucketed")
