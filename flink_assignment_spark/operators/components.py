@@ -55,7 +55,6 @@ def connected_components(
     labels = edges.select(F.col("a").alias("node")).distinct().withColumn(
         "component", F.col("node")
     )
-    prev = None
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges.b == labels.node)
@@ -71,11 +70,14 @@ def connected_components(
                 ),
                 "component",
             )
-        ).cache()
+        # localCheckpoint — NOT cache — because each round's plan embeds
+        # the previous round's tree TWICE (labels appears on both join
+        # inputs); with cache the lineage still nests and the logical
+        # plan grows ~2^rounds, OOM-ing the driver on long-diameter
+        # graphs just from plan-tree bookkeeping. Checkpointing cuts
+        # the plan to a flat scan of materialized blocks every round.
+        ).localCheckpoint(eager=True)
         changed = updated.filter(F.col("new_component") != F.col("component")).count()
-        if prev is not None:
-            prev.unpersist()
-        prev = updated
         labels = updated.select("node", F.col("new_component").alias("component"))
         if changed == 0:
             break

@@ -86,7 +86,7 @@ def plane_weight(table: int, plane: int, d: int) -> float:
 
 
 def lsh_topk(
-    queries: DataFrame,
+    queries: DataFrame | None,
     corpus: DataFrame,
     k: int,
     dim: int,
@@ -94,6 +94,7 @@ def lsh_topk(
     vec_col: str = "embedding",
     n_planes: int = 4,
     n_tables: int = 16,
+    query_pred=None,
 ) -> DataFrame:
     """Approximate top-k: compare only bucket-colliding pairs.
 
@@ -108,6 +109,12 @@ def lsh_topk(
     recall@5 on the test embeddings, whose true neighbors are far
     (cos ≈ 0.3–0.5); corpora with genuine near-duplicates can afford
     8+ planes.
+
+    When the queries are a subset of the corpus, pass ``query_pred``
+    (a Column over the corpus' columns) instead of a ``queries``
+    DataFrame: the corpus is bucketized ONCE, materialized in the
+    cache, and the query side filters that cache — halving the
+    Python-UDF passes and keeping both join sides co-derived.
     """
     import numpy as np
 
@@ -133,19 +140,47 @@ def lsh_topk(
             )
         )
 
-    qb = bucketize(queries, "query_id", "qv")
-    cb = bucketize(corpus, "neighbor_id", "cv")
+    if query_pred is not None:
+        # one bucketize pass; cache + count BEFORE fan-out (two branches
+        # of one action race on a lazy cache and each recompute it)
+        base = (
+            corpus.select(
+                F.col(id_col).alias("neighbor_id"),
+                F.col(vec_col).alias("cv"),
+                query_pred.alias("__qsel"),
+            )
+            .withColumn("__buckets", buckets_udf(F.col("cv")))
+            .select("neighbor_id", "cv", "__qsel", F.posexplode("__buckets").alias("tbl", "bkt"))
+        )
+        base = base.cache()
+        base.count()
+        cb = base.drop("__qsel")
+        qb = (
+            base.filter(F.col("__qsel"))
+            .select(
+                F.col("neighbor_id").alias("query_id"),
+                F.col("cv").alias("qv"),
+                "tbl",
+                "bkt",
+            )
+        )
+    else:
+        qb = bucketize(queries, "query_id", "qv")
+        cb = bucketize(corpus, "neighbor_id", "cv")
     cand = (
         qb.join(cb, ["tbl", "bkt"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "qv", "neighbor_id", "cv")
-        .distinct()
     )
+    # score BEFORE deduplicating: a pair colliding in t tables is scored
+    # t times (cheap JVM-side math), but the dedup then shuffles only
+    # skinny (id, id, sim) rows — never the two 64-float vectors.
+    # max() is a no-op combiner (duplicates carry identical sims).
     scored = cand.select(
         "query_id",
         "neighbor_id",
         F.round(cosine(F.col("qv"), F.col("cv"), dim), 6).alias("cos_sim"),
-    )
+    ).groupBy("query_id", "neighbor_id").agg(F.max("cos_sim").alias("cos_sim"))
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 

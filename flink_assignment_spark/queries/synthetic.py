@@ -1457,9 +1457,9 @@ def q43_lsh_ann(spark, sf_dir):
     from ..operators.similarity import lsh_topk
 
     emb = _t(spark, sf_dir, "embeddings")
-    return lsh_topk(emb.filter(F.col("vec_id") < 20), emb, k=5, dim=64).select(
-        "query_id", "neighbor_id", "cos_sim", F.col("rank").cast("int").alias("rank")
-    )
+    return lsh_topk(
+        None, emb, k=5, dim=64, query_pred=F.col("vec_id") < 20
+    ).select("query_id", "neighbor_id", "cos_sim", F.col("rank").cast("int").alias("rank"))
 
 
 REGISTRY.update(
@@ -1608,3 +1608,28 @@ REGISTRY.update(
         "q46_hierarchical_rollup": QuerySpec(q46_hierarchical_rollup, Q46_SQL),
     }
 )
+
+
+# ---------------- approximate percentiles (KLL-style sketch, rows-only)
+def q47_approx_percentiles(spark, sf_dir):
+    """Approximate per-key percentiles via percentile_approx — the
+    sketch-based scale path next to q38's exact form. The exact
+    percentile needs the full per-group value multiset at the reducer;
+    the sketch is a fixed-size mergeable summary (accuracy parameter
+    10000 -> ~0.01% rank error), so memory per group is O(sketch), not
+    O(rows) — the only form that survives 100 TB groups. Sketch
+    internals differ per engine -> rows-only driver check; accuracy vs
+    the exact percentiles is pytest-bounded
+    (tests/test_operators.py::test_approx_percentiles_accuracy)."""
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.percentile_approx("value", F.lit(0.5), F.lit(10000)).alias("p50"),
+            F.percentile_approx("value", F.lit(0.9), F.lit(10000)).alias("p90"),
+            F.count("*").alias("cnt"),
+        )
+    )
+
+
+REGISTRY.update({"q47_approx_percentiles": QuerySpec(q47_approx_percentiles, None)})

@@ -262,3 +262,39 @@ def test_components_driver_path_equals_distributed(spark, pairs):
     finally:
         C.SMALL_GRAPH_EDGES = saved
     assert small == dist
+
+
+def test_approx_percentiles_accuracy(spark):
+    """The percentile_approx sketch must land within 1% RANK error of
+    the exact per-group percentile: for each group, the approximate
+    p50/p90 must sit between the exact p49/p51 (p89/p91) values."""
+    from flink_assignment_spark.queries.synthetic import REGISTRY
+
+    from .conftest import SF_DIR
+
+    approx = {
+        r.event_type: r
+        for r in REGISTRY["q47_approx_percentiles"].spark(spark, SF_DIR).collect()
+    }
+    from flink_assignment_spark.sources.loaders import load_table
+    from pyspark.sql import functions as F
+
+    bounds = {
+        r.event_type: r
+        for r in (
+            load_table(spark, SF_DIR, "events")
+            .groupBy("event_type")
+            .agg(
+                F.percentile("value", F.lit(0.49)).alias("p50_lo"),
+                F.percentile("value", F.lit(0.51)).alias("p50_hi"),
+                F.percentile("value", F.lit(0.89)).alias("p90_lo"),
+                F.percentile("value", F.lit(0.91)).alias("p90_hi"),
+            )
+            .collect()
+        )
+    }
+    assert approx.keys() == bounds.keys() and approx
+    for key, a in approx.items():
+        b = bounds[key]
+        assert b.p50_lo <= a.p50 <= b.p50_hi, (key, a.p50, b.p50_lo, b.p50_hi)
+        assert b.p90_lo <= a.p90 <= b.p90_hi, (key, a.p90, b.p90_lo, b.p90_hi)
