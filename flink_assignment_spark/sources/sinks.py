@@ -58,3 +58,39 @@ def console_stream(df, mode: str = "append"):
     """Reference S4 for streams: writeStream console sink (returns the
     started query; caller manages lifecycle)."""
     return df.writeStream.outputMode(mode).format("console").start()
+
+
+def incremental_rollup_sink(
+    agg_stream: DataFrame,
+    path: str,
+    group_partition_cols: list[str],
+    checkpoint: str,
+):
+    """Continuous-aggregate sink (the streaming half of the
+    hierarchical-rollup pattern, cf. q46): an update-mode streaming
+    aggregation lands in a parquet table via foreachBatch, each
+    micro-batch overwriting ONLY the partitions of the groups it
+    refreshed (dynamic partition overwrite).
+
+    ``group_partition_cols`` MUST be the aggregation's full grouping
+    key: each directory partition then holds exactly one group's row,
+    so overwriting the refreshed partitions upserts those groups and
+    cannot drop unchanged neighbors. Replaying a micro-batch after a
+    failure rewrites the same partitions with the same content —
+    idempotent, so the table stays exactly-once end-to-end while the
+    raw stream stays append-only.
+    """
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        batch_df.write.mode("overwrite").partitionBy(*group_partition_cols).parquet(path)
+
+    return (
+        agg_stream.writeStream.outputMode("update")
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(write_batch)
+        .start()
+    )

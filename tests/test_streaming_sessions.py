@@ -132,3 +132,52 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
     run(stream.select("user"), "append", "dedup_out")
     got = sorted(r.user for r in spark.sql("SELECT * FROM dedup_out").collect())
     assert got == ["k1", "k2", "k3"]
+
+
+def test_incremental_rollup_sink_upserts(spark, tmp_path):
+    """The foreachBatch continuous-aggregate sink must converge to
+    exactly the batch recomputation: trigger 1 lands hours 10 and 11;
+    trigger 2 adds more rows to hour 10 (an upsert of an existing
+    partition) plus a new hour 12. The final parquet table equals a
+    batch groupBy over all input rows — proving refreshed partitions
+    overwrite and unchanged groups survive."""
+    from flink_assignment_spark.sources.sinks import incremental_rollup_sink
+
+    src = tmp_path / "src"
+    src.mkdir()
+    out = str(tmp_path / "rollup")
+    ckpt = str(tmp_path / "ckpt")
+
+    f1 = [
+        ("u1", ts("2024-01-01 10:05")),
+        ("u2", ts("2024-01-01 10:20")),
+        ("u1", ts("2024-01-01 11:40")),
+    ]
+    f2 = [
+        ("u3", ts("2024-01-01 10:55")),  # upserts hour 10
+        ("u1", ts("2024-01-01 12:01")),  # new hour 12
+    ]
+    spark.createDataFrame(f1, SCHEMA).coalesce(1).write.parquet(str(src / "f1"))
+
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*")
+    )
+    agg = stream.groupBy(
+        F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd-HH").alias("hour")
+    ).agg(F.count("*").alias("n"))
+    q = incremental_rollup_sink(agg, out, ["hour"], ckpt)
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(f2, SCHEMA).coalesce(1).write.parquet(str(src / "f2"))
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {(r.hour, r.n) for r in spark.read.parquet(out).collect()}
+    assert got == {
+        ("2024-01-01-10", 3),
+        ("2024-01-01-11", 1),
+        ("2024-01-01-12", 1),
+    }
