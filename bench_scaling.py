@@ -49,10 +49,47 @@ def ensure_events(spark, n_rows: int, path: str) -> None:
     df.write.mode("overwrite").parquet(path)
 
 
+def ensure_documents(spark, n_docs: int, path: str) -> None:
+    """Documents with CONSTANT near-dup density: groups of 3 docs, 60
+    tokens each, variants perturb the first 2 tokens — so every group
+    contributes ~3 high-Jaccard pairs and the true-pair volume is O(n)
+    at every scale (the property real corpora have; naive replication
+    would instead grow clusters quadratically and measure the data,
+    not the algorithm). All columns derive from ``id`` JVM-side."""
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        return
+    from pyspark.sql import functions as F
+
+    group = (F.col("id") / 3).cast("long")
+    variant = F.col("id") % 3
+    toks = F.transform(
+        F.sequence(F.lit(0), F.lit(59)),
+        lambda i: F.concat(
+            F.lit("w"),
+            ((group * 6151 + i * 769) % 9999991).cast("string"),
+            F.when((i < 2) & (variant != 0), variant.cast("string")).otherwise(F.lit("")),
+        ),
+    )
+    df = (
+        spark.range(n_docs)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.concat_ws(" ", toks).alias("text"),
+            F.lit("en").alias("lang"),
+            F.lit("scalegen").alias("source"),
+        )
+        .withColumn("n_chars", F.length("text"))
+    )
+    df.write.mode("overwrite").parquet(path)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument(
         "--scales", type=int, nargs="+", default=[100_000, 1_000_000, 10_000_000]
+    )
+    ap.add_argument(
+        "--doc-scales", type=int, nargs="+", default=[5_000, 50_000, 500_000]
     )
     args = ap.parse_args()
 
@@ -77,7 +114,28 @@ def main() -> None:
             dt = time.monotonic() - t0
             per_query[qn] = {"sec": round(dt, 2), "rows_per_sec": int(n / dt)}
         results[str(n)] = per_query
-    print(json.dumps({"metric": "event-query scaling 1x/10x/100x", "results": results}))
+
+    doc_qnames = ["q16_dedup_minhash_lsh", "q29_dedup_clusters"]
+    doc_results = {}
+    for n in args.doc_scales:
+        base = f"/tmp/fas_docscale_{n}"
+        ensure_documents(spark, n, os.path.join(base, "documents.parquet"))
+        per_query = {}
+        for qn in doc_qnames:
+            t0 = time.monotonic()
+            REGISTRY[qn].spark(spark, base).write.format("noop").mode("overwrite").save()
+            dt = time.monotonic() - t0
+            per_query[qn] = {"sec": round(dt, 2), "rows_per_sec": int(n / dt)}
+        doc_results[str(n)] = per_query
+    print(
+        json.dumps(
+            {
+                "metric": "event-query scaling 1x/10x/100x",
+                "results": results,
+                "dedup_results": doc_results,
+            }
+        )
+    )
 
 
 if __name__ == "__main__":

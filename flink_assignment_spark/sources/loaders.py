@@ -60,3 +60,35 @@ def read_commits_json(spark: SparkSession, path: str) -> DataFrame:
 def read_commit_geo_json(spark: SparkSession, path: str) -> DataFrame:
     """Reference S3 (``FlinkAssignment.scala:43-44``)."""
     return spark.read.schema(COMMIT_GEO).json(path)
+
+
+def read_commits_json_tolerant(spark: SparkSession, path: str) -> tuple[DataFrame, DataFrame]:
+    """Commit JSON with corrupt-line quarantine: returns
+    ``(good_rows, corrupt_rows)``.
+
+    The reference's parser would throw on a malformed line and kill
+    the job (``CommitParser.scala:19-21`` — json4s ``extract`` raises
+    on unparseable input). At 100 TB a single bad line must not abort
+    a pipeline: PERMISSIVE mode nulls out unparseable rows and
+    preserves the raw line in ``_corrupt_record``, so good data flows
+    on and the quarantine stream can be audited or replayed. Both
+    returned frames come from ONE pass over the input.
+    """
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    schema = StructType(
+        list(COMMIT.fields) + [StructField("_corrupt_record", StringType(), True)]
+    )
+    raw = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+        # Spark requires caching (or a shuffle) before filtering on the
+        # corrupt-record column: the pruned re-scan would otherwise not
+        # re-parse the full row to know what failed
+        .cache()
+    )
+    good = raw.filter(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
+    bad = raw.filter(F.col("_corrupt_record").isNotNull()).select("_corrupt_record")
+    return good, bad
