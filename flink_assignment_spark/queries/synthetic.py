@@ -1633,3 +1633,41 @@ def q47_approx_percentiles(spark, sf_dir):
 
 
 REGISTRY.update({"q47_approx_percentiles": QuerySpec(q47_approx_percentiles, None)})
+
+
+# ------------------- CDC compaction: latest record per key (upsert view)
+def q48_latest_per_key(spark, sf_dir):
+    """Latest event per user — the CDC/upsert compaction pattern: a
+    changelog stream compacts to current state via one row_number
+    window per key (single shuffle on user_id). The tie-break on
+    event_id makes the cut total, so the result is engine-independent
+    even when a user has several events at the same timestamp. At
+    scale this is the batch form of what the streaming layer does with
+    update-mode state; partition pruning applies when the changelog is
+    date-partitioned."""
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        _t(spark, sf_dir, "events")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_id",
+            "event_type",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+            "value",
+        )
+    )
+
+
+Q48_SQL = """
+SELECT user_id, event_id, event_type,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s, value
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                   ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events)
+WHERE rn = 1
+"""
+
+
+REGISTRY.update({"q48_latest_per_key": QuerySpec(q48_latest_per_key, Q48_SQL)})
