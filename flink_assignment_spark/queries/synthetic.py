@@ -1671,3 +1671,67 @@ WHERE rn = 1
 
 
 REGISTRY.update({"q48_latest_per_key": QuerySpec(q48_latest_per_key, Q48_SQL)})
+
+
+# --------------------------- data profiling (training-data quality gate)
+def q49_data_profile(spark, sf_dir):
+    """One-pass column profile of events — the data-quality gate a
+    training pipeline runs before ingest: per event_type row counts,
+    null rates, value min/max, and integer-cent value sums (exact —
+    float sums would be fold-order-dependent). Single shuffle; every
+    metric is an algebraic aggregate with map-side partials."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.col("user_id").isNull().cast("long")).alias("null_users"),
+        F.sum(F.col("props").isNull().cast("long")).alias("null_props"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_cents"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+Q49_SQL = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_users,
+       CAST(SUM(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_props,
+       MIN(value) AS min_value,
+       MAX(value) AS max_value,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY 1
+"""
+
+
+# ----------------------- skew-salted aggregation via the driver contract
+def q50_salted_agg(spark, sf_dir):
+    """events aggregated per event_type through the SALTED two-phase
+    plan (operators/skew.py): the first shuffle spreads each key over
+    16 salt cells so a hot key cannot serialize one reducer; the
+    second merges cells. Result is salt-invariant — the oracle is the
+    plain one-level GROUP BY. value sums in exact integer cents so the
+    extra merge level cannot change float fold results."""
+    from ..operators.skew import salted_agg
+
+    e = _t(spark, sf_dir, "events").withColumn(
+        "cents", F.round(F.col("value") * 100).cast("long")
+    )
+    out = salted_agg(e, ["event_type"], ["cents"], n_salts=16)
+    return out.select("event_type", "cnt", F.col("sum_cents").alias("cents_total"))
+
+
+Q50_SQL = """
+SELECT event_type, CAST(count(*) AS BIGINT) AS cnt,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents_total
+FROM events GROUP BY 1
+"""
+
+
+REGISTRY.update(
+    {
+        "q49_data_profile": QuerySpec(q49_data_profile, Q49_SQL),
+        "q50_salted_agg": QuerySpec(q50_salted_agg, Q50_SQL),
+    }
+)
