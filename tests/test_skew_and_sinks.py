@@ -100,3 +100,24 @@ def test_bucketed_join_zero_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
         spark.sql("DROP TABLE IF EXISTS t_li_bucketed")
         spark.sql("DROP TABLE IF EXISTS t_o_bucketed")
+
+
+def test_partitioned_write_prunes_partitions(spark, tmp_path):
+    """write_parquet(partition_by=...) must give downstream readers
+    directory partition pruning: a filter on the partition column
+    shows up as PartitionFilters on the scan and prunes the unread
+    directories — at 100 TB this is the difference between scanning
+    one day and scanning the lake."""
+    import re
+
+    from flink_assignment_spark.plans.inspect import physical_plan
+
+    out = str(tmp_path / "by_type")
+    events = load_table(spark, SF_DIR, "events").select("event_id", "event_type", "value")
+    write_parquet(events, out, partition_by=["event_type"])
+
+    df = spark.read.parquet(out).filter(F.col("event_type") == "click")
+    plan = physical_plan(df)
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "event_type" in m.group(1), plan
+    assert df.count() == events.filter(F.col("event_type") == "click").count()
