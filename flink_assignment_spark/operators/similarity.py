@@ -222,8 +222,11 @@ def _kmeans_centroids(matrix, n_cells: int, n_iter: int = 10):
     n = matrix.shape[0]
     idx = np.linspace(0, n - 1, n_cells).astype(int)
     centroids = matrix[idx].copy()
+    sq_m = (matrix**2).sum(axis=1)
     for _ in range(n_iter):
-        d2 = ((matrix[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+        # ||a-b||^2 expansion: an (n, k) matrix, never the (n, k, dim)
+        # 3-D intermediate (8 GB at a 64k-row sample x 256 cells)
+        d2 = sq_m[:, None] + (centroids**2).sum(axis=1)[None, :] - 2.0 * (matrix @ centroids.T)
         assign = d2.argmin(axis=1)
         for c in range(n_cells):
             members = matrix[assign == c]
@@ -240,6 +243,7 @@ def ivf_topk(
     vec_col: str = "embedding",
     n_cells: int = 8,
     n_probe: int = 4,
+    max_train: int = 65_536,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: partition the corpus into
     ``n_cells`` k-means cells; each query scans only its ``n_probe``
@@ -261,7 +265,21 @@ def ivf_topk(
 
     from ..functions._pandas_udfs import make_cell_assign_udf
 
-    collected = corpus.select(F.col(id_col), F.col(vec_col)).orderBy(id_col).collect()
+    # Bounded, deterministic training sample: k-means only needs a
+    # representative sample, so the driver NEVER collects more than
+    # ``max_train`` vectors no matter the corpus size (md5-hash
+    # selection — repartition-invariant and identical every run; below
+    # the bound the whole corpus trains, unchanged).
+    train = corpus.select(F.col(id_col), F.col(vec_col))
+    n_corpus = train.count()
+    if n_corpus > max_train:
+        bucket = F.conv(
+            F.substring(F.md5(F.concat(F.lit("ivf:"), F.col(id_col).cast("string"))), 1, 15),
+            16,
+            10,
+        ).cast("long") % 1_000_000
+        train = train.filter(bucket < int(1_000_000 * max_train / n_corpus))
+    collected = train.orderBy(id_col).collect()
     matrix = np.array([list(r[1]) for r in collected], dtype=np.float64)
     centroids = _kmeans_centroids(matrix, n_cells)
 

@@ -298,3 +298,27 @@ def test_approx_percentiles_accuracy(spark):
         b = bounds[key]
         assert b.p50_lo <= a.p50 <= b.p50_hi, (key, a.p50, b.p50_lo, b.p50_hi)
         assert b.p90_lo <= a.p90 <= b.p90_hi, (key, a.p90, b.p90_lo, b.p90_hi)
+
+
+def test_ivf_bounded_training_sample(spark):
+    """With max_train below the corpus size, k-means must train on the
+    deterministic hash sample — never collecting the full corpus — and
+    still return a valid, deterministic top-k with exact scores."""
+    from flink_assignment_spark.operators.similarity import ivf_topk
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    a = sorted(
+        map(tuple, ivf_topk(queries, emb, k=3, max_train=100).collect())
+    )
+    b = sorted(
+        map(tuple, ivf_topk(queries, emb, k=3, max_train=100).collect())
+    )
+    assert a == b and len(a) == 15  # 5 queries x top-3, deterministic
+    exact = {
+        (r.query_id, r.neighbor_id): r.cos_sim
+        for r in cosine_topk(queries, emb, k=3, dim=64).collect()
+    }
+    approx = dict(((q, n), s) for q, n, s, _ in a)
+    for p in set(exact) & set(approx):
+        assert exact[p] == approx[p]
