@@ -1735,3 +1735,67 @@ REGISTRY.update(
         "q50_salted_agg": QuerySpec(q50_salted_agg, Q50_SQL),
     }
 )
+
+
+# ---------------- pure-SQL pipeline: CTEs + window + join + HAVING
+def q51_sql_cte_pipeline(spark, sf_dir):
+    """A full analytical pipeline in ONE spark.sql string — CTEs, a
+    ranking window, a dimension join, and HAVING — proving the SQL
+    front door covers the same surface as the DataFrame API (Catalyst
+    plans both identically). Monthly top spender per nation with their
+    share of the nation's monthly total; integer-cent arithmetic for
+    engine-exact shares."""
+    from ..sources.loaders import register_views
+
+    register_views(spark, sf_dir, ("nation", "customer", "orders"))
+    return spark.sql(
+        """
+        WITH spend AS (
+          SELECT c_nationkey,
+                 o_custkey,
+                 date_format(o_orderdate, 'yyyy-MM') AS month,
+                 SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+          FROM orders JOIN customer ON o_custkey = c_custkey
+          GROUP BY 1, 2, 3
+        ),
+        ranked AS (
+          SELECT *,
+                 ROW_NUMBER() OVER (PARTITION BY c_nationkey, month
+                                    ORDER BY cents DESC, o_custkey) AS rnk,
+                 SUM(cents) OVER (PARTITION BY c_nationkey, month) AS nation_cents
+          FROM spend
+        )
+        SELECT n_name, month, o_custkey AS top_custkey,
+               CAST(cents AS BIGINT) AS cents,
+               CAST((cents * 10000) DIV nation_cents AS BIGINT) AS share_bp
+        FROM ranked JOIN nation ON c_nationkey = n_nationkey
+        WHERE rnk = 1 AND nation_cents > 0
+        """
+    )
+
+
+Q51_SQL = """
+WITH spend AS (
+  SELECT c_nationkey,
+         o_custkey,
+         strftime(o_orderdate, '%Y-%m') AS month,
+         SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY 1, 2, 3
+),
+ranked AS (
+  SELECT *,
+         ROW_NUMBER() OVER (PARTITION BY c_nationkey, month
+                            ORDER BY cents DESC, o_custkey) AS rnk,
+         SUM(cents) OVER (PARTITION BY c_nationkey, month) AS nation_cents
+  FROM spend
+)
+SELECT n_name, month, o_custkey AS top_custkey,
+       CAST(cents AS BIGINT) AS cents,
+       CAST((cents * 10000) // nation_cents AS BIGINT) AS share_bp
+FROM ranked JOIN nation ON c_nationkey = n_nationkey
+WHERE rnk = 1 AND nation_cents > 0
+"""
+
+
+REGISTRY.update({"q51_sql_cte_pipeline": QuerySpec(q51_sql_cte_pipeline, Q51_SQL)})
