@@ -79,6 +79,10 @@ def incremental_rollup_sink(
     failure rewrites the same partitions with the same content —
     idempotent, so the table stays exactly-once end-to-end while the
     raw stream stays append-only.
+
+    Pass a WATERMARKED aggregation (``withWatermark`` upstream of the
+    groupBy) in production: update mode otherwise keeps every group's
+    state forever, which is unbounded when grouping by event time.
     """
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:

@@ -181,3 +181,46 @@ def test_incremental_rollup_sink_upserts(spark, tmp_path):
         ("2024-01-01-11", 1),
         ("2024-01-01-12", 1),
     }
+
+
+def test_events_stream_matches_batch_daily_agg(spark, tmp_path):
+    """The real events table streamed file-by-file through the SAME
+    windowed aggregation as the batch path must converge to the batch
+    answer — the Structured Streaming unification claim, driven on
+    driver-shaped data (µs-rewritten copies of sf0.001 events)."""
+    from flink_assignment_spark.sources.loaders import load_table
+    from flink_assignment_spark.streaming.sources import read_events_stream
+
+    from .conftest import SF_DIR
+
+    events = load_table(spark, SF_DIR, "events")
+    d = tmp_path / "events_stream"
+    # rewrite at µs precision in 3 files so the stream takes 3 triggers
+    events.repartition(3).write.parquet(str(d))
+
+    stream = read_events_stream(spark, str(d)).withWatermark("ts", "0 seconds")
+    agg = (
+        stream.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.date_format(F.col("w.start"), "yyyy-MM-dd").alias("day"), "event_type", "n")
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("ev_daily")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    batch = {
+        (r.day, r.event_type, r.n)
+        for r in events.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.date_format(F.col("w.start"), "yyyy-MM-dd").alias("day"), "event_type", "n")
+        .collect()
+    }
+    got = {(r.day, r.event_type, r.n) for r in spark.sql("SELECT * FROM ev_daily").collect()}
+    assert got == batch and len(got) > 0
