@@ -231,3 +231,50 @@ def test_q3_update_mode_refinement_cadence(spark, stream_dirs):
     # the last refinement equals the batch result
     assert any(len(v) > 1 for v in per_key.values())
     assert {(k, max(v)) for k, v in per_key.items()} == final
+
+
+def test_q2_stream_matches_batch(spark, stream_dirs):
+    from flink_assignment_spark.streaming.queries import question_two_stream
+
+    _, _, cdir, _ = stream_dirs
+    run_stream(question_two_stream(read_commits_stream(spark, cdir)), "append", "q2s")
+    got = Counter(r.filename for r in spark.sql("SELECT * FROM q2s").collect())
+    want = Counter(r.filename for r in R.question_two(read_commits_json(spark, cdir)).collect())
+    assert got == want
+
+
+def test_q4_stream_final_sums(spark, stream_dirs):
+    from flink_assignment_spark.streaming.queries import question_four_stream
+
+    _, _, cdir, _ = stream_dirs
+    run_stream(question_four_stream(read_commits_stream(spark, cdir)), "complete", "q4s")
+    got = {(r.ext, r.status, r.sum_changes) for r in spark.sql("SELECT * FROM q4s").collect()}
+    want = {
+        (r.ext, r.status, r.sum_changes)
+        for r in R.question_four(read_commits_json(spark, cdir)).collect()
+    }
+    assert got == want
+
+
+def test_q6_stream_sliding_windows(spark, stream_dirs):
+    from pyspark.sql import functions as F
+
+    from flink_assignment_spark.streaming.queries import question_six_stream
+
+    _, _, cdir, _ = stream_dirs
+    stream = read_commits_stream(spark, cdir, max_files=1)
+    run_stream(question_six_stream(stream), "append", "q6s")
+    got = {
+        (r.window_start, r.commit_type, r["count"])
+        for r in spark.sql("SELECT * FROM q6s").collect()
+    }
+    # append mode emits only watermark-closed windows: the sentinel
+    # advances the watermark past every REAL window but its own four
+    # sliding windows never close — compare against batch minus sentinel
+    want = {
+        (r.window_start, r.commit_type, r["count"])
+        for r in R.question_six(
+            read_commits_json(spark, cdir).filter(F.col("sha") != "sentinel")
+        ).collect()
+    }
+    assert got == want and len(got) > 0
