@@ -1799,3 +1799,98 @@ WHERE rnk = 1 AND nation_cents > 0
 
 
 REGISTRY.update({"q51_sql_cte_pipeline": QuerySpec(q51_sql_cte_pipeline, Q51_SQL)})
+
+
+# ------------------- vocabulary building: token + document frequency
+def q52_vocabulary(spark, sf_dir):
+    """Corpus vocabulary — the tokenizer-training statistic: per token,
+    total occurrences and document frequency, top-500 by count. The
+    explode → two-level aggregate is the classic wordcount shape:
+    map-side partial counts make the shuffle carry (token, partial)
+    rows, and the top-k cut is a total order (count desc, token asc) so
+    the result is engine-independent."""
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+    counts = tok.groupBy("tok").agg(
+        F.count("*").alias("n_occurrences"),
+        F.countDistinct("doc_id").alias("doc_freq"),
+    )
+    # top-k FIRST via orderBy+limit (plans as distributed
+    # TakeOrderedAndProject — per-partition heaps, no single-task
+    # global window over a 100M-token vocabulary), THEN rank the
+    # 500 survivors where a one-partition window is fine
+    top = counts.orderBy(F.desc("n_occurrences"), F.asc("tok")).limit(500)
+    w = Window.orderBy(F.desc("n_occurrences"), F.asc("tok"))
+    return top.select(
+        "tok",
+        "n_occurrences",
+        "doc_freq",
+        F.row_number().over(w).cast("int").alias("rnk"),
+    )
+
+
+Q52_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '')) AS tok
+  FROM documents
+),
+counts AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS n_occurrences,
+         CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_freq
+  FROM toks GROUP BY 1
+)
+SELECT tok, n_occurrences, doc_freq, CAST(rnk AS INT) AS rnk
+FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY n_occurrences DESC, tok) AS rnk FROM counts)
+WHERE rnk <= 500
+"""
+
+
+# ------------------------------- n-gram language-model statistics
+def q53_bigram_counts(spark, sf_dir):
+    """Bigram counts over the corpus — LM n-gram statistics: adjacent
+    token pairs built with a higher-order transform (no self-join, no
+    UDF), exploded and counted; top-200 by count with a total-order
+    cut. The bigram construction is embarrassingly parallel (narrow),
+    so the only shuffle is the count aggregation."""
+    tk = tokens(F.col("text"))
+    bigrams = F.transform(
+        F.slice(tk, 1, F.greatest(F.size(tk) - 1, F.lit(0))),
+        lambda x, i: F.concat(x, F.lit(" "), F.element_at(tk, i + 2)),
+    )
+    docs = _t(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").alias("cnt"))
+    )
+    # same top-k-then-rank shape as q52: TakeOrderedAndProject for the
+    # distributed cut, window only over the 200 survivors
+    top = counts.orderBy(F.desc("cnt"), F.asc("bigram")).limit(200)
+    w = Window.orderBy(F.desc("cnt"), F.asc("bigram"))
+    return top.select("bigram", "cnt", F.row_number().over(w).cast("int").alias("rnk"))
+
+
+Q53_SQL = """
+WITH toks AS (
+  SELECT list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '') AS tk
+  FROM documents
+),
+bigrams AS (
+  SELECT unnest(list_transform(tk[1:len(tk)-1], (e, i) -> e || ' ' || tk[i+1])) AS bigram
+  FROM toks WHERE len(tk) >= 2
+),
+counts AS (
+  SELECT bigram, CAST(count(*) AS BIGINT) AS cnt FROM bigrams GROUP BY 1
+)
+SELECT bigram, cnt, CAST(rnk AS INT) AS rnk
+FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY cnt DESC, bigram) AS rnk FROM counts)
+WHERE rnk <= 200
+"""
+
+
+REGISTRY.update(
+    {
+        "q52_vocabulary": QuerySpec(q52_vocabulary, Q52_SQL),
+        "q53_bigram_counts": QuerySpec(q53_bigram_counts, Q53_SQL),
+    }
+)
