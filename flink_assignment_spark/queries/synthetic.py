@@ -1810,7 +1810,13 @@ def q52_vocabulary(spark, sf_dir):
     rows, and the top-k cut is a total order (count desc, token asc) so
     the result is engine-independent."""
     docs = _t(spark, sf_dir, "documents")
-    tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+    # explode_outer + null filter, NOT explode(expensive_expr): plain
+    # explode implies a size(arr)>0 predicate that Catalyst pushes
+    # below the projection, re-running the tokenizer per row
+    tok = (
+        docs.select("doc_id", F.explode_outer(tokens(F.col("text"))).alias("tok"))
+        .filter(F.col("tok").isNotNull())
+    )
     counts = tok.groupBy("tok").agg(
         F.count("*").alias("n_occurrences"),
         F.countDistinct("doc_id").alias("doc_freq"),
@@ -1852,14 +1858,18 @@ def q53_bigram_counts(spark, sf_dir):
     UDF), exploded and counted; top-200 by count with a total-order
     cut. The bigram construction is embarrassingly parallel (narrow),
     so the only shuffle is the count aggregation."""
-    tk = tokens(F.col("text"))
+    docs = _t(spark, sf_dir, "documents")
+    # materialize the token array ONCE as a column before the lambda:
+    # element_at(tokens(text), i+2) inside transform would re-run the
+    # regexp tokenizer per element (O(n_tokens) re-evaluations per doc)
+    toked = docs.select(tokens(F.col("text")).alias("tk"))
+    tk = F.col("tk")
     bigrams = F.transform(
         F.slice(tk, 1, F.greatest(F.size(tk) - 1, F.lit(0))),
         lambda x, i: F.concat(x, F.lit(" "), F.element_at(tk, i + 2)),
     )
-    docs = _t(spark, sf_dir, "documents")
     counts = (
-        docs.select(F.explode(bigrams).alias("bigram"))
+        toked.select(F.explode(bigrams).alias("bigram"))
         .groupBy("bigram")
         .agg(F.count("*").alias("cnt"))
     )
