@@ -1869,7 +1869,8 @@ def q53_bigram_counts(spark, sf_dir):
         lambda x, i: F.concat(x, F.lit(" "), F.element_at(tk, i + 2)),
     )
     counts = (
-        toked.select(F.explode(bigrams).alias("bigram"))
+        toked.select(F.explode_outer(bigrams).alias("bigram"))
+        .filter(F.col("bigram").isNotNull())
         .groupBy("bigram")
         .agg(F.count("*").alias("cnt"))
     )
