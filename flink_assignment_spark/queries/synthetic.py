@@ -996,9 +996,15 @@ def q30_winnowing_fingerprints(spark, sf_dir):
     from ..functions.text import hash60
 
     text = F.col("text")
+    n_par = spark.sparkContext.defaultParallelism
     docs = (
         _t(spark, sf_dir, "documents")
         .filter(F.length("text") >= WINNOW_K + WINNOW_W + 6)
+        .select("doc_id", "text")
+        # hash-dense stage over a possibly single-file input: spread to
+        # all cores BEFORE computing ~n_chars md5 calls per row (5x at
+        # sf0.1, where documents is one parquet file -> one partition)
+        .repartition(n_par)
         .select(
             "doc_id",
             F.transform(
