@@ -131,7 +131,7 @@ def lsh_topk(
 
     def bucketize(df: DataFrame, id_alias: str, vec_alias: str) -> DataFrame:
         return (
-            df.select(F.col(id_col).alias(id_alias), F.col(vec_col).alias(vec_alias))
+            _spread(df.select(F.col(id_col).alias(id_alias), F.col(vec_col).alias(vec_alias)))
             .withColumn("__buckets", buckets_udf(F.col(vec_alias)))
             .select(
                 id_alias,
@@ -144,10 +144,12 @@ def lsh_topk(
         # one bucketize pass; cache + count BEFORE fan-out (two branches
         # of one action race on a lazy cache and each recompute it)
         base = (
-            corpus.select(
-                F.col(id_col).alias("neighbor_id"),
-                F.col(vec_col).alias("cv"),
-                query_pred.alias("__qsel"),
+            _spread(
+                corpus.select(
+                    F.col(id_col).alias("neighbor_id"),
+                    F.col(vec_col).alias("cv"),
+                    query_pred.alias("__qsel"),
+                )
             )
             .withColumn("__buckets", buckets_udf(F.col("cv")))
             .select("neighbor_id", "cv", "__qsel", F.posexplode("__buckets").alias("tbl", "bkt"))
