@@ -1911,3 +1911,66 @@ REGISTRY.update(
         "q53_bigram_counts": QuerySpec(q53_bigram_counts, Q53_SQL),
     }
 )
+
+
+# ------------------------- TF-IDF: top salient terms per document
+def q54_tfidf_top_terms(spark, sf_dir):
+    """Top-3 TF-IDF terms per document — the composed retrieval/
+    relevance pipeline: term frequencies (explode + count), document
+    frequencies (aggregate over the same exploded view), natural-log
+    IDF, and a per-doc top-k window. The df table is tiny relative to
+    the corpus (vocabulary-sized) so Catalyst broadcasts it; the only
+    big shuffle is the (doc, token) count. Scores round to 6dp; ln()
+    is IEEE-identical across engines for the same double input."""
+    docs = _t(spark, sf_dir, "documents")
+    n_docs = docs.count()  # scalar fold into the plan (one tiny job)
+    tok = (
+        docs.select("doc_id", F.explode_outer(tokens(F.col("text"))).alias("tok"))
+        .filter(F.col("tok").isNotNull())
+    )
+    tf = tok.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    df_tbl = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    scored = tf.join(F.broadcast(df_tbl), "tok").select(
+        "doc_id",
+        "tok",
+        F.round(
+            F.col("tf").cast("double")
+            * F.log(F.lit(float(n_docs)) / F.col("df").cast("double")),
+            6,
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("tok"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "tok", "tfidf", F.col("rnk").cast("int").alias("rnk"))
+    )
+
+
+Q54_SQL = """
+WITH tok AS (
+  SELECT doc_id, unnest(list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '')) AS tok
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2
+),
+dfreq AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
+),
+scored AS (
+  SELECT doc_id, tf.tok AS tok,
+         round(CAST(tf AS DOUBLE)
+               * ln(CAST((SELECT count(*) FROM documents) AS DOUBLE)
+                    / CAST(df AS DOUBLE)), 6) AS tfidf
+  FROM tf JOIN dfreq ON tf.tok = dfreq.tok
+)
+SELECT doc_id, tok, tfidf, CAST(rnk AS INT) AS rnk
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                   ORDER BY tfidf DESC, tok) AS rnk
+      FROM scored)
+WHERE rnk <= 3
+"""
+
+
+REGISTRY.update({"q54_tfidf_top_terms": QuerySpec(q54_tfidf_top_terms, Q54_SQL)})
