@@ -50,7 +50,16 @@ def _spread(df: DataFrame) -> DataFrame:
 
 
 def doc_shingles(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3) -> DataFrame:
-    """(id, shingle) exploded inverted-index input + per-doc set size.
+    """(doc_id, n_shingles, h) exploded inverted-index input — one row
+    per distinct shingle per doc, keyed by the shingle's 60-bit hash.
+
+    The raw shingle string is dropped right after hashing: every
+    downstream consumer (MinHash, the Jaccard verify join) only needs
+    an equality key, and an 8-byte long shuffles/compares far cheaper
+    than a multi-word string. Both engines derive the identical hash
+    (md5-based, functions.text.hash60), so intersection counts match
+    the oracle bit-for-bit even in the astronomically-unlikely
+    collision case.
 
     Uses ``explode_outer`` + null-filter instead of ``explode``:
     plain explode implies a ``size(arr) > 0`` predicate that Catalyst
@@ -71,6 +80,7 @@ def doc_shingles(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
             F.explode_outer("shingles").alias("shingle"),
         )
         .filter(F.col("shingle").isNotNull())
+        .select("doc_id", "n_shingles", hash60(F.col("shingle")).alias("h"))
     )
 
 
@@ -83,11 +93,11 @@ def ngram_jaccard_pairs(
     shingles: DataFrame | None = None,
 ) -> DataFrame:
     """All pairs with word-n-gram Jaccard ≥ threshold, via inverted
-    index: explode shingles → self equi-join on shingle → count
-    intersections per pair → |A∩B| / (|A|+|B|−|A∩B|).
+    index: explode shingles → self equi-join on the shingle hash →
+    count intersections per pair → |A∩B| / (|A|+|B|−|A∩B|).
 
     No N² cross join: pair candidates are generated only for docs
-    sharing ≥ 1 shingle. The (doc, shingle) index is cached: Spark
+    sharing ≥ 1 shingle. The (doc, h) index is cached: Spark
     performs no common-subexpression elimination across self-join
     sides, so without it the shingling subtree runs once per side (at
     cluster scale you would persist this index to storage instead).
@@ -96,7 +106,7 @@ def ngram_jaccard_pairs(
     a = sh.alias("a")
     b = sh.alias("b")
     inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
@@ -120,12 +130,11 @@ def minhash_signatures(
     n: int = 3,
     shingles: DataFrame | None = None,
 ) -> DataFrame:
-    """16-permutation MinHash signature per doc: explode shingles,
-    hash once, take 16 column-wise mins in a single partial-aggregated
-    groupBy (one shuffle, no per-doc list materialization)."""
-    sh = (
-        shingles if shingles is not None else doc_shingles(docs, text_col, id_col, n)
-    ).withColumn("h", hash60(F.col("shingle")))
+    """16-permutation MinHash signature per doc: the shingle index
+    already carries each shingle's 60-bit hash; take 16 column-wise
+    mins in a single partial-aggregated groupBy (one shuffle, no
+    per-doc list materialization)."""
+    sh = shingles if shingles is not None else doc_shingles(docs, text_col, id_col, n)
     aggs = [
         F.min(minhash_value(F.col("h"), a, b)).alias(f"mh{i}")
         for i, (a, b) in enumerate(MINHASH_PERMS)

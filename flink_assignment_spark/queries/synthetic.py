@@ -507,11 +507,13 @@ WITH toks AS (
                                       i -> array_to_string(tk[i:i+2], ' '))) AS s
   FROM toks
 ), ex AS (
-  SELECT doc_id, len(s) AS ns, unnest(s) AS shingle FROM sh
+  SELECT doc_id, len(s) AS ns,
+         CAST('0x' || substring(md5(unnest(s)), 1, 15) AS BIGINT) AS h
+  FROM sh
 ), pairs AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.ns AS na, b.ns AS nb,
          count(*) AS inter
-  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  FROM ex a JOIN ex b ON a.h = b.h AND a.doc_id < b.doc_id
   GROUP BY 1, 2, 3, 4
 ), jac AS (
   SELECT doc_a, doc_b,
@@ -536,8 +538,7 @@ _PERM_VALUES = ", ".join(f"({i}, {a}, {b})" for i, (a, b) in enumerate(MINHASH_P
 Q16_SQL = _SHINGLE_CTES + f""",
 perms AS (SELECT * FROM (VALUES {_PERM_VALUES}) t(i, a, b)),
 hx AS (
-  SELECT doc_id, CAST('0x' || substring(md5(shingle), 1, 15) AS BIGINT) % {MINHASH_PRIME} AS h32
-  FROM ex
+  SELECT doc_id, h % {MINHASH_PRIME} AS h32 FROM ex
 ), sigs AS (
   SELECT doc_id, p.i AS i, MIN((p.a * h32 + p.b) % {MINHASH_PRIME}) AS m
   FROM hx CROSS JOIN perms p GROUP BY 1, 2
