@@ -45,3 +45,31 @@ def day_str(ts: Column) -> Column:
     """``SimpleDateFormat("dd-MM-yyyy")`` of a window start (reference
     ``FlinkAssignment.scala:130-131, 201-202``), session TZ pinned UTC."""
     return F.date_format(ts, "dd-MM-yyyy")
+
+
+def tumbling_start(ts: Column, width_seconds: int) -> Column:
+    """Epoch-aligned tumbling-window START as a plain timestamp.
+
+    Identical bucketing to ``F.window(ts, ...)`` (both are
+    epoch-aligned, UTC) but grouped on ONE 8-byte timestamp instead of
+    a (start, end) struct — in batch the struct key costs ~3× in the
+    aggregate exchange (wider shuffle key, no codegen fast path).
+    Batch queries group on this; streaming keeps ``F.window`` (the
+    struct is what watermark eviction understands).
+    """
+    w = F.lit(width_seconds).cast("long")
+    return F.timestamp_seconds(F.floor(F.unix_timestamp(ts) / w).cast("long") * w)
+
+
+def sliding_starts(ts: Column, width_seconds: int, slide_seconds: int) -> Column:
+    """Array of every epoch-aligned sliding-window start containing
+    ``ts`` (width/slide windows each event belongs to) — explode this
+    and group on the single-timestamp start (same rationale as
+    :func:`tumbling_start`)."""
+    n = width_seconds // slide_seconds
+    s = F.lit(slide_seconds).cast("long")
+    newest = F.floor(F.unix_timestamp(ts) / s).cast("long") * s
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(n - 1)),
+        lambda i: F.timestamp_seconds(newest - i.cast("long") * s),
+    )

@@ -20,7 +20,7 @@ from typing import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.scalar import day_str
+from ..functions.scalar import day_str, sliding_starts, tumbling_start
 from ..functions.text import MINHASH_PERMS, MINHASH_PRIME, STOPWORDS, stopword_ratio, tokens
 from ..functions.vector import cosine
 from ..operators.cep import followed_by
@@ -147,9 +147,9 @@ def q05_tumbling_daily(spark, sf_dir):
     date formatted dd-MM-yyyy."""
     return (
         _t(spark, sf_dir, "events")
-        .groupBy(F.window("ts", "1 day").alias("w"))
+        .groupBy(tumbling_start(F.col("ts"), 86400).alias("w"))
         .agg(F.count("*").alias("cnt"))
-        .select(day_str(F.col("w.start")).alias("date"), "cnt")
+        .select(day_str(F.col("w")).alias("date"), "cnt")
     )
 
 
@@ -168,10 +168,13 @@ def q06_sliding_windows(spark, sf_dir):
         "size_type", F.when(F.col("value") > 100, "large").otherwise("small")
     )
     return (
-        typed.groupBy(F.window("ts", "48 hours", "12 hours").alias("w"), "size_type")
+        typed.select(
+            F.explode(sliding_starts(F.col("ts"), 172800, 43200)).alias("w"), "size_type"
+        )
+        .groupBy("w", "size_type")
         .agg(F.count("*").alias("cnt"))
         .select(
-            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            F.date_format(F.col("w"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
             "size_type",
             "cnt",
         )
@@ -201,7 +204,7 @@ def q07_daily_summary_having(spark, sf_dir):
     """
     per_type = (
         _t(spark, sf_dir, "events")
-        .select("user_id", F.window("ts", "1 day").alias("w"), "event_type", "value")
+        .select("user_id", tumbling_start(F.col("ts"), 86400).alias("w"), "event_type", "value")
         .groupBy("user_id", "w", "event_type")
         .agg(F.count("*").alias("c"), F.sum("value").alias("sv"))
     )
@@ -221,7 +224,7 @@ def q07_daily_summary_having(spark, sf_dir):
         .filter((F.col("n_events") >= 6) & (F.col("n_types") <= 3))
         .select(
             "user_id",
-            day_str(F.col("w.start")).alias("date"),
+            day_str(F.col("w")).alias("date"),
             "n_events",
             "n_types",
             "total_value",
@@ -269,10 +272,10 @@ def q08_interval_join_weekly(spark, sf_dir):
         "user_id", F.greatest("c_ts", "p_ts").alias("jts"), "value"
     )
     return (
-        joined.groupBy(F.window("jts", "7 days").alias("w"), "user_id")
+        joined.groupBy(tumbling_start(F.col("jts"), 604800).alias("w"), "user_id")
         .agg(F.count("*").alias("n_pairs"), F.round(F.sum("value"), 2).alias("sum_value"))
         .select(
-            F.date_format(F.col("w.start"), "yyyy-MM-dd").alias("week_start"),
+            F.date_format(F.col("w"), "yyyy-MM-dd").alias("week_start"),
             "user_id",
             "n_pairs",
             "sum_value",
@@ -786,12 +789,12 @@ def q23_distinct_daily(spark, sf_dir):
     Catalyst expands to a two-phase aggregation)."""
     return (
         _t(spark, sf_dir, "events")
-        .groupBy(F.window("ts", "1 day").alias("w"))
+        .groupBy(tumbling_start(F.col("ts"), 86400).alias("w"))
         .agg(
             F.countDistinct("user_id").alias("n_users"),
             F.count("*").alias("n_events"),
         )
-        .select(F.date_format(F.col("w.start"), "yyyy-MM-dd").alias("day"), "n_users", "n_events")
+        .select(F.date_format(F.col("w"), "yyyy-MM-dd").alias("day"), "n_users", "n_events")
     )
 
 
@@ -837,7 +840,7 @@ def q25_pivot_daily_types(spark, sf_dir):
     determinism and streaming compatibility)."""
     return (
         _t(spark, sf_dir, "events")
-        .groupBy(F.date_format(F.window("ts", "1 day").start, "yyyy-MM-dd").alias("day"))
+        .groupBy(F.date_format(tumbling_start(F.col("ts"), 86400), "yyyy-MM-dd").alias("day"))
         .pivot("event_type", _EVENT_TYPES)
         .count()
         .na.fill(0, _EVENT_TYPES)
