@@ -142,6 +142,31 @@ def minhash_signatures(
     return sh.groupBy("doc_id").agg(*aggs)
 
 
+def _bucket_pairs(ids_col) -> "F.Column":
+    """All ordered (doc_a < doc_b) pairs within one bucket's id array —
+    pure Catalyst (array_sort + nested transform + flatten), no UDF.
+
+    Pair volume is quadratic in BUCKET size — exactly the rows a self
+    equi-join on the bucket key would emit; the difference is that one
+    bucket expands in one task instead of one join cell, which is the
+    same skew exposure (an equi-join also hash-routes each key to one
+    reducer). Near-dup LSH buckets are small by construction (docs
+    agreeing on a full band / bit-block); a degenerate corpus (millions
+    of identical docs) should be exact-deduped first — true at any
+    scale, for either formulation.
+    """
+    ids = F.array_sort(ids_col)
+    return F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + 2, F.size(ids) - i - 1),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
+    )
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     threshold: float,
@@ -153,19 +178,20 @@ def minhash_lsh_pairs(
     """MinHash + LSH banding near-dup pairs, verified by exact Jaccard.
 
     Signature (16 mins) → 8 bands of 2 → unpivot to (doc, band, key)
-    → self equi-join on (band, key) → distinct candidate pairs →
-    exact n-gram Jaccard verification ≥ threshold. Each stage is a
+    → groupBy (band, key) collecting each bucket's ids → in-bucket
+    pair expansion (:func:`_bucket_pairs`) → distinct candidate pairs
+    → exact n-gram Jaccard verification ≥ threshold. Each stage is a
     shuffle on a well-distributed key; nothing is quadratic in corpus
     size. Returns (doc_a, doc_b, jaccard).
+
+    Bucket-groupBy (not a banded self-join) generates the candidates:
+    one scan of the signature subtree instead of two. Spark performs
+    no common-subexpression elimination across self-join sides, and
+    two branches of one job racing on an unmaterialized cache each
+    recompute it — the groupBy formulation has a single consumer, so
+    the whole candidate job reads the shingle index exactly once.
     """
-    # Caches below are followed by an explicit count(): each subtree is
-    # referenced by MULTIPLE branches of the same downstream action
-    # (self-join sides, the union, the final join), and branches of one
-    # job do NOT wait for each other's cache blocks — they'd race and
-    # recompute the subtree once per branch. A count() materializes the
-    # cache in its own job first, so every later reference is a read.
     sh = doc_shingles(docs, text_col, id_col, n).cache()
-    sh.count()
     sigs = minhash_signatures(docs, text_col, id_col, n, shingles=sh)
     n_perms = len(MINHASH_PERMS)
     bands = []
@@ -176,17 +202,20 @@ def minhash_lsh_pairs(
         )
     banded = sigs.select("doc_id", F.explode(F.array(*bands)).alias("bk")).select(
         "doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
-    ).cache()
-    a = banded.alias("a")
-    b = banded.alias("b")
+    )
+    buckets = (
+        banded.groupBy("band", "key")
+        .agg(F.collect_list("doc_id").alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    # cand is referenced by THREE branches of the final job (both arms
+    # of the cand_docs union + the output join); an unmaterialized
+    # cache would be recomputed per branch, so count() materializes it
+    # in its own job first (this job also populates the sh cache — its
+    # single reference flows through the signature aggregation).
     cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        buckets.select(F.explode(_bucket_pairs(F.col("ids"))).alias("p"))
+        .select("p.doc_a", "p.doc_b")
         .distinct()
         .cache()
     )
