@@ -47,23 +47,36 @@ def make_lsh_buckets_udf(weights):
     return buckets
 
 
-def make_block_pair_scorer(corpus_ids, corpus_matrix, mode):
-    """mapInPandas kernel for blocked all-pairs cosine scoring.
+def _pair_cos(R, C):
+    """(rows, corpus) cosine matrix with a LEFT-ASSOCIATIVE dim fold.
 
-    The corpus (ids + float64 matrix) is captured in the closure —
-    Spark ships it once per executor (broadcast-variable pattern), so
-    pairwise scoring is a per-batch numpy computation with NO pairwise
-    shuffle or nested-loop join.
-
-    Exactness: products are summed with ``cumsum`` along the dim axis
-    (left-to-right) and norms use the same fold, so the UNROUNDED
-    cosine is bit-identical to the SQL oracle's left-associated
-    expression; rounding/thresholding stays engine-side. ``mode``:
-      'upper' → emit pairs with row_id < corpus_id (near-dup dedup)
-      'all'   → emit all non-self pairs (feeds top-k ranking)
-    """
-    C = corpus_matrix.astype(np.float64)
+    The dot product is accumulated one dimension at a time — the
+    identical fold order to ``cumsum(...)[..., -1]`` and to the SQL
+    oracle's left-associated ``a[1]*b[1] + a[2]*b[2] + ...`` sum, so
+    the UNROUNDED cosine is bit-identical across engines — WITHOUT
+    materializing the (rows, corpus, dim) 3-D intermediate (the 2-D
+    accumulator stays cache-resident, ~10x faster)."""
+    r_norms = np.sqrt((R * R).cumsum(axis=1)[:, -1])
     c_norms = np.sqrt((C * C).cumsum(axis=1)[:, -1])
+    acc = R[:, 0, None] * C[None, :, 0]
+    for d in range(1, C.shape[1]):
+        acc += R[:, d, None] * C[None, :, d]
+    return acc / (r_norms[:, None] * c_norms[None, :])
+
+
+def make_block_pair_scorer(block_ids, block_matrix):
+    """mapInPandas kernel scoring distributed rows against a BOUNDED
+    in-closure block (ids + float64 matrix) — the block is the small,
+    bounded-by-contract side (a query set, an IVF cell matrix), shipped
+    once per executor in the task closure (broadcast-variable pattern).
+    The big side streams through as Arrow batches and NEVER touches the
+    driver.
+
+    Emits all non-self (stream_id, block_id) pairs as
+    (id_a = stream row id, id_b = block id, cos_sim); exactness per
+    :func:`_pair_cos`. Rounding/thresholding stays engine-side.
+    """
+    B = block_matrix.astype(np.float64)
 
     def score(batches):
         for pdf in batches:
@@ -71,24 +84,67 @@ def make_block_pair_scorer(corpus_ids, corpus_matrix, mode):
                 continue
             rows_id = pdf.iloc[:, 0].values.astype(np.int64)
             R = np.stack(pdf.iloc[:, 1].values).astype(np.float64)
-            r_norms = np.sqrt((R * R).cumsum(axis=1)[:, -1])
-            # left-associative dot product accumulated one dim at a
-            # time: the identical fold order to cumsum(...)[..., -1]
-            # (and the oracle's left-assoc sum) WITHOUT materializing
-            # the (batch, corpus, dim) 3-D intermediate — the 2-D
-            # accumulator stays cache-resident, ~10x faster
-            acc = R[:, 0, None] * C[None, :, 0]
-            for d in range(1, C.shape[1]):
-                acc += R[:, d, None] * C[None, :, d]
-            cos = acc / (r_norms[:, None] * c_norms[None, :])
-            if mode == "upper":
-                mask = rows_id[:, None] < corpus_ids[None, :]
-            else:
-                mask = corpus_ids[None, :] != rows_id[:, None]
+            cos = _pair_cos(R, B)
+            mask = block_ids[None, :] != rows_id[:, None]
             ii, jj = np.nonzero(mask)
             yield pd.DataFrame(
-                {"id_a": rows_id[ii], "id_b": corpus_ids[jj], "cos_sim": cos[ii, jj]}
+                {"id_a": rows_id[ii], "id_b": block_ids[jj], "cos_sim": cos[ii, jj]}
             )
+
+    return score
+
+
+def make_self_block_pair_scorer():
+    """applyInPandas kernel for blocked all-pairs self-scoring.
+
+    One group = one unordered block pair (gi, gj) of the corpus; the
+    group's rows are the union of both blocks (tagged ``_blk``), so
+    per-task memory is bounded by two block sizes no matter the corpus
+    size. Every unordered id pair lives in exactly one group (blocks
+    partition the ids), emitted once as (id_a = min, id_b = max).
+    Exactness per :func:`_pair_cos` (cosine is dim-fold symmetric in
+    its arguments, so pair orientation cannot change the value).
+    """
+
+    def _empty():
+        return pd.DataFrame(
+            {
+                "id_a": np.array([], dtype=np.int64),
+                "id_b": np.array([], dtype=np.int64),
+                "cos_sim": np.array([], dtype=np.float64),
+            }
+        )
+
+    def score(key, pdf):
+        gi, gj = int(key[0]), int(key[1])
+        A = pdf[pdf["_blk"] == gi]
+        ids_a = A["_id"].values.astype(np.int64)
+        if gi == gj:
+            if len(ids_a) < 2:
+                return _empty()
+            R = np.stack(A["_v"].values).astype(np.float64)
+            cos = _pair_cos(R, R)
+            mask = ids_a[:, None] < ids_a[None, :]
+            ii, jj = np.nonzero(mask)
+            return pd.DataFrame(
+                {"id_a": ids_a[ii], "id_b": ids_a[jj], "cos_sim": cos[ii, jj]}
+            )
+        B = pdf[pdf["_blk"] == gj]
+        ids_b = B["_id"].values.astype(np.int64)
+        if not len(ids_a) or not len(ids_b):
+            return _empty()
+        R = np.stack(A["_v"].values).astype(np.float64)
+        C = np.stack(B["_v"].values).astype(np.float64)
+        cos = _pair_cos(R, C)
+        ii, jj = np.nonzero(np.ones((len(ids_a), len(ids_b)), dtype=bool))
+        ia, ib = ids_a[ii], ids_b[jj]
+        return pd.DataFrame(
+            {
+                "id_a": np.minimum(ia, ib),
+                "id_b": np.maximum(ia, ib),
+                "cos_sim": cos[ii, jj],
+            }
+        )
 
     return score
 

@@ -10,7 +10,8 @@
   grows with tables. Hyperplanes derive deterministically from
   md5-based hashes so results are reproducible across runs/engines.
 - Embedding near-dup (corpus × corpus pairs ≥ threshold) is
-  :func:`cosine_neardup_pairs`, same bucketing idea.
+  :func:`cosine_neardup_pairs` — blocked all-pairs via
+  ``applyInPandas``: bounded per-task memory, no driver collect.
 """
 
 from __future__ import annotations
@@ -28,26 +29,6 @@ def _spread(df: DataFrame) -> DataFrame:
     return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
 
-def _block_score(rows: DataFrame, corpus: DataFrame, id_col: str, vec_col: str, mode: str) -> DataFrame:
-    """All (row, corpus) cosine pairs via the broadcast-matrix kernel.
-
-    The corpus side is collected to the driver and closure-captured
-    (the "broadcast the small side" pattern — at cluster scale this is
-    the IVF/blocked-ANN cell matrix, bounded by design). The row side
-    stays fully distributed.
-    """
-    import numpy as np
-
-    from ..functions._pandas_udfs import make_block_pair_scorer
-
-    collected = corpus.select(F.col(id_col), F.col(vec_col)).collect()
-    ids = np.array([r[0] for r in collected], dtype=np.int64)
-    matrix = np.array([list(r[1]) for r in collected], dtype=np.float64)
-    kernel = make_block_pair_scorer(ids, matrix, mode)
-    src = _spread(rows.select(F.col(id_col), F.col(vec_col)))
-    return src.mapInPandas(kernel, schema="id_a bigint, id_b bigint, cos_sim double")
-
-
 def cosine_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -55,17 +36,46 @@ def cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int | None = None,
+    max_query_block: int = 65_536,
 ) -> DataFrame:
     """Exact top-k neighbors per query by cosine (self-matches
     excluded). Ranking key is (cosine rounded to 6, neighbor id) so
     ordering is total and engine-independent. Returns
-    (query_id, neighbor_id, cos_sim, rank)."""
-    # blocked broadcast-matrix scoring: the corpus ships to executors
-    # inside the kernel closure; each query-side Arrow batch scores
-    # against the whole matrix in one numpy pass (no pairwise join)
-    scored = _block_score(queries, corpus, id_col, vec_col, mode="all").select(
-        F.col("id_a").alias("query_id"),
-        F.col("id_b").alias("neighbor_id"),
+    (query_id, neighbor_id, cos_sim, rank).
+
+    Scale contract: the QUERY set is the bounded side (a top-k request
+    is per-query work — a corpus-sized query set is a different
+    problem; use :func:`lsh_topk`/:func:`ivf_topk`). The query block
+    is collected to the driver (guarded by ``max_query_block`` — the
+    collect REFUSES to run on an oversized side rather than OOM) and
+    closure-shipped to executors; the CORPUS — the side that grows
+    with the dataset — streams through ``mapInPandas`` fully
+    distributed and never touches the driver.
+    """
+    import numpy as np
+
+    from ..functions._pandas_udfs import make_block_pair_scorer
+
+    collected = queries.select(F.col(id_col), F.col(vec_col)).limit(
+        max_query_block + 1
+    ).collect()
+    if len(collected) > max_query_block:
+        raise ValueError(
+            f"cosine_topk query block exceeds max_query_block={max_query_block}; "
+            "use lsh_topk/ivf_topk for corpus-scale query sets"
+        )
+    q_ids = np.array([r[0] for r in collected], dtype=np.int64)
+    q_matrix = np.array([list(r[1]) for r in collected], dtype=np.float64)
+    kernel = make_block_pair_scorer(q_ids, q_matrix)
+    src = _spread(corpus.select(F.col(id_col), F.col(vec_col)))
+    # kernel emits (id_a = corpus row, id_b = query) — cosine is
+    # fold-symmetric, so values are bit-identical to the query-side
+    # orientation the oracle computes
+    scored = src.mapInPandas(
+        kernel, schema="id_a bigint, id_b bigint, cos_sim double"
+    ).select(
+        F.col("id_b").alias("query_id"),
+        F.col("id_a").alias("neighbor_id"),
         F.round("cos_sim", 6).alias("cos_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
@@ -193,16 +203,50 @@ def cosine_neardup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int | None = None,
+    block_rows: int = 2048,
 ) -> DataFrame:
-    """All corpus pairs with cosine ≥ threshold (id_a < id_b).
+    """All corpus pairs with cosine ≥ threshold (id_a < id_b), fully
+    distributed — the exact (oracle-checkable) form.
 
-    Brute-force pair generation (the oracle-checkable form); at scale
-    swap the pair source for the LSH bucket join above — the scoring
-    and threshold stage is identical.
+    Blocked all-pairs: ids hash into ``ceil(N / block_rows)`` blocks;
+    each row is replicated to every unordered block pair it belongs to
+    and ``applyInPandas`` scores one block pair per group. Every id
+    pair lives in exactly ONE group, per-task memory is bounded by two
+    blocks (~``2·block_rows·dim·8`` bytes) and the driver never sees a
+    vector (its only action is a scalar ``count()`` to size the
+    blocks). Shuffle volume is N·n_blocks rows — the unavoidable
+    O(N²/block_rows) footprint of an exact all-pairs scan; for corpora
+    where that is too much, the LSH path (:func:`lsh_topk` bucketing)
+    is the approximate scale-out, identical scoring stage.
     """
+    import math
+
+    from ..functions._pandas_udfs import make_self_block_pair_scorer
+
+    src = vectors.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    n = src.count()  # bounded driver action: one scalar
+    n_blocks = max(1, math.ceil(n / block_rows))
+    blk = F.pmod(F.col("_id"), F.lit(n_blocks)).cast("int")
+    # one (gi, gj) group key per unordered block pair this row's block
+    # participates in — n_blocks keys per row, all distinct
+    group_keys = F.transform(
+        F.sequence(F.lit(0), F.lit(n_blocks - 1)),
+        lambda q: F.struct(
+            F.least(F.col("_blk"), q).cast("int").alias("gi"),
+            F.greatest(F.col("_blk"), q).cast("int").alias("gj"),
+        ),
+    )
+    exploded = (
+        _spread(src)
+        .withColumn("_blk", blk)
+        .select("_id", "_v", "_blk", F.explode(group_keys).alias("g"))
+        .select("_id", "_v", "_blk", F.col("g.gi").alias("gi"), F.col("g.gj").alias("gj"))
+    )
+    scored = exploded.groupBy("gi", "gj").applyInPandas(
+        make_self_block_pair_scorer(), schema="id_a bigint, id_b bigint, cos_sim double"
+    )
     return (
-        _block_score(vectors, vectors, id_col, vec_col, mode="upper")
-        .select(
+        scored.select(
             F.col("id_a").alias("vec_a"),
             F.col("id_b").alias("vec_b"),
             F.round("cos_sim", 6).alias("cos_sim"),
