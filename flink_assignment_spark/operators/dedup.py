@@ -26,6 +26,19 @@ from ..functions.text import (
 )
 
 
+# Skew guards for the shingle inverted index and LSH buckets. A
+# shingle occurring in more than MAX_SHINGLE_DF documents is corpus
+# boilerplate (license headers, markup): it carries no dedup signal
+# but turns the index self-join quadratic on one reducer key (k docs
+# sharing it → k² join rows). Same for an LSH bucket larger than
+# MAX_LSH_BUCKET — genuine near-dup buckets are small by construction
+# (docs agreeing on a full minhash band); an oversized one is a
+# degenerate corpus region that exact dedup should have removed.
+# Both caps are mirrored verbatim in the DuckDB oracle CTEs.
+MAX_SHINGLE_DF = 100
+MAX_LSH_BUCKET = 50
+
+
 def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Exact duplicate groups by full-text equality.
 
@@ -49,7 +62,41 @@ def _spread(df: DataFrame) -> DataFrame:
     return df.repartition(n)
 
 
-def doc_shingles(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3) -> DataFrame:
+def cap_doc_freq(index: DataFrame, max_doc_freq: int) -> DataFrame:
+    """Drop inverted-index postings whose shingle occurs in more than
+    ``max_doc_freq`` documents, and recompute each document's shingle
+    count over the kept set (so Jaccard is over the capped sets and
+    both engines agree).
+
+    The document-frequency aggregate is safe on the hot key itself:
+    ``groupBy(h).count`` partial-aggregates map-side, so the skewed
+    hash contributes one row per input partition to the shuffle. The
+    surviving hot-hash list is tiny by definition (only hashes with
+    df > cap) and broadcast for the anti-join — the full index is
+    never shuffled on ``h`` here. The per-doc recount hash-partitions
+    by ``doc_id``; every downstream consumer (MinHash groupBy, the
+    verify join's pair aggregation) reuses that partitioning.
+    """
+    hot = (
+        index.groupBy("h")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > max_doc_freq)
+        .select("h")
+    )
+    kept = index.join(F.broadcast(hot), "h", "left_anti")
+    n_kept = kept.groupBy("doc_id").agg(F.count("*").alias("n_kept"))
+    return kept.select("doc_id", "h").join(n_kept, "doc_id").select(
+        "doc_id", F.col("n_kept").alias("n_shingles"), "h"
+    )
+
+
+def doc_shingles(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
     """(doc_id, n_shingles, h) exploded inverted-index input — one row
     per distinct shingle per doc, keyed by the shingle's 60-bit hash.
 
@@ -73,7 +120,7 @@ def doc_shingles(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
         F.col(id_col).alias("doc_id"),
         word_shingles(tokens(F.col(text_col)), n).alias("shingles"),
     )
-    return (
+    index = (
         with_sh.select(
             "doc_id",
             F.size("shingles").alias("n_shingles"),
@@ -82,6 +129,9 @@ def doc_shingles(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
         .filter(F.col("shingle").isNotNull())
         .select("doc_id", "n_shingles", hash60(F.col("shingle")).alias("h"))
     )
+    if max_doc_freq is None:
+        return index
+    return cap_doc_freq(index, max_doc_freq)
 
 
 def ngram_jaccard_pairs(
@@ -91,18 +141,26 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     shingles: DataFrame | None = None,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """All pairs with word-n-gram Jaccard ≥ threshold, via inverted
     index: explode shingles → self equi-join on the shingle hash →
     count intersections per pair → |A∩B| / (|A|+|B|−|A∩B|).
 
     No N² cross join: pair candidates are generated only for docs
-    sharing ≥ 1 shingle. The (doc, h) index is cached: Spark
-    performs no common-subexpression elimination across self-join
-    sides, so without it the shingling subtree runs once per side (at
-    cluster scale you would persist this index to storage instead).
+    sharing ≥ 1 shingle, and ``max_doc_freq`` drops boilerplate
+    shingles whose posting list exceeds the cap (see
+    :func:`cap_doc_freq`) so no single join key fans out
+    quadratically. The (doc, h) index is cached: Spark performs no
+    common-subexpression elimination across self-join sides, so
+    without it the shingling subtree runs once per side (at cluster
+    scale you would persist this index to storage instead).
     """
-    sh = shingles if shingles is not None else doc_shingles(docs, text_col, id_col, n).cache()
+    sh = (
+        shingles
+        if shingles is not None
+        else doc_shingles(docs, text_col, id_col, n, max_doc_freq).cache()
+    )
     a = sh.alias("a")
     b = sh.alias("b")
     inter = (
@@ -174,6 +232,8 @@ def minhash_lsh_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     rows_per_band: int = 2,
+    max_doc_freq: int | None = None,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """MinHash + LSH banding near-dup pairs, verified by exact Jaccard.
 
@@ -190,8 +250,14 @@ def minhash_lsh_pairs(
     two branches of one job racing on an unmaterialized cache each
     recompute it — the groupBy formulation has a single consumer, so
     the whole candidate job reads the shingle index exactly once.
+
+    ``max_doc_freq`` caps the shingle index (one capped index feeds
+    signatures, candidates AND verification, so the reported Jaccard
+    is consistently over the capped sets); ``max_bucket`` drops
+    degenerate LSH buckets before pair expansion (see module-level
+    cap rationale).
     """
-    sh = doc_shingles(docs, text_col, id_col, n).cache()
+    sh = doc_shingles(docs, text_col, id_col, n, max_doc_freq).cache()
     sigs = minhash_signatures(docs, text_col, id_col, n, shingles=sh)
     n_perms = len(MINHASH_PERMS)
     bands = []
@@ -208,6 +274,8 @@ def minhash_lsh_pairs(
         .agg(F.collect_list("doc_id").alias("ids"))
         .filter(F.size("ids") > 1)
     )
+    if max_bucket is not None:
+        buckets = buckets.filter(F.size("ids") <= max_bucket)
     # cand is referenced by THREE branches of the final job (both arms
     # of the cand_docs union + the output join); an unmaterialized
     # cache would be recomputed per branch, so count() materializes it

@@ -25,6 +25,8 @@ from ..functions.text import MINHASH_PERMS, MINHASH_PRIME, STOPWORDS, stopword_r
 from ..functions.vector import cosine
 from ..operators.cep import followed_by
 from ..operators.dedup import (
+    MAX_LSH_BUCKET,
+    MAX_SHINGLE_DF,
     SIMHASH_BITS,
     exact_dedup,
     minhash_lsh_pairs,
@@ -499,8 +501,11 @@ FROM documents GROUP BY md5(text)
 """
 
 # Shared DuckDB CTEs for shingle-based dedup oracles (tokenize → word
-# 3-gram shingles → exploded inverted index → pairwise intersection).
-_SHINGLE_CTES = """
+# 3-gram shingles → exploded inverted index → document-frequency cap
+# (mirrors operators.dedup.cap_doc_freq: boilerplate shingles in more
+# than MAX_SHINGLE_DF docs are dropped and per-doc shingle counts
+# recomputed over the kept set) → pairwise intersection).
+_SHINGLE_CTES = f"""
 WITH toks AS (
   SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '') AS tk
   FROM documents
@@ -509,10 +514,18 @@ WITH toks AS (
          list_distinct(list_transform(range(1, len(tk) - 1),
                                       i -> array_to_string(tk[i:i+2], ' '))) AS s
   FROM toks
-), ex AS (
-  SELECT doc_id, len(s) AS ns,
+), ex0 AS (
+  SELECT doc_id,
          CAST('0x' || substring(md5(unnest(s)), 1, 15) AS BIGINT) AS h
   FROM sh
+), dfreq AS (
+  SELECT h, count(*) AS df FROM ex0 GROUP BY h
+), kept AS (
+  SELECT doc_id, h FROM ex0 JOIN dfreq USING (h) WHERE df <= {MAX_SHINGLE_DF}
+), nsh AS (
+  SELECT doc_id, count(*) AS ns FROM kept GROUP BY doc_id
+), ex AS (
+  SELECT k.doc_id, n.ns, k.h FROM kept k JOIN nsh n ON k.doc_id = n.doc_id
 ), pairs AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.ns AS na, b.ns AS nb,
          count(*) AS inter
@@ -528,8 +541,11 @@ WITH toks AS (
 
 def q15_dedup_ngram_jaccard(spark, sf_dir):
     """Near-dup pairs by word-3-gram Jaccard ≥ 0.3 via inverted-index
-    join (no N² cross join)."""
-    return ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.3)
+    join (no N² cross join; hot-shingle posting lists capped at
+    MAX_SHINGLE_DF so no join key fans out quadratically)."""
+    return ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), threshold=0.3, max_doc_freq=MAX_SHINGLE_DF
+    )
 
 
 Q15_SQL = _SHINGLE_CTES + """
@@ -548,10 +564,14 @@ hx AS (
 ), bands AS (
   SELECT doc_id, i // 2 AS band, string_agg(CAST(m AS VARCHAR), ',' ORDER BY i) AS key
   FROM sigs GROUP BY 1, 2
+), bsz AS (
+  SELECT band, key, count(*) AS c FROM bands GROUP BY band, key
 ), cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM bands a JOIN bands b
     ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+  JOIN bsz s ON s.band = a.band AND s.key = a.key
+  WHERE s.c <= {MAX_LSH_BUCKET}
 )
 SELECT c.doc_a, c.doc_b, round(j.j, 6) AS jaccard
 FROM cand c JOIN jac j ON c.doc_a = j.doc_a AND c.doc_b = j.doc_b
@@ -562,8 +582,14 @@ WHERE j.j >= 0.3
 def q16_dedup_minhash_lsh(spark, sf_dir):
     """MinHash(16)+LSH(8 bands × 2) candidate pairs, verified by exact
     Jaccard ≥ 0.3. Hashing is md5-derived so the oracle reproduces the
-    identical signatures."""
-    return minhash_lsh_pairs(_t(spark, sf_dir, "documents"), threshold=0.3)
+    identical signatures. Posting lists and LSH buckets are capped
+    (MAX_SHINGLE_DF / MAX_LSH_BUCKET) against degenerate-corpus skew."""
+    return minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"),
+        threshold=0.3,
+        max_doc_freq=MAX_SHINGLE_DF,
+        max_bucket=MAX_LSH_BUCKET,
+    )
 
 
 # Hamming ≤ 3 with 4 pigeonhole blocks (12-bit) — captures 21/25 of
@@ -964,7 +990,9 @@ def q29_dedup_clusters(spark, sf_dir):
     one distributed join) → cluster representative + size per doc."""
     from ..operators.components import dedup_clusters
 
-    pairs = ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.3)
+    pairs = ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), threshold=0.3, max_doc_freq=MAX_SHINGLE_DF
+    )
     return dedup_clusters(pairs)
 
 

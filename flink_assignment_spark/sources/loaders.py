@@ -22,19 +22,49 @@ from ..schemas import ALL_TABLES, COMMIT, COMMIT_GEO
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one synthetic table, e.g. ``load_table(spark, sf, "lineitem")``.
 
-    ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark
-    rejects natively; read it as raw nanos (``nanosAsLong``) and
-    truncate to microseconds — exactly what DuckDB does when it scans
-    the same file, so the oracle sees identical instants.
+    Timestamp normalization — the testdata generator has produced both
+    of these over time, and the semantics must not depend on the
+    (driver-owned) session's timezone or parquet-inference settings:
+
+    - ``TIMESTAMP(NANOS)``: Spark rejects it natively; read raw nanos
+      (``nanosAsLong``) and truncate to microseconds — exactly what
+      DuckDB does scanning the same file.
+    - ``TIMESTAMP(MICROS, isAdjustedToUTC=false)``: Spark's default
+      inference yields TIMESTAMP_NTZ (no event-time ops, session-tz
+      dependent casts). Re-read with an explicit schema forcing
+      TimestampType: the reader then copies the stored int64 micros as
+      the LTZ epoch — bit-identical to DuckDB's ``epoch_us`` — with no
+      session-tz involvement.
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
         if dict(df.dtypes).get("ts") == "bigint":
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        return df
-    return spark.read.parquet(path)
+            return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    else:
+        df = spark.read.parquet(path)
+    if "timestamp_ntz" in dict(df.dtypes).values():
+        df = spark.read.schema(_force_ltz(df.schema)).parquet(path)
+    return df
+
+
+def _force_ltz(schema):
+    """Copy of ``schema`` with every TIMESTAMP_NTZ field re-typed as
+    TIMESTAMP (LTZ) — top-level only, which covers the flat synthetic
+    tables."""
+    from pyspark.sql.types import StructField, StructType, TimestampNTZType, TimestampType
+
+    return StructType(
+        [
+            StructField(
+                f.name,
+                TimestampType() if isinstance(f.dataType, TimestampNTZType) else f.dataType,
+                f.nullable,
+            )
+            for f in schema.fields
+        ]
+    )
 
 
 def load_tables(spark: SparkSession, sf_dir: str, names=ALL_TABLES) -> dict[str, DataFrame]:

@@ -1,0 +1,96 @@
+"""Skew guards for the dedup family: document-frequency caps on the
+shingle inverted index and size caps on LSH buckets.
+
+The scale failure these prevent: one boilerplate shingle shared by k
+documents puts k postings on ONE join key, so the inverted-index
+self-join emits k² rows on a single reducer. At k = 10⁶ (a license
+header across a crawl) that is 10¹² rows on one task — the job never
+finishes. The caps drop such signal-free keys before the join, and
+the DuckDB oracles mirror them (tests/test_synthetic_queries.py
+pins q15/q16/q29 parity).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from flink_assignment_spark.functions.text import hash60
+from flink_assignment_spark.operators.dedup import (
+    cap_doc_freq,
+    doc_shingles,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_hot_shingle_dropped_and_counts_recomputed(spark):
+    """1000 docs share one boilerplate shingle; the cap must remove its
+    posting list entirely and recompute per-doc shingle counts."""
+    docs = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("common boiler plate u"),
+            F.col("id").cast("string"),
+            F.lit("a u"),
+            F.col("id").cast("string"),
+            F.lit("b u"),
+            F.col("id").cast("string"),
+            F.lit("c"),
+        ).alias("text"),
+    )
+    # 6 tokens -> 4 shingles/doc; only "common boiler plate" is shared
+    capped = doc_shingles(docs, max_doc_freq=100)
+    hot = hash60(F.lit("common boiler plate"))
+    assert capped.filter(F.col("h") == hot).count() == 0
+    per_doc = capped.groupBy("doc_id").count().select("count").distinct().collect()
+    assert [r["count"] for r in per_doc] == [3]
+    ns = capped.select("n_shingles").distinct().collect()
+    assert [r["n_shingles"] for r in ns] == [3]
+
+
+def test_hot_shingle_candidate_volume_bounded(spark):
+    """With the cap, 1000 docs sharing one shingle produce ZERO join
+    candidates (the ~500k hot-key pair rows never exist)."""
+    docs = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("common boiler plate u"),
+            F.col("id").cast("string"),
+            F.lit("a u"),
+            F.col("id").cast("string"),
+            F.lit("b u"),
+            F.col("id").cast("string"),
+            F.lit("c"),
+        ).alias("text"),
+    )
+    pairs = ngram_jaccard_pairs(docs, threshold=0.0, max_doc_freq=100)
+    assert pairs.count() == 0
+
+
+def test_jaccard_over_capped_sets(spark):
+    """Jaccard is recomputed over the kept shingle sets: the hot
+    shingle contributes to neither the intersection nor the sizes."""
+    rows = [(0, "H1 H2 H3 A B C"), (1, "H1 H2 H3 A B D")] + [
+        (i, f"H1 H2 H3 x{i} y{i} z{i}") for i in range(2, 10)
+    ]
+    # "H1 H2 H3" has df=10 > cap=5 -> dropped. Docs 0/1 then share
+    # shingles (H2,H3,A) and (H3,A,B): inter=2, na=nb=3 -> j=0.5.
+    pairs = ngram_jaccard_pairs(_docs(spark, rows), threshold=0.1, max_doc_freq=5)
+    got = [(r.doc_a, r.doc_b, r.jaccard) for r in pairs.collect()]
+    assert got == [(0, 1, 0.5)]
+
+
+def test_lsh_bucket_cap_drops_degenerate_bucket(spark):
+    """60 identical docs collide into one size-60 bucket per band;
+    max_bucket=50 drops them all (exact dedup's job, not LSH's),
+    while the uncapped run would expand C(60,2)=1770 pairs."""
+    rows = [(i, "alpha beta gamma delta epsilon zeta") for i in range(60)]
+    docs = _docs(spark, rows)
+    capped = minhash_lsh_pairs(docs, threshold=0.5, max_bucket=50)
+    assert capped.count() == 0
+    uncapped = minhash_lsh_pairs(docs, threshold=0.5)
+    assert uncapped.count() == 60 * 59 // 2
