@@ -31,14 +31,44 @@ def strip_query_string(url: Column) -> Column:
 
 
 def repo_from_url(url: Column) -> Column:
-    """Parse ``owner/repo`` from a GitHub API commit URL.
+    """Parse ``owner/repo`` from a GitHub API commit URL, with the
+    reference's positional fallbacks for malformed URLs.
 
-    Mirrors the split-on-'/'-take-2-after-"repos" logic of reference
-    ``FlinkAssignment.scala:174-183`` (and its inline copy at
-    ``:311-319``): strip the query string, then take the two path
-    segments following ``/repos/``.
+    Mirrors reference ``FlinkAssignment.scala:174-183`` (inlined again
+    at ``:311-319``) exactly:
+
+    1. strip the query string, split on ``/``;
+    2. if a ``repos`` segment exists with ≥ 2 segments after it, take
+       those two;
+    3. else if the URL has ≥ 4 segments, take the 3rd- and 2nd-last
+       (the owner/repo position in a web URL like
+       ``https://host/owner/repo/commits``);
+    4. else return the cleaned URL itself.
+
+    Scala's ``split`` drops TRAILING empty segments (a trailing ``/``
+    never yields one) but keeps interior ones (``https://`` yields an
+    empty segment at index 1) — reproduced by stripping trailing
+    slashes before Spark's ``split``, which otherwise keeps both.
     """
-    return F.regexp_extract(strip_query_string(url), r"/repos/([^/]+/[^/]+)", 1)
+    cleaned = strip_query_string(url)
+    parts = F.split(F.regexp_replace(cleaned, r"/+$", ""), "/")
+    idx = F.array_position(parts, "repos")  # 1-based; 0 when absent
+    n = F.size(parts)
+    happy = F.concat(
+        F.try_element_at(parts, (idx + 1).cast("int")),
+        F.lit("/"),
+        F.try_element_at(parts, (idx + 2).cast("int")),
+    )
+    positional = F.concat(
+        F.try_element_at(parts, F.lit(-3)),
+        F.lit("/"),
+        F.try_element_at(parts, F.lit(-2)),
+    )
+    return (
+        F.when((idx > 0) & (idx + 2 <= n), happy)
+        .when(n >= 4, positional)
+        .otherwise(cleaned)
+    )
 
 
 def day_str(ts: Column) -> Column:

@@ -14,6 +14,7 @@ before hashing).
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 from typing import Callable
 
@@ -2038,6 +2039,93 @@ FROM documents
 
 
 REGISTRY.update({"q55_media_stats": QuerySpec(q55_media_stats, Q55_SQL)})
+
+
+# ------------- bucketed fact-fact join: the shuffle moves to ingest
+N_JOIN_BUCKETS = 16
+
+
+def _bucketed_join_tables(spark, sf_dir) -> tuple[str, str]:
+    """Materialize lineitem and orders as managed tables bucketed (and
+    sorted) by order key — once per (catalog, sf_dir); later queries
+    read co-located buckets and join with ZERO exchanges.
+
+    This is the 100 TB answer to a fact-fact join on a shared key: pay
+    the hash-shuffle once at ingest (``sinks.write_bucketed``), not on
+    every query. The pre-write ``repartition(N, key)`` aligns write
+    tasks with bucket hashing (both Murmur3-mod-N), so each bucket is
+    one file and bucket-sorted reads stay sorted.
+    """
+    import re
+    import shutil
+    from urllib.parse import urlparse
+
+    from ..sources.sinks import write_bucketed
+
+    def _drop_stale_location(table: str) -> None:
+        # a previous PROCESS may have left the managed table's files in
+        # the warehouse dir while this session's in-memory catalog has
+        # no entry — saveAsTable then refuses (LOCATION_ALREADY_EXISTS)
+        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir"))
+        if wh.scheme in ("", "file"):
+            shutil.rmtree(os.path.join(wh.path, table.lower()), ignore_errors=True)
+
+    tag = re.sub(r"\W+", "_", sf_dir.strip("/"))
+    li_t, o_t = f"lineitem_bkt_{tag}", f"orders_bkt_{tag}"
+    if not spark.catalog.tableExists(li_t):
+        _drop_stale_location(li_t)
+        li = _t(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_extendedprice", "l_discount"
+        )
+        write_bucketed(
+            li.repartition(N_JOIN_BUCKETS, F.col("l_orderkey")),
+            li_t,
+            ["l_orderkey"],
+            N_JOIN_BUCKETS,
+            sort_cols=["l_orderkey"],
+        )
+    if not spark.catalog.tableExists(o_t):
+        _drop_stale_location(o_t)
+        o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+        write_bucketed(
+            o.repartition(N_JOIN_BUCKETS, F.col("o_orderkey")),
+            o_t,
+            ["o_orderkey"],
+            N_JOIN_BUCKETS,
+            sort_cols=["o_orderkey"],
+        )
+    return li_t, o_t
+
+
+def q56_bucketed_join(spark, sf_dir):
+    """Revenue + item count per order priority through the BUCKETED
+    lineitem⋈orders join: the join itself plans with no Exchange under
+    it (asserted in tests/test_plans.py) — the only shuffle in the
+    whole query is the final 5-group aggregation."""
+    li_t, o_t = _bucketed_join_tables(spark, sf_dir)
+    li, o = spark.table(li_t), spark.table(o_t)
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+Q56_SQL = """
+SELECT o_orderpriority,
+       round(CAST(SUM(l_extendedprice * (1 - l_discount)) AS DOUBLE), 2) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+"""
+
+
+REGISTRY.update({"q56_bucketed_join": QuerySpec(q56_bucketed_join, Q56_SQL)})
 
 
 # ------------------------------------------------------------------------

@@ -10,8 +10,11 @@ from .queries import (
     question_eight_join_stream,
 )
 from .cep_stream import followed_by_stream
+from .dedup_stream import dedup_stream, exact_dedup_stream
 
 __all__ = [
+    "dedup_stream",
+    "exact_dedup_stream",
     "read_commits_stream",
     "read_commit_geo_stream",
     "read_events_stream",

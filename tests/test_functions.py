@@ -24,16 +24,30 @@ def test_file_extension_matches_scala_split(spark):
 
 
 def test_repo_from_url_variants(spark):
-    got = _vals(
-        spark,
-        repo_from_url,
-        [
-            "https://api.github.com/repos/own/repo/commits/abc",
-            "https://api.github.com/repos/own/repo/commits/abc?page=2&per_page=5",
-            "https://example.com/no/repos-marker/here",
-        ],
-    )
-    assert got == ["own/repo", "own/repo", ""]
+    """Goldens hand-traced against FlinkAssignment.scala:174-183
+    (split on '/', indexOf("repos"), positional fallback, identity
+    fallback). Scala split drops trailing empty segments but keeps
+    interior ones ('https://' contributes an empty segment)."""
+    cases = [
+        # happy path: two segments after 'repos'
+        ("https://api.github.com/repos/own/repo/commits/abc", "own/repo"),
+        ("https://api.github.com/repos/own/repo/commits/abc?page=2&per_page=5", "own/repo"),
+        ("x/repos/o/r?q=1", "o/r"),
+        # trailing slash: Scala split drops the trailing empty segment
+        ("https://api.github.com/repos/own/repo/", "own/repo"),
+        # 'repos' present but < 2 segments after it → positional branch:
+        # parts(len-3)/parts(len-2)
+        ("https://api.github.com/repos/own", "api.github.com/repos"),
+        # no 'repos' marker, ≥ 4 segments → positional branch
+        ("https://example.com/no/repos-marker/here", "no/repos-marker"),
+        ("https://github.com/owner/project/commits", "owner/project"),
+        ("a/b/c/d", "b/c"),
+        # < 4 segments → cleaned URL verbatim
+        ("a/b", "a/b"),
+        ("", ""),
+    ]
+    got = _vals(spark, repo_from_url, [c[0] for c in cases])
+    assert got == [c[1] for c in cases]
 
 
 def test_tokens_and_shingles_edges(spark):

@@ -164,3 +164,21 @@ def test_q46_two_level_rollup_two_shuffles(spark):
     plan = physical_plan(df)
     assert plan.count("Location: InMemoryFileIndex") == 1, plan
     assert count_exchanges(df) <= 2, plan
+
+
+def test_q56_bucketed_fact_join_zero_exchange(spark):
+    """The bucketed lineitem x orders join must read co-located buckets
+    and plan a sort-merge join with NO exchange beneath it — the only
+    shuffle in the query is the final small groupBy. Broadcast is
+    disabled so the assertion can't be satisfied by a broadcast join
+    (which would not survive two 100 TB fact tables)."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = REGISTRY["q56_bucketed_join"].spark(spark, SF_DIR)
+        plan = physical_plan(df)
+        assert "SortMergeJoin" in plan, plan
+        # exactly one shuffle: the post-join aggregation
+        assert count_exchanges(df) == 1, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)

@@ -1,0 +1,92 @@
+"""Streaming exact dedup equals batch first-per-key dedup, including
+duplicates that arrive in a LATER micro-batch (state-backed dedup,
+not per-batch)."""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta, timezone
+
+from pyspark.sql import functions as F
+
+from flink_assignment_spark.operators.dedup import exact_dedup
+from flink_assignment_spark.streaming.dedup_stream import exact_dedup_stream
+
+BASE = datetime(2024, 3, 1, tzinfo=timezone.utc)
+SCHEMA = "doc_id long, ts timestamp, text string"
+
+
+def _rows(specs):
+    """specs: (doc_id, minutes_offset, text)"""
+    return [(i, BASE + timedelta(minutes=m), t) for i, m, t in specs]
+
+
+def run_stream(df, name):
+    q = df.writeStream.outputMode("append").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+
+def test_streaming_dedup_matches_batch_first_per_key(spark, tmp_path):
+    """Ascending doc_ids split across two micro-batches: the streaming
+    survivor of each text is its min-id doc — exactly the batch
+    ``exact_dedup`` keep_id. A duplicate of a batch-1 text arriving in
+    batch 2 (doc 7) must also be dropped via persisted state."""
+    d = tmp_path / "docs"
+    d.mkdir()
+    batch1 = _rows(
+        [
+            (0, 0, "alpha text"),
+            (1, 1, "beta text"),
+            (2, 2, "alpha text"),  # dup within batch 1
+            (3, 3, "gamma text"),
+        ]
+    )
+    batch2 = _rows(
+        [
+            (4, 10, "delta text"),
+            (5, 11, "beta text"),   # dup of batch-1 text
+            (6, 12, "delta text"),  # dup within batch 2
+            (7, 13, "alpha text"),  # dup of batch-1 text
+        ]
+    )
+    # one part-file per micro-batch so batch order is deterministic
+    spark.createDataFrame(batch1, SCHEMA).coalesce(1).write.parquet(str(d / "f1"))
+    spark.createDataFrame(batch2, SCHEMA).coalesce(1).write.parquet(str(d / "f2"))
+
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d) + "/*")
+    )
+    out = exact_dedup_stream(stream, ts_col="ts", delay="1 hour")
+    run_stream(out, "dedups")
+    rows = spark.sql("SELECT text_hash, doc_id FROM dedups").collect()
+
+    batch_docs = spark.createDataFrame(batch1 + batch2, SCHEMA)
+    batch_groups = {
+        r.text_hash: r.n_dups for r in exact_dedup(batch_docs).collect()
+    }
+    # exactly one survivor per distinct text (4 texts, 8 docs)
+    assert sorted(r.text_hash for r in rows) == sorted(batch_groups)
+    # Spark keeps an ARBITRARY row per key within a micro-batch, but
+    # across micro-batches state guarantees the first batch wins: a
+    # batch-2 duplicate of a batch-1 text (docs 5 and 7) never survives
+    survivors = {r.doc_id for r in rows}
+    assert not survivors & {5, 7}
+    # batch-2-only text (delta) survives via one of its batch-2 docs
+    assert survivors & {4, 6}
+
+
+def test_streaming_dedup_unbounded_variant(spark, tmp_path):
+    """Without a ts column the operator falls back to plain
+    dropDuplicates — same survivors on a bounded replay."""
+    d = tmp_path / "docs2"
+    d.mkdir()
+    rows = _rows([(0, 0, "x y"), (1, 1, "x y"), (2, 2, "z w")])
+    spark.createDataFrame(rows, SCHEMA).write.parquet(str(d / "f1"))
+    stream = spark.readStream.schema(SCHEMA).parquet(str(d) + "/*")
+    run_stream(exact_dedup_stream(stream), "dedupu")
+    got = {r.doc_id for r in spark.sql("SELECT doc_id FROM dedupu").collect()}
+    assert got == {0, 2}
