@@ -91,6 +91,13 @@ def main() -> None:
     ap.add_argument(
         "--doc-scales", type=int, nargs="+", default=[5_000, 50_000, 500_000]
     )
+    ap.add_argument(
+        "--reps",
+        type=int,
+        default=3,
+        help="repetitions per (query, scale); median reported (single-run "
+        "noise on this harness is up to ±2x)",
+    )
     args = ap.parse_args()
 
     from flink_assignment_spark.queries.synthetic import REGISTRY
@@ -109,10 +116,17 @@ def main() -> None:
         ensure_events(spark, n, os.path.join(base, "events.parquet"))
         per_query = {}
         for qn in qnames:
-            t0 = time.monotonic()
-            REGISTRY[qn].spark(spark, base).write.format("noop").mode("overwrite").save()
-            dt = time.monotonic() - t0
-            per_query[qn] = {"sec": round(dt, 2), "rows_per_sec": int(n / dt)}
+            secs = []
+            for _ in range(args.reps):
+                t0 = time.monotonic()
+                REGISTRY[qn].spark(spark, base).write.format("noop").mode("overwrite").save()
+                secs.append(time.monotonic() - t0)
+            med = sorted(secs)[len(secs) // 2]
+            per_query[qn] = {
+                "sec": round(med, 2),
+                "rows_per_sec": int(n / med),
+                "reps": [round(s, 2) for s in secs],
+            }
         results[str(n)] = per_query
 
     doc_qnames = ["q16_dedup_minhash_lsh", "q29_dedup_clusters"]
@@ -122,10 +136,17 @@ def main() -> None:
         ensure_documents(spark, n, os.path.join(base, "documents.parquet"))
         per_query = {}
         for qn in doc_qnames:
-            t0 = time.monotonic()
-            REGISTRY[qn].spark(spark, base).write.format("noop").mode("overwrite").save()
-            dt = time.monotonic() - t0
-            per_query[qn] = {"sec": round(dt, 2), "rows_per_sec": int(n / dt)}
+            secs = []
+            for _ in range(args.reps):
+                t0 = time.monotonic()
+                REGISTRY[qn].spark(spark, base).write.format("noop").mode("overwrite").save()
+                secs.append(time.monotonic() - t0)
+            med = sorted(secs)[len(secs) // 2]
+            per_query[qn] = {
+                "sec": round(med, 2),
+                "rows_per_sec": int(n / med),
+                "reps": [round(s, 2) for s in secs],
+            }
         doc_results[str(n)] = per_query
     print(
         json.dumps(

@@ -2062,38 +2062,57 @@ def _bucketed_join_tables(spark, sf_dir) -> tuple[str, str]:
 
     from ..sources.sinks import write_bucketed
 
-    def _drop_stale_location(table: str) -> None:
-        # a previous PROCESS may have left the managed table's files in
-        # the warehouse dir while this session's in-memory catalog has
-        # no entry — saveAsTable then refuses (LOCATION_ALREADY_EXISTS)
+    def _local_location(table: str) -> str | None:
         wh = urlparse(spark.conf.get("spark.sql.warehouse.dir"))
         if wh.scheme in ("", "file"):
-            shutil.rmtree(os.path.join(wh.path, table.lower()), ignore_errors=True)
+            return os.path.join(wh.path, table.lower())
+        return None
+
+    def _ensure(table: str, key: str, cols_ddl: str, build) -> None:
+        if spark.catalog.tableExists(table):
+            return
+        loc = _local_location(table)
+        if loc is not None and os.path.exists(os.path.join(loc, "_SUCCESS")):
+            # a previous PROCESS already wrote the bucketed files (the
+            # bucket count is baked into the table name, so the layout
+            # is known-good) — re-attach them as an external table
+            # instead of re-shuffling the fact table. This is the
+            # ingest-once contract: the write is paid at ingest, every
+            # later session registers and joins for free.
+            spark.sql(
+                f"CREATE TABLE {table} ({cols_ddl}) USING PARQUET "
+                f"CLUSTERED BY ({key}) SORTED BY ({key}) "
+                f"INTO {N_JOIN_BUCKETS} BUCKETS LOCATION '{loc}'"
+            )
+            return
+        if loc is not None:
+            # half-written leftovers block saveAsTable (LOCATION_ALREADY_EXISTS)
+            shutil.rmtree(loc, ignore_errors=True)
+        write_bucketed(
+            build().repartition(N_JOIN_BUCKETS, F.col(key)),
+            table,
+            [key],
+            N_JOIN_BUCKETS,
+            sort_cols=[key],
+        )
 
     tag = re.sub(r"\W+", "_", sf_dir.strip("/"))
-    li_t, o_t = f"lineitem_bkt_{tag}", f"orders_bkt_{tag}"
-    if not spark.catalog.tableExists(li_t):
-        _drop_stale_location(li_t)
-        li = _t(spark, sf_dir, "lineitem").select(
+    li_t = f"lineitem_bkt{N_JOIN_BUCKETS}_{tag}"
+    o_t = f"orders_bkt{N_JOIN_BUCKETS}_{tag}"
+    _ensure(
+        li_t,
+        "l_orderkey",
+        "l_orderkey BIGINT, l_extendedprice DOUBLE, l_discount DOUBLE",
+        lambda: _t(spark, sf_dir, "lineitem").select(
             "l_orderkey", "l_extendedprice", "l_discount"
-        )
-        write_bucketed(
-            li.repartition(N_JOIN_BUCKETS, F.col("l_orderkey")),
-            li_t,
-            ["l_orderkey"],
-            N_JOIN_BUCKETS,
-            sort_cols=["l_orderkey"],
-        )
-    if not spark.catalog.tableExists(o_t):
-        _drop_stale_location(o_t)
-        o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
-        write_bucketed(
-            o.repartition(N_JOIN_BUCKETS, F.col("o_orderkey")),
-            o_t,
-            ["o_orderkey"],
-            N_JOIN_BUCKETS,
-            sort_cols=["o_orderkey"],
-        )
+        ),
+    )
+    _ensure(
+        o_t,
+        "o_orderkey",
+        "o_orderkey BIGINT, o_orderpriority STRING",
+        lambda: _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority"),
+    )
     return li_t, o_t
 
 
@@ -2128,15 +2147,107 @@ GROUP BY o_orderpriority
 REGISTRY.update({"q56_bucketed_join": QuerySpec(q56_bucketed_join, Q56_SQL)})
 
 
+# ---------------- BPE-ish subword token counting (training-data prep)
+# Coarse GPT-2-style pre-tokenizer classes: letter runs, digit runs,
+# punctuation runs. Shared verbatim with the oracle; both engines'
+# regex dialects agree on this subset.
+BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
+
+
+def q57_subword_tokens(spark, sf_dir):
+    """Per-document subword token counts under a BPE-ish regex
+    pre-tokenizer — the token-budget accounting a training pipeline
+    runs before sampling. Pure Catalyst (``regexp_extract_all`` +
+    higher-order filters), no Python in the row path."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all("text", F.lit(BPE_RE), 0)
+    alpha = F.filter(toks, lambda t: t.rlike("^[A-Za-z]+$"))
+    num = F.filter(toks, lambda t: t.rlike("^[0-9]+$"))
+    total_len = F.aggregate(
+        F.transform(toks, lambda t: F.length(t)), F.lit(0), lambda acc, x: acc + x
+    )
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_subwords"),
+        F.size(alpha).alias("n_alpha"),
+        F.size(num).alias("n_num"),
+        F.round(
+            total_len.cast("double") / F.size(toks).cast("double"), 6
+        ).alias("chars_per_subword"),
+    )
+
+
+Q57_SQL = r"""
+WITH tk AS (
+  SELECT doc_id,
+         regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+', 0) AS t
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(t) AS INT) AS n_subwords,
+       CAST(len(list_filter(t, x -> regexp_matches(x, '^[A-Za-z]+$'))) AS INT) AS n_alpha,
+       CAST(len(list_filter(t, x -> regexp_matches(x, '^[0-9]+$'))) AS INT) AS n_num,
+       round(CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE)
+             / CAST(len(t) AS DOUBLE), 6) AS chars_per_subword
+FROM tk
+"""
+
+
+REGISTRY.update({"q57_subword_tokens": QuerySpec(q57_subword_tokens, Q57_SQL)})
+
+
+# -------------------- per-label embedding centroids (array aggregate)
+EMB_DIM = 64
+
+
+def q58_embedding_centroids(spark, sf_dir):
+    """Element-wise centroid of the embedding vectors per label, as a
+    first-class array column: posexplode → (label, pos) partial-avg
+    (one shuffle, map-side partials over 64·N tiny rows) → re-assemble
+    the 64 means in position order. The explode stays JVM-side; no
+    vector ever reaches Python."""
+    emb = _t(spark, sf_dir, "embeddings")
+    ex = emb.select("label", F.posexplode("embedding").alias("pos", "val"))
+    means = ex.groupBy("label", "pos").agg(
+        F.avg(F.col("val").cast("double")).alias("m"), F.count("*").alias("c")
+    )
+    return means.groupBy("label").agg(
+        F.min("c").alias("n_vecs"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "m"))),
+            lambda s: F.round(s["m"], 6),
+        ).alias("centroid"),
+    )
+
+
+Q58_SQL = f"""
+WITH ex AS (
+  SELECT label, i AS pos, CAST(embedding[i] AS DOUBLE) AS val
+  FROM embeddings, range(1, {EMB_DIM + 1}) t(i)
+), m AS (
+  SELECT label, pos, avg(val) AS m, count(*) AS c FROM ex GROUP BY 1, 2
+)
+SELECT label, CAST(MIN(c) AS BIGINT) AS n_vecs,
+       list(round(m, 6) ORDER BY pos) AS centroid
+FROM m GROUP BY label
+"""
+
+
+REGISTRY.update({"q58_embedding_centroids": QuerySpec(q58_embedding_centroids, Q58_SQL)})
+
+
 # ------------------------------------------------------------------------
 # Registry ordering contract: the driver's correctness harness records at
 # most 50 entries per round (CORRECTNESS_r02 stopped at exactly 50 while
 # 55 queries ran in BENCH). Order therefore matters: every query with a
 # DuckDB oracle must land in the first 50 slots so none of the
 # hash-checked rows is truncated away. Layout:
-#   [0, 50)  the 50 oracle-bearing queries, original order (q01..q54)
-#   [50]     q55_media_stats (oracle; checked iff the harness cap > 50)
-#   [51, 56) rows-only queries (q31/q37/q40/q43/q47 — each is covered by
+#   [0, 50)  the first 50 oracle-bearing queries, original order
+#            (q01..q54)
+#   [50, 54) q56/q57/q58 then q55 (oracle-bearing; beyond the driver
+#            cap, but tests/test_synthetic_queries.py runs the SAME
+#            compare on every one of them each CI pass)
+#   tail     rows-only queries (q31/q37/q40/q43/q47 — each is covered by
 #            its own pytest accuracy/determinism harness instead)
 _ORACLE_FIRST = {n: s for n, s in REGISTRY.items() if s.oracle is not None and n != "q55_media_stats"}
 _ORACLE_FIRST["q55_media_stats"] = REGISTRY["q55_media_stats"]
