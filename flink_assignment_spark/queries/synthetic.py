@@ -22,7 +22,14 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.scalar import day_str, sliding_starts, tumbling_start
-from ..functions.text import MINHASH_PERMS, MINHASH_PRIME, STOPWORDS, stopword_ratio, tokens
+from ..functions.text import (
+    MINHASH_PERMS,
+    MINHASH_PRIME,
+    STOPWORDS,
+    stopword_ratio,
+    tokens,
+    word_shingles,
+)
 from ..functions.vector import cosine
 from ..operators.cep import followed_by
 from ..operators.dedup import (
@@ -2236,6 +2243,163 @@ FROM m GROUP BY label
 REGISTRY.update({"q58_embedding_centroids": QuerySpec(q58_embedding_centroids, Q58_SQL)})
 
 
+# --------------------------- PII scrubbing (training-data hygiene)
+# Simple-dialect patterns shared verbatim with the oracle (Java regex
+# and RE2 agree on this subset: no backrefs, no lookaround).
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+URL_RE = r"https?://[^\s]+"
+
+
+def q59_pii_scrub(spark, sf_dir):
+    """PII scrub pass: count and redact emails/URLs per document. The
+    synthetic corpus carries no PII, so the query plants one
+    deterministic email + URL per doc (derived from doc_id) before
+    scanning — the operator under test is the JVM-side regex
+    count/redact, which at 100 TB runs as a narrow map with zero
+    shuffles."""
+    docs = _t(spark, sf_dir, "documents")
+    text = F.concat(
+        F.col("text"),
+        F.lit(" contact u"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com via https://site.example/"),
+        F.col("doc_id").cast("string"),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(text, EMAIL_RE, "<EMAIL>"), URL_RE, "<URL>"
+    )
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(text, F.lit(EMAIL_RE), 0)).alias("n_emails"),
+        F.size(F.regexp_extract_all(text, F.lit(URL_RE), 0)).alias("n_urls"),
+        F.length(redacted).alias("redacted_len"),
+        F.md5(redacted).alias("redacted_hash"),
+    )
+
+
+Q59_SQL = rf"""
+WITH t AS (
+  SELECT doc_id,
+         text || ' contact u' || CAST(doc_id AS VARCHAR)
+              || '@example.com via https://site.example/'
+              || CAST(doc_id AS VARCHAR) AS text
+  FROM documents
+), r AS (
+  SELECT doc_id, text,
+         regexp_replace(regexp_replace(text, '{EMAIL_RE}', '<EMAIL>', 'g'),
+                        '{URL_RE}', '<URL>', 'g') AS red
+  FROM t
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{EMAIL_RE}')) AS INT) AS n_emails,
+       CAST(len(regexp_extract_all(text, '{URL_RE}')) AS INT) AS n_urls,
+       CAST(length(red) AS INT) AS redacted_len,
+       md5(red) AS redacted_hash
+FROM r
+"""
+
+
+REGISTRY.update({"q59_pii_scrub": QuerySpec(q59_pii_scrub, Q59_SQL)})
+
+
+# ---------------- benchmark-contamination check (n-gram containment)
+def q60_contamination(spark, sf_dir):
+    """Benchmark-contamination detection: which corpus documents share
+    a word-3-gram with a probe set (docs 0-19 standing in for a held
+    benchmark)? Probe shingles are a broadcast-sized set; the corpus
+    index streams through one equi-join on the shingle hash — the
+    GPT-3-style n-gram decontamination pass at its 100 TB shape
+    (broadcast-semi-join, no corpus self-join)."""
+    from ..operators.dedup import doc_shingles
+
+    docs = _t(spark, sf_dir, "documents")
+    sh = doc_shingles(docs)
+    probe = sh.filter(F.col("doc_id") < 20).select(F.col("h").alias("ph")).distinct()
+    return (
+        sh.filter(F.col("doc_id") >= 20)
+        .join(F.broadcast(probe), sh.h == probe.ph)
+        .groupBy("doc_id")
+        .agg(F.count_distinct("h").alias("n_contaminated_shingles"))
+    )
+
+
+Q60_SQL = """
+WITH toks AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '') AS tk
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(tk) - 1),
+                                      i -> array_to_string(tk[i:i+2], ' '))) AS s
+  FROM toks
+), ex AS (
+  SELECT doc_id, CAST('0x' || substring(md5(unnest(s)), 1, 15) AS BIGINT) AS h
+  FROM sh
+), probe AS (
+  SELECT DISTINCT h FROM ex WHERE doc_id < 20
+)
+SELECT e.doc_id, CAST(count(DISTINCT e.h) AS BIGINT) AS n_contaminated_shingles
+FROM ex e JOIN probe p ON e.h = p.h
+WHERE e.doc_id >= 20
+GROUP BY e.doc_id
+"""
+
+
+REGISTRY.update({"q60_contamination": QuerySpec(q60_contamination, Q60_SQL)})
+
+
+# ------------- repetition-based quality filter (Gopher-style rules)
+def q61_repetition_filter(spark, sf_dir):
+    """Within-document repetition stats: total vs distinct word-3-gram
+    counts and the duplicate-shingle ratio (the Gopher repetition
+    rule). Pure array expressions — a narrow map over the corpus, no
+    shuffle at any scale."""
+    docs = _t(spark, sf_dir, "documents")
+    tk = tokens(F.col("text"))
+    n_total = F.greatest(F.size(tk) - 2, F.lit(0))
+    n_distinct = F.size(word_shingles(tk, 3))
+    dup_ratio = F.when(
+        n_total > 0,
+        F.round((n_total - n_distinct).cast("double") / n_total.cast("double"), 6),
+    ).otherwise(F.lit(0.0))
+    return docs.select(
+        "doc_id",
+        n_total.alias("n_shingles_total"),
+        n_distinct.alias("n_shingles_distinct"),
+        dup_ratio.alias("dup_shingle_ratio"),
+        (dup_ratio <= 0.2).alias("passes_repetition_filter"),
+    )
+
+
+Q61_SQL = """
+WITH toks AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '') AS tk
+  FROM documents
+), st AS (
+  SELECT doc_id,
+         greatest(len(tk) - 2, 0) AS n_total,
+         CASE WHEN len(tk) >= 3
+              THEN len(list_distinct(list_transform(range(1, len(tk) - 1),
+                                                    i -> array_to_string(tk[i:i+2], ' '))))
+              ELSE 0 END AS n_distinct
+  FROM toks
+)
+SELECT doc_id,
+       CAST(n_total AS INT) AS n_shingles_total,
+       CAST(n_distinct AS INT) AS n_shingles_distinct,
+       CASE WHEN n_total > 0
+            THEN round(CAST(n_total - n_distinct AS DOUBLE) / n_total, 6)
+            ELSE 0.0 END AS dup_shingle_ratio,
+       CASE WHEN n_total > 0
+            THEN round(CAST(n_total - n_distinct AS DOUBLE) / n_total, 6) <= 0.2
+            ELSE TRUE END AS passes_repetition_filter
+FROM st
+"""
+
+
+REGISTRY.update({"q61_repetition_filter": QuerySpec(q61_repetition_filter, Q61_SQL)})
+
+
 # ------------------------------------------------------------------------
 # Registry ordering contract: the driver's correctness harness records at
 # most 50 entries per round (CORRECTNESS_r02 stopped at exactly 50 while
@@ -2244,7 +2408,7 @@ REGISTRY.update({"q58_embedding_centroids": QuerySpec(q58_embedding_centroids, Q
 # hash-checked rows is truncated away. Layout:
 #   [0, 50)  the first 50 oracle-bearing queries, original order
 #            (q01..q54)
-#   [50, 54) q56/q57/q58 then q55 (oracle-bearing; beyond the driver
+#   next     q56..q61 then q55 (oracle-bearing; beyond the driver
 #            cap, but tests/test_synthetic_queries.py runs the SAME
 #            compare on every one of them each CI pass)
 #   tail     rows-only queries (q31/q37/q40/q43/q47 — each is covered by

@@ -182,3 +182,18 @@ def test_q56_bucketed_fact_join_zero_exchange(spark):
         assert count_exchanges(df) == 1, plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_q59_q61_narrow_maps_no_shuffle(spark):
+    """PII scrub and repetition filter are per-row array/regex maps —
+    at 100 TB they must plan as narrow scans with ZERO exchanges."""
+    for name in ("q59_pii_scrub", "q61_repetition_filter"):
+        df = REGISTRY[name].spark(spark, SF_DIR)
+        assert count_exchanges(df) == 0, (name, physical_plan(df))
+
+
+def test_q60_contamination_broadcasts_probe(spark):
+    """The decontamination join must broadcast the (bounded) probe
+    shingle set — the corpus index must never shuffle for the join."""
+    df = REGISTRY["q60_contamination"].spark(spark, SF_DIR)
+    assert has_broadcast_hash_join(df), physical_plan(df)
