@@ -3,6 +3,10 @@ reference's Scala semantics, incl. ANSI-mode safety)."""
 
 from __future__ import annotations
 
+import re
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from flink_assignment_spark.functions.scalar import file_extension, repo_from_url
@@ -48,6 +52,40 @@ def test_repo_from_url_variants(spark):
     ]
     got = _vals(spark, repo_from_url, [c[0] for c in cases])
     assert got == [c[1] for c in cases]
+
+
+def _scala_repo_from_url(url: str) -> str:
+    """Line-by-line Python port of FlinkAssignment.scala:174-183,
+    including Java split's trailing-empty-segment semantics."""
+    cleaned = re.sub(r"\?.*$", "", url)
+    parts = cleaned.split("/")
+    while parts and parts[-1] == "":
+        parts.pop()
+    if not parts and cleaned == "":
+        parts = [""]  # Java "".split(..) -> [""]
+    idx = parts.index("repos") if "repos" in parts else -1
+    if idx >= 0 and idx + 2 < len(parts):
+        return f"{parts[idx + 1]}/{parts[idx + 2]}"
+    if len(parts) >= 4:
+        return f"{parts[-3]}/{parts[-2]}"
+    return cleaned
+
+
+_SEG = st.sampled_from(["repos", "a", "bb", "x9", "", "own", "repo", "c?q=1"])
+_URL = st.builds(
+    lambda segs, trail: "/".join(segs) + trail,
+    st.lists(_SEG, max_size=6),
+    st.sampled_from(["", "/", "//"]),
+)
+
+
+@settings(max_examples=20, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(urls=st.lists(_URL, min_size=1, max_size=25))
+def test_repo_from_url_property_parity(spark, urls):
+    """For arbitrary slash/query/empty-segment compositions, the
+    Catalyst expression agrees with the Scala port exactly."""
+    got = _vals(spark, repo_from_url, urls)
+    assert got == [_scala_repo_from_url(u) for u in urls]
 
 
 def test_tokens_and_shingles_edges(spark):
