@@ -13,7 +13,7 @@ from .interval_join import bucketed_interval_join, interval_join
 from .sampling import assign_split, stratified_sample, uniform_from_key
 from .sessionize import session_stats, sessionize
 from .similarity import cosine_neardup_pairs, cosine_topk, ivf_topk, lsh_topk
-from .skew import salted_agg
+from .skew import salted_agg, salted_join
 
 __all__ = [
     "asof_join",
@@ -38,4 +38,5 @@ __all__ = [
     "ivf_topk",
     "lsh_topk",
     "salted_agg",
+    "salted_join",
 ]

@@ -23,6 +23,34 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    n_salts: int = 16,
+    seed: int = 42,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe equi-join: salt the (big, skewed) LEFT side with a
+    deterministic random cell and replicate the RIGHT side across the
+    full salt domain, joining on (key..., salt). A key holding half
+    the left rows then spreads over ``n_salts`` reducer partitions
+    instead of serializing one; the right side pays an ``n_salts``×
+    replication, so keep it the smaller input. Result rows are
+    identical to the plain join (each left row meets each matching
+    right row in exactly one salt cell).
+
+    Prefer AQE's runtime skew-join split when it fires; this explicit
+    form covers plans AQE does not rewrite (e.g. when the skewed side
+    is already partitioned by an upstream stage).
+    """
+    l = left.withColumn("__salt", (F.rand(seed) * n_salts).cast("int"))
+    r = right.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    return l.join(r, on + ["__salt"], how).drop("__salt")
+
+
 def salted_agg(
     df: DataFrame,
     key_cols: list[str],

@@ -121,3 +121,22 @@ def test_partitioned_write_prunes_partitions(spark, tmp_path):
     m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert m and "event_type" in m.group(1), plan
     assert df.count() == events.filter(F.col("event_type") == "click").count()
+
+
+def test_salted_join_equals_plain_join(spark):
+    """salted_join must return exactly the plain join's rows, with a
+    planted hot key (half the left side on one key)."""
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from flink_assignment_spark.operators.skew import salted_join
+
+    left = spark.range(2000).select(
+        F.when(F.col("id") < 1000, F.lit(7)).otherwise(F.col("id") % 50).alias("k"),
+        F.col("id").alias("lv"),
+    )
+    right = spark.range(50).select(F.col("id").alias("k"), (F.col("id") * 10).alias("rv"))
+    got = Counter((r.k, r.lv, r.rv) for r in salted_join(left, right, ["k"]).collect())
+    want = Counter((r.k, r.lv, r.rv) for r in left.join(right, "k").collect())
+    assert len(got) > 0 and got == want
