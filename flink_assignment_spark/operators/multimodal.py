@@ -96,6 +96,51 @@ def image_features(media: DataFrame, batch_size_hint: int = 1024) -> DataFrame:
     return spread.mapInPandas(compute, schema=IMAGE_FEATURES)
 
 
+AUDIO_FEATURES = (
+    "media_id bigint, n_samples int, rms double, zero_crossings int, peak int"
+)
+
+
+def audio_features(media: DataFrame) -> DataFrame:
+    """Per-clip audio features via ``mapInPandas`` — same stage shape
+    as :func:`image_features`: decode (STUB: payload bytes as int8
+    PCM samples) → vectorized waveform stats (RMS, zero-crossing
+    count, peak) → skinny row out. A real decoder (soundfile/librosa,
+    absent from this container) replaces only ``_decode_audio_impl``.
+    """
+
+    def compute(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                pcm = _decode_audio_impl(bytes(payload))
+                n = int(pcm.size)
+                if n:
+                    rms = float(np.sqrt((pcm.astype(np.float64) ** 2).mean()))
+                    zc = int(((pcm[:-1] * pcm[1:]) < 0).sum()) if n > 1 else 0
+                    peak = int(np.abs(pcm).max())
+                else:
+                    rms, zc, peak = 0.0, 0, 0
+                rows.append((int(mid), n, rms, zc, peak))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "n_samples", "rms", "zero_crossings", "peak"]
+            )
+
+    spread = media.repartition(media.sparkSession.sparkContext.defaultParallelism)
+    return spread.mapInPandas(compute, schema=AUDIO_FEATURES)
+
+
+def _decode_audio_impl(payload: bytes):
+    """STUB — deterministic fake decode: payload bytes as signed 8-bit
+    PCM. Real implementation would parse the container format."""
+    import numpy as np
+
+    return np.frombuffer(payload, dtype=np.int8)
+
+
 def frame_sample(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame sampling plumbing: explode each video row into
     (media_id, frame_idx, frame_ts_ms) rows from metadata alone —

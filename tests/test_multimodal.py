@@ -61,3 +61,26 @@ def test_resize_rewrites_meta_keeps_payload(spark):
         assert bytes(out[k].payload) == bytes(orig[k].payload)
         assert (out[k].meta.width, out[k].meta.height) == (32, 32)
         assert out[k].meta.media_type == orig[k].meta.media_type
+
+
+def test_audio_features_deterministic_and_matches_numpy(spark):
+    """Waveform stats through the Arrow stage equal a local numpy
+    computation on the same payload bytes, twice (determinism)."""
+    import numpy as np
+
+    from flink_assignment_spark.operators.multimodal import audio_features
+
+    df = _media_df(spark)
+    payloads = {
+        i: bytes([(i * 7 + j) % 256 for j in range(256 + i)]) for i in range(20)
+    }
+    for _ in range(2):
+        rows = {r.media_id: r for r in audio_features(df).collect()}
+        assert set(rows) == set(payloads)
+        for mid, payload in payloads.items():
+            pcm = np.frombuffer(payload, dtype=np.int8)
+            r = rows[mid]
+            assert r.n_samples == pcm.size
+            assert abs(r.rms - float(np.sqrt((pcm.astype(np.float64) ** 2).mean()))) < 1e-12
+            assert r.zero_crossings == int(((pcm[:-1] * pcm[1:]) < 0).sum())
+            assert r.peak == int(np.abs(pcm).max())
