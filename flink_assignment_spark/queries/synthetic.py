@@ -2318,11 +2318,14 @@ def q60_contamination(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     sh = doc_shingles(docs)
     probe = sh.filter(F.col("doc_id") < 20).select(F.col("h").alias("ph")).distinct()
+    # the index holds one row per DISTINCT shingle per doc and the
+    # probe side is distinct, so the join cannot duplicate — a plain
+    # count equals count(distinct h) without the extra distinct shuffle
     return (
         sh.filter(F.col("doc_id") >= 20)
         .join(F.broadcast(probe), sh.h == probe.ph)
         .groupBy("doc_id")
-        .agg(F.count_distinct("h").alias("n_contaminated_shingles"))
+        .agg(F.count("*").alias("n_contaminated_shingles"))
     )
 
 
@@ -2341,7 +2344,7 @@ WITH toks AS (
 ), probe AS (
   SELECT DISTINCT h FROM ex WHERE doc_id < 20
 )
-SELECT e.doc_id, CAST(count(DISTINCT e.h) AS BIGINT) AS n_contaminated_shingles
+SELECT e.doc_id, CAST(count(*) AS BIGINT) AS n_contaminated_shingles
 FROM ex e JOIN probe p ON e.h = p.h
 WHERE e.doc_id >= 20
 GROUP BY e.doc_id
@@ -2446,6 +2449,66 @@ FROM documents d JOIN g ON d.doc_id = g.keep_id
 
 
 REGISTRY.update({"q62_dedup_apply": QuerySpec(q62_dedup_apply, Q62_SQL)})
+
+
+# ----------------------- multi-step funnel (chained first-match CEP)
+FUNNEL_STEP_S = 7 * 86400  # max gap between consecutive funnel steps
+
+
+def q63_funnel(spark, sf_dir):
+    """Three-step conversion funnel per user — signup → first click
+    within 7 days → first purchase within 7 days of that click. The
+    multi-step generalization of the reference's 2-step CEP
+    (``FlinkAssignment.scala:332-347``): each stage is one keyed
+    aggregation or one equi-join + min — per-step shuffles on user_id,
+    reusing the same hash partitioning stage to stage, no window-free
+    self-joins, state bounded by the step horizon."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    step = F.expr(f"INTERVAL '{FUNNEL_STEP_S}' SECOND")
+    signup = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    click = (
+        ev.filter(F.col("event_type") == "click")
+        .join(signup, "user_id")
+        .filter((F.col("ts") > F.col("signup_ts")) & (F.col("ts") <= F.col("signup_ts") + step))
+        .groupBy("user_id", "signup_ts")
+        .agg(F.min("ts").alias("click_ts"))
+    )
+    purchase = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(click, "user_id")
+        .filter((F.col("ts") > F.col("click_ts")) & (F.col("ts") <= F.col("click_ts") + step))
+        .groupBy("user_id", "signup_ts", "click_ts")
+        .agg(F.min("ts").alias("purchase_ts"))
+    )
+    return purchase
+
+
+Q63_SQL = f"""
+WITH s AS (
+  SELECT user_id, MIN(ts) AS signup_ts FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+), c AS (
+  SELECT e.user_id, s.signup_ts, MIN(e.ts) AS click_ts
+  FROM events e JOIN s ON e.user_id = s.user_id
+  WHERE e.event_type = 'click'
+    AND e.ts > s.signup_ts
+    AND e.ts <= s.signup_ts + INTERVAL {FUNNEL_STEP_S} SECOND
+  GROUP BY e.user_id, s.signup_ts
+)
+SELECT e.user_id, c.signup_ts, c.click_ts, MIN(e.ts) AS purchase_ts
+FROM events e JOIN c ON e.user_id = c.user_id
+WHERE e.event_type = 'purchase'
+  AND e.ts > c.click_ts
+  AND e.ts <= c.click_ts + INTERVAL {FUNNEL_STEP_S} SECOND
+GROUP BY e.user_id, c.signup_ts, c.click_ts
+"""
+
+
+REGISTRY.update({"q63_funnel": QuerySpec(q63_funnel, Q63_SQL)})
 
 
 # ------------------------------------------------------------------------
