@@ -83,6 +83,26 @@ def ensure_documents(spark, n_docs: int, path: str) -> None:
     df.write.mode("overwrite").parquet(path)
 
 
+def _timed_reps(spark, qn: str, base: str, n_rows: int, reps: int) -> dict:
+    """Run one registry query ``reps`` times; report the median (all
+    reps recorded — rep 1 typically carries JIT/worker warmup)."""
+    import time
+
+    from flink_assignment_spark.queries.synthetic import REGISTRY
+
+    secs = []
+    for _ in range(reps):
+        t0 = time.monotonic()
+        REGISTRY[qn].spark(spark, base).write.format("noop").mode("overwrite").save()
+        secs.append(time.monotonic() - t0)
+    med = sorted(secs)[len(secs) // 2]
+    return {
+        "sec": round(med, 2),
+        "rows_per_sec": int(n_rows / med),
+        "reps": [round(s, 2) for s in secs],
+    }
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument(
@@ -114,40 +134,16 @@ def main() -> None:
     for n in args.scales:
         base = f"/tmp/fas_scale_{n}"
         ensure_events(spark, n, os.path.join(base, "events.parquet"))
-        per_query = {}
-        for qn in qnames:
-            secs = []
-            for _ in range(args.reps):
-                t0 = time.monotonic()
-                REGISTRY[qn].spark(spark, base).write.format("noop").mode("overwrite").save()
-                secs.append(time.monotonic() - t0)
-            med = sorted(secs)[len(secs) // 2]
-            per_query[qn] = {
-                "sec": round(med, 2),
-                "rows_per_sec": int(n / med),
-                "reps": [round(s, 2) for s in secs],
-            }
-        results[str(n)] = per_query
+        results[str(n)] = {qn: _timed_reps(spark, qn, base, n, args.reps) for qn in qnames}
 
     doc_qnames = ["q16_dedup_minhash_lsh", "q29_dedup_clusters"]
     doc_results = {}
     for n in args.doc_scales:
         base = f"/tmp/fas_docscale_{n}"
         ensure_documents(spark, n, os.path.join(base, "documents.parquet"))
-        per_query = {}
-        for qn in doc_qnames:
-            secs = []
-            for _ in range(args.reps):
-                t0 = time.monotonic()
-                REGISTRY[qn].spark(spark, base).write.format("noop").mode("overwrite").save()
-                secs.append(time.monotonic() - t0)
-            med = sorted(secs)[len(secs) // 2]
-            per_query[qn] = {
-                "sec": round(med, 2),
-                "rows_per_sec": int(n / med),
-                "reps": [round(s, 2) for s in secs],
-            }
-        doc_results[str(n)] = per_query
+        doc_results[str(n)] = {
+            qn: _timed_reps(spark, qn, base, n, args.reps) for qn in doc_qnames
+        }
     print(
         json.dumps(
             {

@@ -116,7 +116,10 @@ def audio_features(media: DataFrame) -> DataFrame:
         for pdf in batches:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                pcm = _decode_audio_impl(bytes(payload))
+                # widen immediately: int8 products overflow (64*2 wraps
+                # to -128 -> phantom zero crossing) and abs(-128) is
+                # -128 in int8
+                pcm = _decode_audio_impl(bytes(payload)).astype(np.int32)
                 n = int(pcm.size)
                 if n:
                     rms = float(np.sqrt((pcm.astype(np.float64) ** 2).mean()))

@@ -43,7 +43,17 @@ def salted_join(
     Prefer AQE's runtime skew-join split when it fires; this explicit
     form covers plans AQE does not rewrite (e.g. when the skewed side
     is already partitioned by an upstream stage).
+
+    Only left-oriented joins are supported: under right/full outer an
+    unmatched right row would surface once per salt cell (n_salts
+    null-padded duplicates), so those are rejected.
     """
+    allowed = {"inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi", "left_anti", "leftanti", "cross"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join supports {sorted(allowed)}; {how!r} would duplicate "
+            "unmatched right-side rows across salt cells"
+        )
     l = left.withColumn("__salt", (F.rand(seed) * n_salts).cast("int"))
     r = right.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))

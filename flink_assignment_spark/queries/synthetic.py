@@ -2519,7 +2519,7 @@ REGISTRY.update({"q63_funnel": QuerySpec(q63_funnel, Q63_SQL)})
 # hash-checked rows is truncated away. Layout:
 #   [0, 50)  the first 50 oracle-bearing queries, original order
 #            (q01..q54)
-#   next     q56..q61 then q55 (oracle-bearing; beyond the driver
+#   next     q56..q63 then q55 (oracle-bearing; beyond the driver
 #            cap, but tests/test_synthetic_queries.py runs the SAME
 #            compare on every one of them each CI pass)
 #   tail     rows-only queries (q31/q37/q40/q43/q47 — each is covered by

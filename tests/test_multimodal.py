@@ -78,9 +78,11 @@ def test_audio_features_deterministic_and_matches_numpy(spark):
         rows = {r.media_id: r for r in audio_features(df).collect()}
         assert set(rows) == set(payloads)
         for mid, payload in payloads.items():
-            pcm = np.frombuffer(payload, dtype=np.int8)
+            # widened reference math — int8 products would overflow
+            pcm = np.frombuffer(payload, dtype=np.int8).astype(np.int32)
             r = rows[mid]
             assert r.n_samples == pcm.size
             assert abs(r.rms - float(np.sqrt((pcm.astype(np.float64) ** 2).mean()))) < 1e-12
             assert r.zero_crossings == int(((pcm[:-1] * pcm[1:]) < 0).sum())
             assert r.peak == int(np.abs(pcm).max())
+            assert r.peak <= 128  # int8 domain, abs(-128) handled
