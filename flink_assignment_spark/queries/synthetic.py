@@ -2511,6 +2511,39 @@ GROUP BY e.user_id, c.signup_ts, c.click_ts
 REGISTRY.update({"q63_funnel": QuerySpec(q63_funnel, Q63_SQL)})
 
 
+# ------------- mergeable distinct-count sketches (two-level rollup)
+def q64_hll_rollup(spark, sf_dir):
+    """Weekly distinct users REAGGREGATED FROM DAILY SKETCHES — the
+    q46 hypertable pattern applied to a non-algebraic aggregate:
+    ``hll_sketch_agg`` per day produces a fixed-size mergeable state,
+    ``hll_union_agg`` rolls days into weeks WITHOUT touching raw
+    events again. At 100 TB this is the only viable shape for
+    distinct-count rollups (exact distinct cannot be re-aggregated
+    from per-day exact counts). Sketch binaries are engine-specific →
+    rows-only driver check; the estimate accuracy and the
+    sketch-merge = direct-sketch identity are pytest-asserted."""
+    daily = (
+        _t(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("week", "ts").alias("week"), F.to_date("ts").alias("day"))
+        .agg(F.hll_sketch_agg("user_id").alias("day_sketch"))
+    )
+    return (
+        daily.groupBy("week")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("day_sketch")).alias("approx_weekly_users"),
+            F.count("*").alias("n_days"),
+        )
+        .select(
+            F.date_format("week", "yyyy-MM-dd").alias("week"),
+            "approx_weekly_users",
+            "n_days",
+        )
+    )
+
+
+REGISTRY.update({"q64_hll_rollup": QuerySpec(q64_hll_rollup, None)})
+
+
 # ------------------------------------------------------------------------
 # Registry ordering contract: the driver's correctness harness records at
 # most 50 entries per round (CORRECTNESS_r02 stopped at exactly 50 while

@@ -322,3 +322,32 @@ def test_ivf_bounded_training_sample(spark):
     approx = dict(((q, n), s) for q, n, s, _ in a)
     for p in set(exact) & set(approx):
         assert exact[p] == approx[p]
+
+
+def test_hll_rollup_merge_identity_and_accuracy(spark):
+    """The weekly estimate from merged DAILY sketches must (a) equal
+    the estimate of a sketch built directly over the week's raw rows
+    (HLL union is lossless w.r.t. the sketch state), and (b) land
+    within 5% of the exact weekly distinct count."""
+    from flink_assignment_spark.queries.synthetic import REGISTRY
+
+    sf_dir = SF_DIR
+    rolled = {
+        r.week: r.approx_weekly_users
+        for r in REGISTRY["q64_hll_rollup"].spark(spark, sf_dir).collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    direct = {
+        r.week: (r.direct_est, r.exact)
+        for r in ev.groupBy(F.date_format(F.date_trunc("week", "ts"), "yyyy-MM-dd").alias("week"))
+        .agg(
+            F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("direct_est"),
+            F.count_distinct("user_id").alias("exact"),
+        )
+        .collect()
+    }
+    assert set(rolled) == set(direct) and len(rolled) > 0
+    for week, est in rolled.items():
+        direct_est, exact = direct[week]
+        assert est == direct_est, (week, est, direct_est)
+        assert abs(est - exact) <= max(0.05 * exact, 2), (week, est, exact)
