@@ -89,4 +89,6 @@ def test_streaming_dedup_unbounded_variant(spark, tmp_path):
     stream = spark.readStream.schema(SCHEMA).parquet(str(d) + "/*")
     run_stream(exact_dedup_stream(stream), "dedupu")
     got = {r.doc_id for r in spark.sql("SELECT doc_id FROM dedupu").collect()}
-    assert got == {0, 2}
+    # one survivor per distinct text; WHICH duplicate survives is
+    # arbitrary (Spark keeps an arbitrary row per key within a batch)
+    assert len(got) == 2 and len(got & {0, 1}) == 1 and 2 in got
