@@ -86,6 +86,7 @@ def ensure_documents(spark, n_docs: int, path: str) -> None:
 def _timed_reps(spark, qn: str, base: str, n_rows: int, reps: int) -> dict:
     """Run one registry query ``reps`` times; report the median (all
     reps recorded — rep 1 typically carries JIT/worker warmup)."""
+    import statistics
     import time
 
     from flink_assignment_spark.queries.synthetic import REGISTRY
@@ -95,7 +96,9 @@ def _timed_reps(spark, qn: str, base: str, n_rows: int, reps: int) -> dict:
         t0 = time.monotonic()
         REGISTRY[qn].spark(spark, base).write.format("noop").mode("overwrite").save()
         secs.append(time.monotonic() - t0)
-    med = sorted(secs)[len(secs) // 2]
+    # statistics.median averages the middle pair for even rep counts —
+    # the upper-middle element would report the SLOWER (often warmup) run
+    med = statistics.median(secs)
     return {
         "sec": round(med, 2),
         "rows_per_sec": int(n_rows / med),

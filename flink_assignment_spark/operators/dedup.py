@@ -131,7 +131,11 @@ def doc_shingles(
     )
     if max_doc_freq is None:
         return index
-    return cap_doc_freq(index, max_doc_freq)
+    # cache the RAW index first: the cap consumes it three times (the
+    # df aggregate, the kept side of the anti-join, the per-doc
+    # recount) and each reference would otherwise re-run the full
+    # tokenize + shingle + hash pipeline
+    return cap_doc_freq(index.cache(), max_doc_freq)
 
 
 def ngram_jaccard_pairs(
@@ -156,6 +160,11 @@ def ngram_jaccard_pairs(
     without it the shingling subtree runs once per side (at cluster
     scale you would persist this index to storage instead).
     """
+    if shingles is not None and max_doc_freq is not None:
+        raise ValueError(
+            "pass max_doc_freq when building the index, not alongside a "
+            "prebuilt `shingles` frame — the cap would be silently ignored"
+        )
     sh = (
         shingles
         if shingles is not None

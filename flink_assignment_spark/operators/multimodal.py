@@ -76,7 +76,9 @@ def image_features(media: DataFrame, batch_size_hint: int = 1024) -> DataFrame:
         for pdf in batches:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                px = _decode_image_impl(bytes(payload))
+                # null payload (failed fetch upstream) -> empty stats,
+                # not a stage-killing TypeError
+                px = _decode_image_impl(b"" if payload is None else bytes(payload))
                 n = int(px.size)
                 mean = float(px.mean()) if n else 0.0
                 counts = np.bincount(px, minlength=256) if n else np.zeros(256)
@@ -118,8 +120,10 @@ def audio_features(media: DataFrame) -> DataFrame:
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 # widen immediately: int8 products overflow (64*2 wraps
                 # to -128 -> phantom zero crossing) and abs(-128) is
-                # -128 in int8
-                pcm = _decode_audio_impl(bytes(payload)).astype(np.int32)
+                # -128 in int8. Null payload -> empty stats.
+                pcm = _decode_audio_impl(
+                    b"" if payload is None else bytes(payload)
+                ).astype(np.int32)
                 n = int(pcm.size)
                 if n:
                     rms = float(np.sqrt((pcm.astype(np.float64) ** 2).mean()))

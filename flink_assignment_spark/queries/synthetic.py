@@ -2103,9 +2103,25 @@ def _bucketed_join_tables(spark, sf_dir) -> tuple[str, str]:
             sort_cols=[key],
         )
 
-    tag = re.sub(r"\W+", "_", sf_dir.strip("/"))
-    li_t = f"lineitem_bkt{N_JOIN_BUCKETS}_{tag}"
-    o_t = f"orders_bkt{N_JOIN_BUCKETS}_{tag}"
+    # The table name carries an injective fingerprint of the SOURCE
+    # files (path + mtime + size): regenerated testdata gets a fresh
+    # name, so a leftover warehouse directory from older data can
+    # never be re-attached and served stale. (A readable path-derived
+    # tag alone is neither collision-free nor staleness-safe.)
+    import hashlib
+
+    def _fp(name: str) -> str:
+        p = os.path.join(sf_dir, f"{name}.parquet")
+        try:
+            st = os.stat(p)
+            raw = f"{p}:{st.st_mtime_ns}:{st.st_size}"
+        except OSError:
+            raw = p
+        return hashlib.md5(raw.encode()).hexdigest()[:12]
+
+    tag = re.sub(r"\W+", "_", os.path.basename(sf_dir.strip("/")))
+    li_t = f"lineitem_bkt{N_JOIN_BUCKETS}_{tag}_{_fp('lineitem')}"
+    o_t = f"orders_bkt{N_JOIN_BUCKETS}_{tag}_{_fp('orders')}"
     _ensure(
         li_t,
         "l_orderkey",

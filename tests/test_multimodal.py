@@ -86,3 +86,21 @@ def test_audio_features_deterministic_and_matches_numpy(spark):
             assert r.zero_crossings == int(((pcm[:-1] * pcm[1:]) < 0).sum())
             assert r.peak == int(np.abs(pcm).max())
             assert r.peak <= 128  # int8 domain, abs(-128) handled
+
+
+def test_null_payload_yields_empty_stats_not_crash(spark):
+    """A null payload (failed upstream fetch) must produce zeroed
+    feature rows, not kill the Arrow stage."""
+    from flink_assignment_spark.operators.multimodal import audio_features
+
+    rows = [(0, None, {"media_type": "image", "format": "png",
+                       "width": 1, "height": 1, "duration_ms": None}),
+            (1, b"\x01\x02", {"media_type": "image", "format": "png",
+                              "width": 1, "height": 1, "duration_ms": None})]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    img = {r.media_id: r for r in image_features(df).collect()}
+    assert img[0].n_bytes == 0 and img[0].byte_mean == 0.0
+    assert img[1].n_bytes == 2
+    aud = {r.media_id: r for r in audio_features(df).collect()}
+    assert aud[0].n_samples == 0 and aud[0].rms == 0.0
+    assert aud[1].n_samples == 2
