@@ -197,3 +197,13 @@ def test_q60_contamination_broadcasts_probe(spark):
     shingle set — the corpus index must never shuffle for the join."""
     df = REGISTRY["q60_contamination"].spark(spark, SF_DIR)
     assert has_broadcast_hash_join(df), physical_plan(df)
+
+
+def test_q63_funnel_shuffles_bounded(spark):
+    """Three funnel stages = three keyed aggregations + two joins on
+    user_id; the plan must stay within that shuffle budget (no hidden
+    re-partitioning between stages) and never nested-loop."""
+    df = REGISTRY["q63_funnel"].spark(spark, SF_DIR)
+    plan = physical_plan(df)
+    assert "NestedLoop" not in plan, plan
+    assert count_exchanges(df) <= 6, plan
