@@ -2536,8 +2536,10 @@ def q64_hll_rollup(spark, sf_dir):
     events again. At 100 TB this is the only viable shape for
     distinct-count rollups (exact distinct cannot be re-aggregated
     from per-day exact counts). Sketch binaries are engine-specific →
-    rows-only driver check; the estimate accuracy and the
-    sketch-merge = direct-sketch identity are pytest-asserted."""
+    rows-only driver check; pytest asserts the estimate's accuracy vs
+    the exact count and its bounded divergence from a direct
+    single-pass sketch (union promotes the sketch mode, so bit
+    identity is not guaranteed)."""
     daily = (
         _t(spark, sf_dir, "events")
         .groupBy(F.date_trunc("week", "ts").alias("week"), F.to_date("ts").alias("day"))

@@ -92,3 +92,54 @@ def test_streaming_dedup_unbounded_variant(spark, tmp_path):
     # one survivor per distinct text; WHICH duplicate survives is
     # arbitrary (Spark keeps an arbitrary row per key within a batch)
     assert len(got) == 2 and len(got & {0, 1}) == 1 and 2 in got
+
+
+def test_streaming_hll_sketch_agg_matches_batch(spark, tmp_path):
+    """HLL sketches are mergeable state, so they drop straight into a
+    streaming aggregation whose state is merged across micro-batches
+    (not recomputed). The incrementally-merged sketch is NOT
+    bit-identical to a single-pass sketch (union promotes the sketch
+    mode), so assert the estimate stays within the sketch's error
+    bound of both the batch estimate and the exact count — for days
+    whose rows SPAN the two batches."""
+    from pyspark.sql import functions as F
+
+    d = tmp_path / "hll"
+    d.mkdir()
+    schema = "user_id long, ts timestamp"
+    rows1 = [(u, BASE + timedelta(hours=u % 20)) for u in range(300)]
+    # batch 2 revisits day 1 with overlapping + new users
+    rows2 = [(u, BASE + timedelta(hours=u % 20)) for u in range(150, 450)]
+    spark.createDataFrame(rows1, schema).coalesce(1).write.parquet(str(d / "f1"))
+    spark.createDataFrame(rows2, schema).coalesce(1).write.parquet(str(d / "f2"))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d) + "/*")
+    )
+    agg = stream.groupBy(F.to_date("ts").alias("day")).agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("est")
+    )
+    q = agg.writeStream.outputMode("complete").format("memory").queryName("hlls").start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {str(r.day): r.est for r in spark.sql("SELECT * FROM hlls").collect()}
+
+    batch = spark.createDataFrame(rows1 + rows2, schema)
+    want = {
+        str(r.day): (r.est, r.exact)
+        for r in batch.groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("est"),
+            F.count_distinct("user_id").alias("exact"),
+        )
+        .collect()
+    }
+    assert len(got) > 0 and set(got) == set(want)
+    for day, est in got.items():
+        batch_est, exact = want[day]
+        assert abs(est - batch_est) <= max(2, 0.02 * exact), (day, est, batch_est)
+        assert abs(est - exact) <= max(2, 0.05 * exact), (day, est, exact)
