@@ -2562,6 +2562,45 @@ def q64_hll_rollup(spark, sf_dir):
 REGISTRY.update({"q64_hll_rollup": QuerySpec(q64_hll_rollup, None)})
 
 
+# ---------------- band dimension as a computed key (no theta join)
+BAND_WIDTH = 100.0
+N_BANDS = 5
+
+
+def q65_value_bands(spark, sf_dir):
+    """Revenue-band segmentation: the naive form is a non-equi join
+    against a small bands table (``value BETWEEN lo AND hi``), which
+    Spark can only plan as a broadcast NESTED-LOOP — fine for 5 bands,
+    catastrophic shape to normalize. The scale form computes the band
+    key arithmetically (closed-form for uniform bands; a sorted-array
+    binary search via higher-order funcs for irregular ones) and
+    aggregates on it: narrow map + one exchange, no join at all."""
+    ev = _t(spark, sf_dir, "events")
+    band = F.least(F.floor(F.col("value") / BAND_WIDTH), F.lit(N_BANDS - 1)).cast("int")
+    return (
+        ev.withColumn("band", band)
+        .groupBy("band")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+            F.count_distinct("user_id").alias("n_users"),
+        )
+    )
+
+
+Q65_SQL = f"""
+SELECT CAST(least(floor(value / {BAND_WIDTH}), {N_BANDS - 1}) AS INT) AS band,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(CAST(SUM(value) AS DOUBLE), 2) AS total_value,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events
+GROUP BY 1
+"""
+
+
+REGISTRY.update({"q65_value_bands": QuerySpec(q65_value_bands, Q65_SQL)})
+
+
 # ------------------------------------------------------------------------
 # Registry ordering contract: the driver's correctness harness records at
 # most 50 entries per round (CORRECTNESS_r02 stopped at exactly 50 while

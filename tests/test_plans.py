@@ -207,3 +207,11 @@ def test_q63_funnel_shuffles_bounded(spark):
     plan = physical_plan(df)
     assert "NestedLoop" not in plan, plan
     assert count_exchanges(df) <= 6, plan
+
+
+def test_q65_band_key_no_join(spark):
+    """Band segmentation must plan as a computed key + one aggregation
+    exchange — no join operator of any kind in the plan."""
+    df = REGISTRY["q65_value_bands"].spark(spark, SF_DIR)
+    plan = physical_plan(df)
+    assert "Join" not in plan, plan
