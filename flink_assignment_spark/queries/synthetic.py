@@ -41,6 +41,7 @@ from ..operators.dedup import (
     ngram_jaccard_pairs,
     simhash_pairs,
 )
+from ..operators.funnel import funnel
 from ..operators.interval_join import bucketed_interval_join
 from ..operators.sessionize import session_stats
 from ..operators.similarity import cosine_neardup_pairs, cosine_topk
@@ -2478,29 +2479,12 @@ def q63_funnel(spark, sf_dir):
     (``FlinkAssignment.scala:332-347``): each stage is one keyed
     aggregation or one equi-join + min — per-step shuffles on user_id,
     reusing the same hash partitioning stage to stage, no window-free
-    self-joins, state bounded by the step horizon."""
+    self-joins, state bounded by the step horizon. Streaming twin:
+    ``streaming.funnel_stream`` (same operator, keyed O(1) state)."""
     ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
-    step = F.expr(f"INTERVAL '{FUNNEL_STEP_S}' SECOND")
-    signup = (
-        ev.filter(F.col("event_type") == "signup")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("signup_ts"))
+    return funnel(
+        ev, "user_id", "ts", "event_type", ["signup", "click", "purchase"], FUNNEL_STEP_S
     )
-    click = (
-        ev.filter(F.col("event_type") == "click")
-        .join(signup, "user_id")
-        .filter((F.col("ts") > F.col("signup_ts")) & (F.col("ts") <= F.col("signup_ts") + step))
-        .groupBy("user_id", "signup_ts")
-        .agg(F.min("ts").alias("click_ts"))
-    )
-    purchase = (
-        ev.filter(F.col("event_type") == "purchase")
-        .join(click, "user_id")
-        .filter((F.col("ts") > F.col("click_ts")) & (F.col("ts") <= F.col("click_ts") + step))
-        .groupBy("user_id", "signup_ts", "click_ts")
-        .agg(F.min("ts").alias("purchase_ts"))
-    )
-    return purchase
 
 
 Q63_SQL = f"""
