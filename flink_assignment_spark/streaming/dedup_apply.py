@@ -1,0 +1,114 @@
+"""Incremental dedup APPLY: maintain the kept corpus as a stream sink.
+
+Closes the detect → apply loop in streaming form: ``exact_dedup_stream``
+detects survivors, this module's ``foreachBatch`` sink maintains the
+q62-style kept-corpus table (one row per distinct text: keeper doc +
+group size) INCREMENTALLY — no batch recomputation over history.
+
+Merge semantics per micro-batch (an upsert keyed on ``text_hash``):
+
+- new hash → insert the batch's min-``id_col`` doc with its batch count;
+- existing hash → keep the existing keeper row, add the batch count to
+  ``n_dups``.
+
+``n_dups`` is therefore EXACT regardless of arrival order (counts are
+additive). The keeper matches batch ``q62_dedup_apply``'s min-id keeper
+whenever ids ascend with arrival order (the in-order replay contract
+shared with the other streaming operators); under out-of-order id
+arrival the keeper is first-seen-batch-min instead — same survivor
+count, possibly a different representative.
+
+Scale shape: the merge is a full-outer join on ``text_hash`` between
+the existing kept table and ONE micro-batch's aggregated groups — at
+100 TB this is a storage-layer ``MERGE INTO`` (Delta/Iceberg) that
+rewrites only the touched files; on plain parquet (this container) the
+table is rewritten per batch via an atomic staging-directory swap,
+which is the honest local stand-in, not the production path.
+Single-writer assumption: one streaming query owns ``table_path``.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _table_exists(path: str) -> bool:
+    return os.path.exists(os.path.join(path, "_SUCCESS"))
+
+
+def merge_dedup_groups(
+    batch_df: DataFrame,
+    table_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    carry_cols: tuple[str, ...] = (),
+) -> None:
+    """Upsert one micro-batch's exact-dup groups into the kept table."""
+    spark = batch_df.sparkSession
+    keep_cols = [id_col, *carry_cols]
+    new = (
+        batch_df.groupBy(F.md5(F.col(text_col)).alias("text_hash"))
+        .agg(
+            F.min_by(F.struct(*keep_cols), F.col(id_col)).alias("keep"),
+            F.count("*").alias("n_dups"),
+        )
+        .select("text_hash", "keep.*", "n_dups")
+    )
+    if _table_exists(table_path):
+        old = spark.read.parquet(table_path)
+        merged = (
+            old.alias("o")
+            .join(new.alias("n"), "text_hash", "full_outer")
+            .select(
+                "text_hash",
+                *[
+                    F.coalesce(F.col(f"o.{c}"), F.col(f"n.{c}")).alias(c)
+                    for c in keep_cols
+                ],
+                (
+                    F.coalesce(F.col("o.n_dups"), F.lit(0))
+                    + F.coalesce(F.col("n.n_dups"), F.lit(0))
+                ).alias("n_dups"),
+            )
+        )
+    else:
+        merged = new
+    # staging write materializes the merge (which still reads the old
+    # directory) BEFORE the old directory is replaced
+    staging = table_path + ".staging"
+    if os.path.exists(staging):
+        shutil.rmtree(staging)
+    merged.write.parquet(staging)
+    if os.path.exists(table_path):
+        shutil.rmtree(table_path)
+    os.rename(staging, table_path)
+
+
+def incremental_dedup_apply(
+    docs: DataFrame,
+    table_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    carry_cols: tuple[str, ...] = (),
+):
+    """Start the maintenance query; returns the StreamingQuery.
+
+    ``docs`` is the RAW document stream (not pre-deduped): the sink
+    aggregates each micro-batch itself so duplicate counts inside a
+    batch are captured — feeding it through ``exact_dedup_stream``
+    first would lose the per-group sizes.
+    """
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        merge_dedup_groups(batch_df, table_path, text_col, id_col, carry_cols)
+
+    return docs.writeStream.outputMode("append").foreachBatch(_sink).start()
+
+
+def read_kept(spark: SparkSession, table_path: str) -> DataFrame:
+    """The maintained kept corpus: (text_hash, keeper cols..., n_dups)."""
+    return spark.read.parquet(table_path)
