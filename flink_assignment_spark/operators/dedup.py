@@ -134,8 +134,16 @@ def doc_shingles(
     # cache the RAW index first: the cap consumes it three times (the
     # df aggregate, the kept side of the anti-join, the per-doc
     # recount) and each reference would otherwise re-run the full
-    # tokenize + shingle + hash pipeline
-    return cap_doc_freq(index.cache(), max_doc_freq)
+    # tokenize + shingle + hash pipeline. The raw cache is a working
+    # buffer for the cap only: materialize the capped frame, then
+    # release it — otherwise a long session (the driver runs 60+
+    # queries on one session) accumulates dead cached RDDs and leans
+    # on LRU eviction
+    raw = index.cache()
+    capped = cap_doc_freq(raw, max_doc_freq).cache()
+    capped.count()
+    raw.unpersist()
+    return capped
 
 
 def ngram_jaccard_pairs(

@@ -54,11 +54,18 @@ def salted_join(
             f"salted_join supports {sorted(allowed)}; {how!r} would duplicate "
             "unmatched right-side rows across salt cells"
         )
-    l = left.withColumn("__salt", (F.rand(seed) * n_salts).cast("int"))
+    # pick a working column absent from BOTH inputs — a caller column
+    # literally named "__salt" would otherwise be silently overwritten
+    # on the left and collide with the join key on the right
+    salt_col = "__salt"
+    taken = set(left.columns) | set(right.columns)
+    while salt_col in taken:
+        salt_col = "_" + salt_col
+    l = left.withColumn(salt_col, (F.rand(seed) * n_salts).cast("int"))
     r = right.withColumn(
-        "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+        salt_col, F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
     )
-    return l.join(r, on + ["__salt"], how).drop("__salt")
+    return l.join(r, on + [salt_col], how).drop(salt_col)
 
 
 def salted_agg(
@@ -75,10 +82,13 @@ def salted_agg(
     shuffle spreads each key over ``n_salts`` reducer cells, so one
     hot key cannot serialize a reducer.
     """
-    salt = (F.rand(seed) * n_salts).cast("int").alias("__salt")
+    salt_col = "__salt"
+    while salt_col in df.columns:  # avoid clobbering a caller column
+        salt_col = "_" + salt_col
+    salt = (F.rand(seed) * n_salts).cast("int").alias(salt_col)
     partial = (
         df.select(*key_cols, salt, *sum_cols)
-        .groupBy(*key_cols, "__salt")
+        .groupBy(*key_cols, salt_col)
         .agg(
             F.count("*").alias("__cnt"),
             *[F.sum(c).alias(f"__sum_{c}") for c in sum_cols],

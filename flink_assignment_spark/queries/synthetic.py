@@ -2593,7 +2593,7 @@ REGISTRY.update({"q65_value_bands": QuerySpec(q65_value_bands, Q65_SQL)})
 # hash-checked rows is truncated away. Layout:
 #   [0, 50)  the first 50 oracle-bearing queries, original order
 #            (q01..q54)
-#   next     q56..q63 then q55 (oracle-bearing; beyond the driver
+#   next     q56..q63, q65, then q55 (oracle-bearing; beyond the driver
 #            cap, but tests/test_synthetic_queries.py runs the SAME
 #            compare on every one of them each CI pass)
 #   tail     rows-only queries (q31/q37/q40/q43/q47 — each is covered by

@@ -140,3 +140,30 @@ def test_salted_join_equals_plain_join(spark):
     got = Counter((r.k, r.lv, r.rv) for r in salted_join(left, right, ["k"]).collect())
     want = Counter((r.k, r.lv, r.rv) for r in left.join(right, "k").collect())
     assert len(got) > 0 and got == want
+
+
+def test_salted_join_survives_caller_salt_column(spark):
+    """Inputs already carrying a ``__salt`` column must join correctly
+    (the working column is renamed, not clobbered) and keep the
+    caller's column intact."""
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from flink_assignment_spark.operators.skew import salted_agg, salted_join
+
+    left = spark.range(200).select(
+        (F.col("id") % 10).alias("k"), F.col("id").alias("lv"), F.lit(99).alias("__salt")
+    )
+    right = spark.range(10).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("rv"), F.lit(-1).alias("__salt")
+    )
+    joined = salted_join(left, right.drop("__salt"), ["k"])
+    got = Counter((r.k, r.lv, r.rv, r["__salt"]) for r in joined.collect())
+    want = Counter(
+        (r.k, r.lv, r.rv, r["__salt"]) for r in left.join(right.drop("__salt"), "k").collect()
+    )
+    assert len(got) == 200 and got == want
+
+    agg = {r.k: r.cnt for r in salted_agg(left, ["k"], []).collect()}
+    assert agg == {k: 20 for k in range(10)}
