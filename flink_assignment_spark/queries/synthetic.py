@@ -2378,38 +2378,12 @@ def q61_repetition_filter(spark, sf_dir):
     rule). Pure array expressions — a narrow map over the corpus, no
     shuffle at any scale.
 
-    Staged through aliased columns so the expensive subtrees
-    (tokenize, shingle array_distinct) evaluate ONCE per row: inlining
-    them into every ratio expression re-runs the whole array pipeline
-    per reference (measured 10.9 s → ~1 s at sf0.1)."""
-    docs = _t(spark, sf_dir, "documents")
-    counted = docs.select(
-        "doc_id", tokens(F.col("text")).alias("tk")
-    ).select(
-        "doc_id",
-        F.greatest(F.size("tk") - 2, F.lit(0)).alias("n_total"),
-        F.size(word_shingles(F.col("tk"), 3)).alias("n_distinct"),
-    )
-    ratioed = counted.select(
-        "doc_id",
-        "n_total",
-        "n_distinct",
-        F.when(
-            F.col("n_total") > 0,
-            F.round(
-                (F.col("n_total") - F.col("n_distinct")).cast("double")
-                / F.col("n_total").cast("double"),
-                6,
-            ),
-        ).otherwise(F.lit(0.0)).alias("dup_ratio"),
-    )
-    return ratioed.select(
-        "doc_id",
-        F.col("n_total").alias("n_shingles_total"),
-        F.col("n_distinct").alias("n_shingles_distinct"),
-        F.col("dup_ratio").alias("dup_shingle_ratio"),
-        (F.col("dup_ratio") <= 0.2).alias("passes_repetition_filter"),
-    )
+    Body lives in ``operators.gates.repetition_stats`` — a narrow map
+    shared verbatim with the streaming gate
+    (``streaming.gates_stream``)."""
+    from ..operators.gates import repetition_stats
+
+    return repetition_stats(_t(spark, sf_dir, "documents"))
 
 
 Q61_SQL = """

@@ -1,0 +1,92 @@
+"""Streaming contamination/repetition gates equal their batch query
+forms (q60/q61) — cross-form (join vs broadcast-UDF) and
+batch-vs-stream parity on the driver-generated documents table."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from flink_assignment_spark.operators.dedup import doc_shingles
+from flink_assignment_spark.operators.gates import contaminated_counts
+from flink_assignment_spark.queries.synthetic import REGISTRY
+from flink_assignment_spark.sources.loaders import load_table
+
+from .conftest import SF_DIR
+
+DOCS_SCHEMA = "doc_id long, text string, lang string, source string, n_chars int"
+
+
+def _docs(spark):
+    return load_table(spark, SF_DIR, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+
+
+def run_stream(df, name):
+    q = df.writeStream.outputMode("append").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+
+def _probe_hashes(spark):
+    sh = doc_shingles(_docs(spark))
+    return {r.h for r in sh.filter(F.col("doc_id") < 20).select("h").distinct().collect()}
+
+
+def test_contaminated_counts_matches_q60_join_form(spark):
+    """The broadcast-set pandas-UDF form must count exactly the same
+    distinct contaminated shingles as q60's broadcast-join form."""
+    docs = _docs(spark)
+    got = {
+        (r.doc_id, r.n_contaminated_shingles)
+        for r in contaminated_counts(
+            docs.filter(F.col("doc_id") >= 20), _probe_hashes(spark)
+        )
+        .filter(F.col("contaminated"))
+        .collect()
+    }
+    want = {
+        (r.doc_id, r.n_contaminated_shingles)
+        for r in REGISTRY["q60_contamination"].spark(spark, SF_DIR).collect()
+    }
+    assert got == want and len(want) > 0
+
+
+def test_contamination_gate_stream_matches_batch(spark, tmp_path):
+    from flink_assignment_spark.streaming.gates_stream import contamination_gate_stream
+
+    probe = _probe_hashes(spark)
+    d = str(tmp_path / "docs_c")
+    _docs(spark).filter(F.col("doc_id") >= 20).write.parquet(d)
+    stream = spark.readStream.schema(DOCS_SCHEMA).option("maxFilesPerTrigger", 1).parquet(d)
+    run_stream(contamination_gate_stream(stream, probe), "contam")
+    got = {
+        (r.doc_id, r.n_contaminated_shingles)
+        for r in spark.sql(
+            "SELECT doc_id, n_contaminated_shingles FROM contam WHERE contaminated"
+        ).collect()
+    }
+    want = {
+        (r.doc_id, r.n_contaminated_shingles)
+        for r in REGISTRY["q60_contamination"].spark(spark, SF_DIR).collect()
+    }
+    assert got == want and len(want) > 0
+    # the stream also scores CLEAN docs (a gate needs pass rows too)
+    n_all = spark.sql("SELECT count(*) AS n FROM contam").collect()[0].n
+    assert n_all == _docs(spark).filter(F.col("doc_id") >= 20).count()
+
+
+def test_repetition_gate_stream_matches_batch(spark, tmp_path):
+    from flink_assignment_spark.streaming.gates_stream import repetition_gate_stream
+
+    d = str(tmp_path / "docs_r")
+    _docs(spark).write.parquet(d)
+    stream = spark.readStream.schema(DOCS_SCHEMA).option("maxFilesPerTrigger", 1).parquet(d)
+    run_stream(repetition_gate_stream(stream), "repet")
+    got = {tuple(r) for r in spark.sql("SELECT * FROM repet").collect()}
+    want = {
+        tuple(r) for r in REGISTRY["q61_repetition_filter"].spark(spark, SF_DIR).collect()
+    }
+    assert got == want and len(want) > 0
