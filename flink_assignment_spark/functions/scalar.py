@@ -103,3 +103,20 @@ def sliding_starts(ts: Column, width_seconds: int, slide_seconds: int) -> Column
         F.sequence(F.lit(0), F.lit(n - 1)),
         lambda i: F.timestamp_seconds(newest - i.cast("long") * s),
     )
+
+
+def utc_day(ts: Column) -> Column:
+    """Calendar DATE of an instant in UTC, independent of
+    ``spark.sql.session.timeZone`` (``to_date`` would shift buckets
+    under a non-UTC driver session). Pure epoch arithmetic."""
+    epoch_day = F.floor(F.unix_micros(ts) / F.lit(86400 * 1_000_000)).cast("int")
+    return F.date_add(F.lit("1970-01-01").cast("date"), epoch_day)
+
+
+def utc_week_start(ts: Column) -> Column:
+    """Monday of the instant's UTC week as a DATE — the tz-stable twin
+    of ``date_trunc('week', ts)``. Epoch day 0 (1970-01-01) was a
+    Thursday, so Monday offset = (epoch_day + 3) mod 7."""
+    epoch_day = F.floor(F.unix_micros(ts) / F.lit(86400 * 1_000_000)).cast("int")
+    monday = (epoch_day - F.pmod(epoch_day + F.lit(3), F.lit(7))).cast("int")
+    return F.date_add(F.lit("1970-01-01").cast("date"), monday)

@@ -2060,49 +2060,16 @@ def _bucketed_join_tables(spark, sf_dir) -> tuple[str, str]:
 
     This is the 100 TB answer to a fact-fact join on a shared key: pay
     the hash-shuffle once at ingest (``sinks.write_bucketed``), not on
-    every query. The pre-write ``repartition(N, key)`` aligns write
-    tasks with bucket hashing (both Murmur3-mod-N), so each bucket is
-    one file and bucket-sorted reads stay sorted.
+    every query. Materialization, cross-process re-attach, and the
+    single-writer lock live in ``sources.sinks.ensure_bucketed_table``
+    (see its SIDE-EFFECT CONTRACT — building this query may write).
     """
     import re
-    import shutil
-    from urllib.parse import urlparse
 
-    from ..sources.sinks import write_bucketed
-
-    def _local_location(table: str) -> str | None:
-        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir"))
-        if wh.scheme in ("", "file"):
-            return os.path.join(wh.path, table.lower())
-        return None
+    from ..sources.sinks import ensure_bucketed_table
 
     def _ensure(table: str, key: str, cols_ddl: str, build) -> None:
-        if spark.catalog.tableExists(table):
-            return
-        loc = _local_location(table)
-        if loc is not None and os.path.exists(os.path.join(loc, "_SUCCESS")):
-            # a previous PROCESS already wrote the bucketed files (the
-            # bucket count is baked into the table name, so the layout
-            # is known-good) — re-attach them as an external table
-            # instead of re-shuffling the fact table. This is the
-            # ingest-once contract: the write is paid at ingest, every
-            # later session registers and joins for free.
-            spark.sql(
-                f"CREATE TABLE {table} ({cols_ddl}) USING PARQUET "
-                f"CLUSTERED BY ({key}) SORTED BY ({key}) "
-                f"INTO {N_JOIN_BUCKETS} BUCKETS LOCATION '{loc}'"
-            )
-            return
-        if loc is not None:
-            # half-written leftovers block saveAsTable (LOCATION_ALREADY_EXISTS)
-            shutil.rmtree(loc, ignore_errors=True)
-        write_bucketed(
-            build().repartition(N_JOIN_BUCKETS, F.col(key)),
-            table,
-            [key],
-            N_JOIN_BUCKETS,
-            sort_cols=[key],
-        )
+        ensure_bucketed_table(spark, table, key, cols_ddl, N_JOIN_BUCKETS, build)
 
     # The table name carries an injective fingerprint of the SOURCE
     # files (path + mtime + size): regenerated testdata gets a fresh
@@ -2497,10 +2464,20 @@ def q64_hll_rollup(spark, sf_dir):
     rows-only driver check; pytest asserts the estimate's accuracy vs
     the exact count and its bounded divergence from a direct
     single-pass sketch (union promotes the sketch mode, so bit
-    identity is not guaranteed)."""
+    identity is not guaranteed).
+
+    Buckets use epoch-arithmetic UTC day/week (``functions.scalar
+    .utc_day``/``utc_week_start``), NOT ``date_trunc``/``to_date`` —
+    those read ``spark.sql.session.timeZone``, so the row count (the
+    driver-checked signal) would depend on the driver session's zone."""
+    from ..functions.scalar import utc_day, utc_week_start
+
     daily = (
         _t(spark, sf_dir, "events")
-        .groupBy(F.date_trunc("week", "ts").alias("week"), F.to_date("ts").alias("day"))
+        .groupBy(
+            utc_week_start(F.col("ts")).alias("week"),
+            utc_day(F.col("ts")).alias("day"),
+        )
         .agg(F.hll_sketch_agg("user_id").alias("day_sketch"))
     )
     return (

@@ -98,3 +98,99 @@ def incremental_rollup_sink(
         .foreachBatch(write_batch)
         .start()
     )
+
+
+def ensure_bucketed_table(
+    spark,
+    table: str,
+    key: str,
+    cols_ddl: str,
+    n_buckets: int,
+    build,
+    lock_timeout_s: float = 600.0,
+) -> None:
+    """Idempotently materialize ``build()`` as a bucketed+sorted table.
+
+    The ingest-once contract behind :func:`write_bucketed`: the first
+    caller pays the hash shuffle and writes bucket files; every later
+    SESSION finds the files (``_SUCCESS``) and re-attaches them as an
+    external table without touching the data; every later call in the
+    same catalog is a no-op (``tableExists``).
+
+    SIDE-EFFECT CONTRACT — this function mutates shared warehouse
+    state (CREATE TABLE + directory writes + removal of half-written
+    leftovers). Callers embedding it inside a "query" function (q56)
+    accept that building the query may write. Concurrency: when the
+    warehouse is on the local filesystem, an exclusive ``.lock`` file
+    beside the table directory serializes writers (create/attach/rmtree
+    all happen under the lock), so two sessions racing on the same
+    fingerprinted name cannot interleave. For object-store warehouses
+    (no atomic O_EXCL) the caller must guarantee a single writer per
+    table name — at cluster scale that is the ingest job's scheduler,
+    not a query-time race.
+
+    ``cols_ddl`` must match ``build()``'s schema; the bucket count is
+    assumed to be baked into ``table`` (attach trusts the layout).
+    """
+    import os
+    import shutil
+    import time
+    from urllib.parse import urlparse
+
+    if spark.catalog.tableExists(table):
+        return
+
+    def _local_location() -> str | None:
+        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir"))
+        if wh.scheme in ("", "file"):
+            return os.path.join(wh.path, table.lower())
+        return None
+
+    def _ensure() -> None:
+        if spark.catalog.tableExists(table):
+            return
+        loc = _local_location()
+        if loc is not None and os.path.exists(os.path.join(loc, "_SUCCESS")):
+            spark.sql(
+                f"CREATE TABLE {table} ({cols_ddl}) USING PARQUET "
+                f"CLUSTERED BY ({key}) SORTED BY ({key}) "
+                f"INTO {n_buckets} BUCKETS LOCATION '{loc}'"
+            )
+            return
+        if loc is not None:
+            # half-written leftovers block saveAsTable (LOCATION_ALREADY_EXISTS)
+            shutil.rmtree(loc, ignore_errors=True)
+        from pyspark.sql import functions as F
+
+        write_bucketed(
+            build().repartition(n_buckets, F.col(key)),
+            table,
+            [key],
+            n_buckets,
+            sort_cols=[key],
+        )
+
+    loc = _local_location()
+    if loc is None:
+        _ensure()
+        return
+    os.makedirs(os.path.dirname(loc), exist_ok=True)
+    lock = loc + ".lock"
+    deadline = time.monotonic() + lock_timeout_s
+    while True:
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            if time.monotonic() > deadline:
+                raise TimeoutError(
+                    f"{lock} held for >{lock_timeout_s}s — remove it if its "
+                    "writer crashed (the lock is only valid while a writer runs)"
+                )
+            time.sleep(0.2)
+            continue
+        try:
+            _ensure()
+        finally:
+            os.close(fd)
+            os.unlink(lock)
+        return

@@ -328,8 +328,14 @@ def test_hll_rollup_merge_identity_and_accuracy(spark):
     """The weekly estimate from merged DAILY sketches must (a) track
     the estimate of a sketch built directly over the week's raw rows
     (union promotes the sketch mode, so bit-identity is NOT guaranteed
-    -- only bounded divergence), and (b) land within 5% of the exact
-    weekly distinct count."""
+    -- only bounded divergence), (b) land within 5% of the exact
+    weekly distinct count, and (c) band-match DuckDB's independent
+    ``approx_count_distinct`` on the same parquet — the closest thing
+    a sketch query has to a cross-engine oracle (binaries are
+    engine-specific, estimates are not)."""
+    import duckdb
+
+    from flink_assignment_spark.functions.scalar import utc_week_start
     from flink_assignment_spark.queries.synthetic import REGISTRY
 
     sf_dir = SF_DIR
@@ -340,15 +346,30 @@ def test_hll_rollup_merge_identity_and_accuracy(spark):
     ev = load_table(spark, sf_dir, "events")
     direct = {
         r.week: (r.direct_est, r.exact)
-        for r in ev.groupBy(F.date_format(F.date_trunc("week", "ts"), "yyyy-MM-dd").alias("week"))
+        for r in ev.groupBy(
+            F.date_format(utc_week_start(F.col("ts")), "yyyy-MM-dd").alias("week")
+        )
         .agg(
             F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("direct_est"),
             F.count_distinct("user_id").alias("exact"),
         )
         .collect()
     }
-    assert set(rolled) == set(direct) and len(rolled) > 0
+    # DuckDB timestamps are UTC-naive, so its date_trunc('week') is the
+    # same tz-stable Monday bucket as utc_week_start
+    duck = {
+        w: est
+        for w, est in duckdb.sql(
+            "SELECT strftime(date_trunc('week', ts), '%Y-%m-%d') AS week, "
+            "approx_count_distinct(user_id) AS est "
+            f"FROM '{sf_dir}/events.parquet' GROUP BY 1"
+        ).fetchall()
+    }
+    assert set(rolled) == set(direct) == set(duck) and len(rolled) > 0
     for week, est in rolled.items():
         direct_est, exact = direct[week]
         assert abs(est - direct_est) <= max(2, 0.02 * exact), (week, est, direct_est)
         assert abs(est - exact) <= max(0.05 * exact, 2), (week, est, exact)
+        # two independent HLL implementations, each ~2% rel. error →
+        # allow 10% of exact between them
+        assert abs(est - duck[week]) <= max(4, 0.10 * exact), (week, est, duck[week])

@@ -167,3 +167,36 @@ def test_salted_join_survives_caller_salt_column(spark):
 
     agg = {r.k: r.cnt for r in salted_agg(left, ["k"], []).collect()}
     assert agg == {k: 20 for k in range(10)}
+
+
+def test_ensure_bucketed_table_respects_writer_lock(spark):
+    """A held .lock beside the table location must block (then time
+    out) rather than letting a second writer interleave with the
+    create/attach/cleanup sequence."""
+    import os
+    from urllib.parse import urlparse
+
+    import pytest
+
+    from flink_assignment_spark.sources.sinks import ensure_bucketed_table
+
+    table = "lock_probe_tbl"
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    os.makedirs(wh, exist_ok=True)
+    lock = os.path.join(wh, table.lower()) + ".lock"
+    fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    try:
+        with pytest.raises(TimeoutError, match="writer crashed"):
+            ensure_bucketed_table(
+                spark, table, "id", "id BIGINT", 4,
+                lambda: spark.range(10), lock_timeout_s=1.0,
+            )
+        assert not spark.catalog.tableExists(table)
+    finally:
+        os.close(fd)
+        os.unlink(lock)
+    # lock released → the same call succeeds and is idempotent
+    ensure_bucketed_table(spark, table, "id", "id BIGINT", 4, lambda: spark.range(10))
+    ensure_bucketed_table(spark, table, "id", "id BIGINT", 4, lambda: spark.range(10))
+    assert spark.table(table).count() == 10
+    spark.sql(f"DROP TABLE {table}")
