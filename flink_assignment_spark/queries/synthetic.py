@@ -2536,6 +2536,54 @@ GROUP BY 1
 REGISTRY.update({"q65_value_bands": QuerySpec(q65_value_bands, Q65_SQL)})
 
 
+def q66_sequence_packing(spark, sf_dir):
+    """Training-sequence packing stats (concatenate-and-chunk at 2048
+    tokens): how many fixed-length sequences each source yields, how
+    many docs straddle a boundary, and the token fill ratio. The
+    stream is sharded 64 ways per source by a salted doc hash so the
+    offset window is ``partitionBy(source, shard)`` — bounded
+    partitions instead of the one-task-per-source window-skew trap;
+    a trainer needs deterministic membership, not one global order.
+    See operators/packing.py for the 100 TB sizing discussion."""
+    from ..operators.packing import PACK_CAPACITY, PACK_SHARDS, pack_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    assert (PACK_CAPACITY, PACK_SHARDS) == (2048, 64)  # oracle constants
+    return pack_stats(docs, capacity=PACK_CAPACITY, n_shards=PACK_SHARDS)
+
+
+Q66_SQL = """
+WITH per_doc AS (
+  SELECT source AS grp,
+         CAST('0x' || substring(md5('pack:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 64 AS shard,
+         doc_id AS doc,
+         CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '')) AS BIGINT) AS n_tok
+  FROM documents
+), off AS (
+  SELECT grp, shard, n_tok,
+         SUM(n_tok) OVER (PARTITION BY grp, shard ORDER BY doc
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok AS off
+  FROM per_doc
+), per_shard AS (
+  SELECT grp, shard, COUNT(*) AS docs, SUM(n_tok) AS toks,
+         SUM(CASE WHEN floor(off / 2048.0)
+                  <> floor((off + greatest(n_tok, 1) - 1) / 2048.0)
+             THEN 1 ELSE 0 END) AS straddlers
+  FROM off GROUP BY grp, shard
+)
+SELECT grp AS source,
+       CAST(SUM(docs) AS BIGINT) AS n_docs,
+       CAST(SUM(toks) AS BIGINT) AS total_tokens,
+       CAST(SUM(CAST(ceil(toks / 2048.0) AS BIGINT)) AS BIGINT) AS n_seqs,
+       CAST(SUM(straddlers) AS BIGINT) AS n_straddlers,
+       round(SUM(toks) / (SUM(CAST(ceil(toks / 2048.0) AS BIGINT)) * 2048.0), 6) AS avg_fill
+FROM per_shard GROUP BY grp
+"""
+
+
+REGISTRY.update({"q66_sequence_packing": QuerySpec(q66_sequence_packing, Q66_SQL)})
+
+
 # ------------------------------------------------------------------------
 # Registry ordering contract: the driver's correctness harness records at
 # most 50 entries per round (CORRECTNESS_r02 stopped at exactly 50 while
@@ -2544,7 +2592,7 @@ REGISTRY.update({"q65_value_bands": QuerySpec(q65_value_bands, Q65_SQL)})
 # hash-checked rows is truncated away. Layout:
 #   [0, 50)  the first 50 oracle-bearing queries, original order
 #            (q01..q54)
-#   next     q56..q63, q65, then q55 (oracle-bearing; beyond the driver
+#   next     q56..q63, q65, q66, then q55 (oracle-bearing; beyond the driver
 #            cap, but tests/test_synthetic_queries.py runs the SAME
 #            compare on every one of them each CI pass)
 #   tail     rows-only queries (q31/q37/q40/q43/q47 — each is covered by

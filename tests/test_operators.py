@@ -373,3 +373,25 @@ def test_hll_rollup_merge_identity_and_accuracy(spark):
         # two independent HLL implementations, each ~2% rel. error →
         # allow 10% of exact between them
         assert abs(est - duck[week]) <= max(4, 0.10 * exact), (week, est, duck[week])
+
+
+def test_pack_stats_hand_computed(spark):
+    """Single-shard packing over hand-sized docs: capacity 10, token
+    counts 4/5/3/8/0 in doc_id order → 20 tokens, 2 sequences, one
+    straddler (doc 3 spans offsets 9..11), empty doc never straddles."""
+    from flink_assignment_spark.operators.packing import pack_stats
+
+    mk = lambda n: " ".join(f"t{i}" for i in range(n))
+    docs = spark.createDataFrame(
+        [(i + 1, mk(n), "s") for i, n in enumerate([4, 5, 3, 8, 0])],
+        "doc_id long, text string, source string",
+    )
+    row = pack_stats(docs, capacity=10, n_shards=1).collect()[0]
+    assert (
+        row.source,
+        row.n_docs,
+        row.total_tokens,
+        row.n_seqs,
+        row.n_straddlers,
+        row.avg_fill,
+    ) == ("s", 5, 20, 2, 1, 1.0)
