@@ -66,3 +66,56 @@ def assign_split(
     last_label = boundaries[-1][0]
     expr = expr.otherwise(F.lit(last_label)) if expr is not None else F.lit(last_label)
     return df.withColumn(out_col, expr)
+
+
+def mixture_rates(
+    df: DataFrame, group: str, weights: dict[str, float]
+) -> DataFrame:
+    """Per-group keep rates that rebalance the corpus to a target
+    mixture (LLaMA/Pile-style source mixing) while keeping as much
+    data as possible: the feasible total is T = min_g(count_g / w_g)
+    — the most under-represented group is kept in full (rate 1.0) and
+    every other group is downsampled to ``w_g * T / count_g``.
+
+    Returns one small row per weighted group: ``(group, n, w,
+    keep_rate)``. Groups absent from ``weights`` get no row (they are
+    dropped from the mixture). Two narrow aggregations over a
+    group-cardinality frame — the 100 TB cost is one count per group;
+    the rates frame is broadcast back to the corpus by the caller.
+    """
+    w_col = None
+    for g, w in weights.items():
+        cond = F.when(F.col(group) == g, F.lit(float(w)))
+        w_col = cond if w_col is None else w_col.when(F.col(group) == g, F.lit(float(w)))
+    counts = (
+        df.withColumn("w", w_col)
+        .filter(F.col("w").isNotNull())
+        .groupBy(group, "w")
+        .agg(F.count("*").alias("n"))
+    )
+    t = counts.agg(F.min(F.col("n").cast("double") / F.col("w")).alias("t"))
+    return counts.crossJoin(F.broadcast(t)).select(
+        group,
+        "n",
+        "w",
+        ((F.col("w") * F.col("t")) / F.col("n")).alias("keep_rate"),
+    )
+
+
+def mixture_rebalance(
+    df: DataFrame,
+    key: str,
+    group: str,
+    weights: dict[str, float],
+    salt: str = "mix",
+) -> DataFrame:
+    """Keep a deterministic subset of ``df`` whose ``group`` mixture
+    matches ``weights`` (in expectation), discarding as little as
+    possible. The rates frame is tiny (one row per group) and
+    broadcast — the corpus pass is a narrow filter, no shuffle."""
+    rates = mixture_rates(df, group, weights)
+    u = uniform_from_key(F.col(key), salt)
+    return (
+        df.join(F.broadcast(rates.select(group, "keep_rate")), group)
+        .filter(u < F.col("keep_rate"))
+    )

@@ -2584,6 +2584,68 @@ FROM per_shard GROUP BY grp
 REGISTRY.update({"q66_sequence_packing": QuerySpec(q66_sequence_packing, Q66_SQL)})
 
 
+MIX_WEIGHTS = {"en": 0.35, "de": 0.2, "es": 0.15, "fr": 0.15, "zh": 0.15}
+
+
+def q67_mixture_rebalance(spark, sf_dir):
+    """Rebalance the corpus language mixture to target weights
+    (LLaMA/Pile-style source mixing), keeping as much data as the
+    most under-represented language allows: T = min(n_l / w_l), each
+    language keeps w_l·T/n_l of its docs by deterministic hash. Two
+    corpus passes — a per-group count (tiny shuffle) and a broadcast
+    join + narrow filter — which is the 100 TB shape: no resort, no
+    wide join, the rates frame is group-cardinality. Output is the
+    per-language audit: rate applied, docs kept, achieved share."""
+    from ..operators.sampling import mixture_rates, uniform_from_key
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    rates = mixture_rates(docs, "lang", MIX_WEIGHTS)
+    kept = docs.join(F.broadcast(rates), "lang").filter(
+        uniform_from_key(F.col("doc_id"), "mix") < F.col("keep_rate")
+    )
+    per = kept.groupBy("lang").agg(F.count("*").alias("n_kept"))
+    total = per.agg(F.sum("n_kept").alias("tot"))
+    return (
+        rates.join(per, "lang")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "lang",
+            F.col("n").alias("n_docs"),
+            F.round("keep_rate", 6).alias("keep_rate"),
+            "n_kept",
+            F.round(F.col("n_kept") / F.col("tot"), 6).alias("achieved_share"),
+        )
+    )
+
+
+_MIX_U = (
+    "CAST(CAST('0x' || substring(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 15)"
+    " AS BIGINT) AS DOUBLE) / 1152921504606846976.0"
+)
+
+Q67_SQL = f"""
+WITH w(lang, w) AS (
+  SELECT * FROM (VALUES {", ".join(f"('{g}', CAST({v!r} AS DOUBLE))" for g, v in MIX_WEIGHTS.items())})
+), counts AS (
+  SELECT d.lang, any_value(w.w) AS w, COUNT(*) AS n
+  FROM documents d JOIN w ON d.lang = w.lang GROUP BY d.lang
+), t AS (SELECT MIN(CAST(n AS DOUBLE) / w) AS t FROM counts),
+rates AS (SELECT lang, n, (w * t.t) / n AS keep_rate FROM counts, t),
+kept AS (
+  SELECT d.lang FROM documents d JOIN rates r ON d.lang = r.lang
+  WHERE {_MIX_U} < r.keep_rate
+), per AS (SELECT lang, COUNT(*) AS n_kept FROM kept GROUP BY lang)
+SELECT r.lang, CAST(r.n AS BIGINT) AS n_docs,
+       round(r.keep_rate, 6) AS keep_rate,
+       CAST(p.n_kept AS BIGINT) AS n_kept,
+       round(CAST(p.n_kept AS DOUBLE) / CAST(SUM(p.n_kept) OVER () AS DOUBLE), 6) AS achieved_share
+FROM rates r JOIN per p USING (lang)
+"""
+
+
+REGISTRY.update({"q67_mixture_rebalance": QuerySpec(q67_mixture_rebalance, Q67_SQL)})
+
+
 # ------------------------------------------------------------------------
 # Registry ordering contract: the driver's correctness harness records at
 # most 50 entries per round (CORRECTNESS_r02 stopped at exactly 50 while

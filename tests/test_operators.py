@@ -395,3 +395,28 @@ def test_pack_stats_hand_computed(spark):
         row.n_straddlers,
         row.avg_fill,
     ) == ("s", 5, 20, 2, 1, 1.0)
+
+
+def test_mixture_rebalance_hits_target_and_keeps_binding_group(spark):
+    """The most under-represented group (vs its target weight) is kept
+    in full; the kept corpus' mixture lands near the target weights."""
+    from flink_assignment_spark.operators.sampling import (
+        mixture_rates,
+        mixture_rebalance,
+    )
+
+    weights = {"en": 0.35, "de": 0.2, "es": 0.15, "fr": 0.15, "zh": 0.15}
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "lang")
+    rates = {r.lang: (r.n, r.keep_rate) for r in mixture_rates(docs, "lang", weights).collect()}
+    binding = min(rates, key=lambda g: rates[g][0] / weights[g])
+    assert abs(rates[binding][1] - 1.0) < 1e-12
+    assert all(0.0 < kr <= 1.0 + 1e-12 for _, kr in rates.values())
+
+    kept = mixture_rebalance(docs, key="doc_id", group="lang", weights=weights)
+    shares = {r.lang: r.cnt for r in kept.groupBy("lang").agg(F.count("*").alias("cnt")).collect()}
+    tot = sum(shares.values())
+    # binding group is kept exactly (rate 1.0 ⇒ every row passes u < 1)
+    assert shares[binding] == rates[binding][0]
+    for g, w in weights.items():
+        # Bernoulli noise at sf0.001 (~tens of docs/group): loose band
+        assert abs(shares[g] / tot - w) < 0.12, (g, shares[g] / tot, w)
