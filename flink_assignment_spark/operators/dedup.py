@@ -417,3 +417,46 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+CHUNK_TOKENS = 16
+
+
+def chunk_occurrences(
+    docs: DataFrame,
+    chunk_tokens: int = CHUNK_TOKENS,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact substring-level dedup at fixed token-chunk granularity
+    (the tractable form of Lee et al.'s exact-substring dedup: slice
+    each doc into consecutive ``chunk_tokens``-token chunks and dedup
+    chunks corpus-wide by content hash).
+
+    Returns one row per chunk occurrence: ``(doc_id, idx, h, rn)``
+    where ``rn = 1`` marks the canonical first occurrence (global
+    (doc_id, idx) order) and ``rn > 1`` a duplicated chunk. The only
+    wide operation is one hash-partitioned window on the 60-bit chunk
+    hash — the same shuffle a groupBy-on-hash would pay, and the
+    partitioning key is near-uniform by construction, so it scales to
+    any corpus where a single chunk's occurrence list fits a task
+    (boilerplate-heavy corpora should pre-cap like MAX_SHINGLE_DF).
+    """
+    toks = tokens(F.col(text_col))
+    n_chunks = F.ceil(F.size(toks) / F.lit(chunk_tokens))
+    chunks = F.when(
+        F.size(toks) > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i * chunk_tokens + 1, chunk_tokens)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    occ = docs.select(
+        F.col(id_col).alias("doc_id"),
+        *[c for c in docs.columns if c not in (id_col, text_col)],
+        F.posexplode(chunks).alias("idx", "chunk"),
+    ).select(
+        "*", hash60(F.col("chunk")).alias("h")
+    ).drop("chunk")
+    w = Window.partitionBy("h").orderBy("doc_id", "idx")
+    return occ.withColumn("rn", F.row_number().over(w))

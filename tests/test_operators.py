@@ -420,3 +420,20 @@ def test_mixture_rebalance_hits_target_and_keeps_binding_group(spark):
     for g, w in weights.items():
         # Bernoulli noise at sf0.001 (~tens of docs/group): loose band
         assert abs(shares[g] / tot - w) < 0.12, (g, shares[g] / tot, w)
+
+
+def test_chunk_occurrences_flags_copied_text(spark):
+    """A verbatim copy of another doc has every chunk marked rn>1;
+    the canonical (lowest doc_id) owner keeps rn=1 everywhere."""
+    from flink_assignment_spark.operators.dedup import chunk_occurrences
+
+    body = " ".join(f"w{i}" for i in range(32))  # 2 full 16-token chunks
+    docs = spark.createDataFrame(
+        [(1, body, "a"), (2, body, "b"), (3, " ".join(f"x{i}" for i in range(20)), "c")],
+        "doc_id long, text string, source string",
+    )
+    occ = {(r.doc_id, r.idx): r.rn for r in chunk_occurrences(docs).collect()}
+    assert occ[(1, 0)] == occ[(1, 1)] == 1
+    assert occ[(2, 0)] == occ[(2, 1)] == 2
+    assert occ[(3, 0)] == occ[(3, 1)] == 1  # unique text, incl. 4-token tail chunk
+    assert len(occ) == 6
