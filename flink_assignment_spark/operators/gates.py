@@ -98,3 +98,28 @@ def contaminated_counts(
         id_col,
         _n_hits(shingle_hash_array(F.col(text_col), n)).alias("n_contaminated_shingles"),
     ).withColumn("contaminated", F.col("n_contaminated_shingles") > 0)
+
+
+# PCRE subset shared by Spark (Java regex) and DuckDB (RE2): no
+# backrefs, no lookaround, so both engines match identical spans.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+URL_RE = r"https?://[^\s]+"
+
+
+def pii_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """PII scrub gate: per-document email/URL counts plus the redacted
+    text's length and md5 (the downstream pipeline consumes redacted
+    text; the audit row is what the gate reports). A pure narrow map
+    of JVM-side regexes — zero shuffles, zero state — so it applies
+    unchanged to a batch frame or an append-mode stream."""
+    text = F.col(text_col)
+    redacted = F.regexp_replace(
+        F.regexp_replace(text, EMAIL_RE, "<EMAIL>"), URL_RE, "<URL>"
+    )
+    return docs.select(
+        id_col,
+        F.size(F.regexp_extract_all(text, F.lit(EMAIL_RE), 0)).alias("n_emails"),
+        F.size(F.regexp_extract_all(text, F.lit(URL_RE), 0)).alias("n_urls"),
+        F.length(redacted).alias("redacted_len"),
+        F.md5(redacted).alias("redacted_hash"),
+    )

@@ -2231,37 +2231,31 @@ REGISTRY.update({"q58_embedding_centroids": QuerySpec(q58_embedding_centroids, Q
 
 
 # --------------------------- PII scrubbing (training-data hygiene)
-# Simple-dialect patterns shared verbatim with the oracle (Java regex
-# and RE2 agree on this subset: no backrefs, no lookaround).
-EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
-URL_RE = r"https?://[^\s]+"
+# Patterns live in operators.gates (shared with the streaming gate);
+# imported here because the oracle SQL interpolates them verbatim
+# (Java regex and RE2 agree on this subset: no backrefs, no
+# lookaround).
+from ..operators.gates import EMAIL_RE, URL_RE  # noqa: E402
 
 
 def q59_pii_scrub(spark, sf_dir):
     """PII scrub pass: count and redact emails/URLs per document. The
     synthetic corpus carries no PII, so the query plants one
     deterministic email + URL per doc (derived from doc_id) before
-    scanning — the operator under test is the JVM-side regex
-    count/redact, which at 100 TB runs as a narrow map with zero
-    shuffles."""
+    scanning — the operator under test (operators.gates.pii_stats) is
+    a JVM-side regex count/redact, which at 100 TB runs as a narrow
+    map with zero shuffles."""
+    from ..operators.gates import pii_stats
+
     docs = _t(spark, sf_dir, "documents")
-    text = F.concat(
+    planted = F.concat(
         F.col("text"),
         F.lit(" contact u"),
         F.col("doc_id").cast("string"),
         F.lit("@example.com via https://site.example/"),
         F.col("doc_id").cast("string"),
     )
-    redacted = F.regexp_replace(
-        F.regexp_replace(text, EMAIL_RE, "<EMAIL>"), URL_RE, "<URL>"
-    )
-    return docs.select(
-        "doc_id",
-        F.size(F.regexp_extract_all(text, F.lit(EMAIL_RE), 0)).alias("n_emails"),
-        F.size(F.regexp_extract_all(text, F.lit(URL_RE), 0)).alias("n_urls"),
-        F.length(redacted).alias("redacted_len"),
-        F.md5(redacted).alias("redacted_hash"),
-    )
+    return pii_stats(docs.withColumn("text", planted))
 
 
 Q59_SQL = rf"""
@@ -2696,6 +2690,74 @@ FROM occ GROUP BY source
 
 
 REGISTRY.update({"q68_chunk_dedup": QuerySpec(q68_chunk_dedup, Q68_SQL)})
+
+
+def q69_user_outliers(spark, sf_dir):
+    """Per-user z-score outlier detection on event values, with the
+    3σ test done in EXACT integer arithmetic: quantize value to
+    micro-units vi = round(1000·value), accumulate S = Σvi and
+    Q = Σvi² per user (integer sums are fold-order-independent, so
+    Spark's partial aggregation and DuckDB agree bit-for-bit), and
+    flag |v−μ| > 3σ as (n·vi − S)² > 9·(n·Q − S²) — the n² scaling
+    cancels, no float ever crosses the threshold compare. One shuffle:
+    the user_id window; the rollup reuses its partitioning."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "value")
+    vi = F.round(F.col("value") * 1000).cast("long")
+    w = Window.partitionBy("user_id")
+    d = (
+        ev.select("user_id", vi.alias("vi"))
+        .withColumn("n", F.count("*").over(w))
+        .withColumn("s", F.sum("vi").over(w))
+        .withColumn("q", F.sum(F.col("vi") * F.col("vi")).over(w))
+    )
+    dev = F.col("n") * F.col("vi") - F.col("s")
+    dev2 = dev * dev  # stays integral — ** would promote to double
+    var_n2 = F.col("n") * F.col("q") - F.col("s") * F.col("s")
+    out = d.withColumn("is_out", (dev2 > 9 * var_n2).cast("int"))
+    return (
+        out.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("is_out").alias("n_outliers"),
+            F.round(
+                F.max(
+                    F.when(
+                        F.col("is_out") == 1,
+                        dev2.cast("double") / var_n2.cast("double"),
+                    )
+                ),
+                6,
+            ).alias("max_z2"),
+        )
+        .filter(F.col("n_outliers") > 0)
+    )
+
+
+Q69_SQL = """
+WITH d AS (
+  SELECT user_id, CAST(round(value * 1000) AS BIGINT) AS vi FROM events
+), s AS (
+  SELECT user_id, vi,
+         COUNT(*) OVER (PARTITION BY user_id) AS n,
+         CAST(SUM(vi) OVER (PARTITION BY user_id) AS BIGINT) AS s,
+         CAST(SUM(vi * vi) OVER (PARTITION BY user_id) AS BIGINT) AS q
+  FROM d
+), o AS (
+  SELECT user_id, n, s, q, vi,
+         CASE WHEN (n * vi - s) * (n * vi - s) > 9 * (n * q - s * s)
+              THEN 1 ELSE 0 END AS is_out
+  FROM s
+)
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(is_out) AS BIGINT) AS n_outliers,
+       round(MAX(CASE WHEN is_out = 1
+                 THEN CAST((n * vi - s) * (n * vi - s) AS DOUBLE)
+                      / CAST(n * q - s * s AS DOUBLE) END), 6) AS max_z2
+FROM o GROUP BY user_id HAVING SUM(is_out) > 0
+"""
+
+
+REGISTRY.update({"q69_user_outliers": QuerySpec(q69_user_outliers, Q69_SQL)})
 
 
 # ------------------------------------------------------------------------

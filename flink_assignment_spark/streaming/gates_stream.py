@@ -35,3 +35,13 @@ def contamination_gate_stream(
     """Per-document contaminated-shingle counts against a bounded
     (eval-benchmark) probe set, broadcast once to all workers."""
     return contaminated_counts(docs, probe_hashes, text_col, id_col, n)
+
+
+def pii_gate_stream(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document PII counts + redacted-text audit for a streamed
+    crawl batch — the same zero-state narrow map as the batch q59."""
+    from ..operators.gates import pii_stats
+
+    return pii_stats(docs, text_col, id_col)

@@ -90,3 +90,25 @@ def test_repetition_gate_stream_matches_batch(spark, tmp_path):
         tuple(r) for r in REGISTRY["q61_repetition_filter"].spark(spark, SF_DIR).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_pii_gate_stream_matches_batch(spark, tmp_path):
+    from flink_assignment_spark.streaming.gates_stream import pii_gate_stream
+
+    d = str(tmp_path / "docs_p")
+    # plant the same deterministic PII the batch q59 plants
+    _docs(spark).withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact u"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com via https://site.example/"),
+            F.col("doc_id").cast("string"),
+        ),
+    ).write.parquet(d)
+    stream = spark.readStream.schema(DOCS_SCHEMA).option("maxFilesPerTrigger", 1).parquet(d)
+    run_stream(pii_gate_stream(stream), "pii")
+    got = {tuple(r) for r in spark.sql("SELECT * FROM pii").collect()}
+    want = {tuple(r) for r in REGISTRY["q59_pii_scrub"].spark(spark, SF_DIR).collect()}
+    assert got == want and len(want) > 0
