@@ -92,13 +92,17 @@ def mixture_rates(
         .filter(F.col("w").isNotNull())
         .groupBy(group, "w")
         .agg(F.count("*").alias("n"))
-    )
-    t = counts.agg(F.min(F.col("n").cast("double") / F.col("w")).alias("t"))
-    return counts.crossJoin(F.broadcast(t)).select(
+    ).cache()
+    # T is a single number derived from the group-cardinality counts
+    # frame — a bounded driver action (like the IVF train-sample
+    # count), NOT a per-row collect. Folding it in as a literal keeps
+    # the corpus-side plan free of single-row nested-loop cross joins.
+    t = counts.agg(F.min(F.col("n").cast("double") / F.col("w"))).collect()[0][0]
+    return counts.select(
         group,
         "n",
         "w",
-        ((F.col("w") * F.col("t")) / F.col("n")).alias("keep_rate"),
+        ((F.col("w") * F.lit(t)) / F.col("n")).alias("keep_rate"),
     )
 
 

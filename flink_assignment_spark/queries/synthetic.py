@@ -2597,18 +2597,16 @@ def q67_mixture_rebalance(spark, sf_dir):
     kept = docs.join(F.broadcast(rates), "lang").filter(
         uniform_from_key(F.col("doc_id"), "mix") < F.col("keep_rate")
     )
-    per = kept.groupBy("lang").agg(F.count("*").alias("n_kept"))
-    total = per.agg(F.sum("n_kept").alias("tot"))
-    return (
-        rates.join(per, "lang")
-        .crossJoin(F.broadcast(total))
-        .select(
-            "lang",
-            F.col("n").alias("n_docs"),
-            F.round("keep_rate", 6).alias("keep_rate"),
-            "n_kept",
-            F.round(F.col("n_kept") / F.col("tot"), 6).alias("achieved_share"),
-        )
+    per = kept.groupBy("lang").agg(F.count("*").alias("n_kept")).cache()
+    # group-cardinality scalar: fold in as a literal rather than a
+    # single-row nested-loop cross join (see mixture_rates)
+    tot = per.agg(F.sum("n_kept")).collect()[0][0]
+    return rates.join(per, "lang").select(
+        "lang",
+        F.col("n").alias("n_docs"),
+        F.round("keep_rate", 6).alias("keep_rate"),
+        "n_kept",
+        F.round(F.col("n_kept") / F.lit(tot), 6).alias("achieved_share"),
     )
 
 
