@@ -422,6 +422,36 @@ def simhash_pairs(
 CHUNK_TOKENS = 16
 
 
+def chunk_index(
+    docs: DataFrame,
+    chunk_tokens: int = CHUNK_TOKENS,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Narrow chunking pass shared by the batch and streaming forms:
+    one row per consecutive ``chunk_tokens``-token chunk of each doc —
+    ``(doc_id, <carried cols>, idx, h)`` with ``h`` the 60-bit content
+    hash. Pure Catalyst array ops, zero shuffles."""
+    toks = tokens(F.col(text_col))
+    n_chunks = F.ceil(F.size(toks) / F.lit(chunk_tokens))
+    chunks = F.when(
+        F.size(toks) > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i * chunk_tokens + 1, chunk_tokens)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            *[c for c in docs.columns if c not in (id_col, text_col)],
+            F.posexplode(chunks).alias("idx", "chunk"),
+        )
+        .select("*", hash60(F.col("chunk")).alias("h"))
+        .drop("chunk")
+    )
+
+
 def chunk_occurrences(
     docs: DataFrame,
     chunk_tokens: int = CHUNK_TOKENS,
@@ -442,21 +472,6 @@ def chunk_occurrences(
     any corpus where a single chunk's occurrence list fits a task
     (boilerplate-heavy corpora should pre-cap like MAX_SHINGLE_DF).
     """
-    toks = tokens(F.col(text_col))
-    n_chunks = F.ceil(F.size(toks) / F.lit(chunk_tokens))
-    chunks = F.when(
-        F.size(toks) > 0,
-        F.transform(
-            F.sequence(F.lit(0), n_chunks - 1),
-            lambda i: F.concat_ws(" ", F.slice(toks, i * chunk_tokens + 1, chunk_tokens)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    occ = docs.select(
-        F.col(id_col).alias("doc_id"),
-        *[c for c in docs.columns if c not in (id_col, text_col)],
-        F.posexplode(chunks).alias("idx", "chunk"),
-    ).select(
-        "*", hash60(F.col("chunk")).alias("h")
-    ).drop("chunk")
+    occ = chunk_index(docs, chunk_tokens, text_col, id_col)
     w = Window.partitionBy("h").orderBy("doc_id", "idx")
     return occ.withColumn("rn", F.row_number().over(w))
