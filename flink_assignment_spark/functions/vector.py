@@ -60,3 +60,44 @@ def cosine(a: Column, b: Column, dim: int | None = None) -> Column:
     if dim:
         return dot_fixed(a, b, dim) / (norm(a, dim) * norm(b, dim))
     return dot(a, b) / (norm(a) * norm(b))
+
+
+def random_projection_signs(in_dim: int, out_dim: int, salt: str = "rp") -> list[list[int]]:
+    """Deterministic ±1 Rademacher projection matrix (Achlioptas 2003:
+    ±1 entries satisfy the Johnson-Lindenstrauss lemma like Gaussians
+    do). Signs derive from md5 of "salt:j:i" — computed driver-side
+    with hashlib and embedded as literals in BOTH the Spark expression
+    and the DuckDB oracle, so the projection is reproducible anywhere.
+    Returns ``signs[j][i]`` for output dim j, input dim i."""
+    import hashlib
+
+    return [
+        [
+            1 if int(hashlib.md5(f"{salt}:{j}:{i}".encode()).hexdigest()[:15], 16) % 2 == 0 else -1
+            for i in range(in_dim)
+        ]
+        for j in range(out_dim)
+    ]
+
+
+def random_project(vec_col: str, in_dim: int, out_dim: int, salt: str = "rp") -> Column:
+    """Project ``array<float>`` down to ``out_dim`` dims with the
+    deterministic ±1 matrix, scaled 1/√out_dim (JL normalization).
+    Each output dim is a flat left-associated ``in_dim``-term Catalyst
+    chain — whole-stage codegen compiles it to straight-line Java; no
+    UDF, no shuffle. The oracle mirrors the association order term by
+    term. Built as ONE ``F.expr`` string: composing the ~512 terms as
+    Python Column arithmetic costs a Py4J round-trip per operator
+    (~6 s of driver time for 8×64); the parsed-string form is free."""
+    import math
+
+    signs = random_projection_signs(in_dim, out_dim, salt)
+    scale = 1.0 / math.sqrt(out_dim)
+    dims = []
+    for j in range(out_dim):
+        chain = " + ".join(
+            f"{'' if signs[j][i] == 1 else '-'}CAST({vec_col}[{i}] AS DOUBLE)"
+            for i in range(in_dim)
+        )
+        dims.append(f"round(({chain}) * {scale!r}, 6)")
+    return F.expr(f"array({', '.join(dims)})")

@@ -2758,6 +2758,139 @@ FROM o GROUP BY user_id HAVING SUM(is_out) > 0
 REGISTRY.update({"q69_user_outliers": QuerySpec(q69_user_outliers, Q69_SQL)})
 
 
+# 2024-01-15T00:00:00Z — mid-log cut for the snapshot diff, in epoch
+# micros so the compare is timezone-independent in any driver session
+SNAPSHOT_T1_US = 1_705_276_800_000_000
+
+
+def q70_snapshot_diff(spark, sf_dir):
+    """CDC snapshot diff: compare the compacted latest-per-key state
+    of the changelog as of a mid-log cut (T1) against the end of the
+    log, emitting only users whose state was created ('added') or
+    replaced ('changed') after T1. ONE scan + ONE shuffle: both
+    snapshots come out of a single grouped aggregation using
+    ``max_by`` with a FILTER clause — no self-join of two compactions,
+    which is the shape that matters when the changelog is 100 TB.
+    Cut compares use epoch micros, never session-zone timestamps."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", "value", F.unix_micros("ts").alias("tus")
+    )
+    # lexicographic struct max ≡ max_by on (tus, event_id) with the
+    # payload riding along — the one aggregate shape both engines
+    # order identically (DuckDB's max_by rejects struct ordering keys)
+    agg = ev.groupBy("user_id").agg(
+        F.expr("max(struct(tus, event_id, value))").alias("new"),
+        F.expr(
+            f"max(struct(tus, event_id, value)) FILTER (WHERE tus <= {SNAPSHOT_T1_US})"
+        ).alias("old"),
+    )
+    return agg.filter(F.col("old").isNull() | (F.col("old") != F.col("new"))).select(
+        "user_id",
+        F.when(F.col("old").isNull(), "added").otherwise("changed").alias("change"),
+        F.col("old.event_id").alias("old_event_id"),
+        F.col("new.event_id").alias("new_event_id"),
+        F.col("old.value").alias("old_value"),
+        F.col("new.value").alias("new_value"),
+    )
+
+
+Q70_SQL = f"""
+WITH e AS (
+  SELECT user_id, event_id, value, epoch_us(ts) AS tus FROM events
+), s AS (
+  SELECT user_id,
+         max(struct_pack(tus := tus, event_id := event_id, value := value)) AS new,
+         max(struct_pack(tus := tus, event_id := event_id, value := value))
+           FILTER (WHERE tus <= {SNAPSHOT_T1_US}) AS old
+  FROM e GROUP BY user_id
+)
+SELECT user_id,
+       CASE WHEN old IS NULL THEN 'added' ELSE 'changed' END AS change,
+       old.event_id AS old_event_id,
+       new.event_id AS new_event_id,
+       old.value AS old_value,
+       new.value AS new_value
+FROM s WHERE old IS NULL OR old <> new
+"""
+
+
+REGISTRY.update({"q70_snapshot_diff": QuerySpec(q70_snapshot_diff, Q70_SQL)})
+
+
+RP_OUT_DIMS = 8
+
+
+def q71_random_projection(spark, sf_dir):
+    """Johnson-Lindenstrauss dimensionality reduction: project the
+    64-dim embeddings to 8 dims with a deterministic ±1 Rademacher
+    matrix (Achlioptas 2003), 1/√8-scaled. A pure narrow map — each
+    output dim is a flat 64-term codegen'd expression chain, zero
+    shuffles, which is exactly how you'd cheapen downstream ANN /
+    clustering passes over 100 TB of embeddings. Signs are md5-derived
+    driver-side and embedded as literals in both engines, and the
+    left-associated fold order matches the oracle term for term."""
+    from ..functions.vector import random_project
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id", random_project("embedding", 64, RP_OUT_DIMS).alias("proj")
+    )
+
+
+def _q71_oracle() -> str:
+    import math
+
+    from ..functions.vector import random_projection_signs
+
+    signs = random_projection_signs(64, RP_OUT_DIMS)
+    scale = 1.0 / math.sqrt(RP_OUT_DIMS)
+    dims = []
+    for j in range(RP_OUT_DIMS):
+        chain = " + ".join(
+            f"{'' if signs[j][i] == 1 else '-'}CAST(embedding[{i + 1}] AS DOUBLE)"
+            for i in range(64)
+        )
+        dims.append(f"round(({chain}) * {scale!r}, 6)")
+    return f"SELECT vec_id, [{', '.join(dims)}] AS proj FROM embeddings"
+
+
+REGISTRY.update({"q71_random_projection": QuerySpec(q71_random_projection, _q71_oracle())})
+
+
+FIXED_SAMPLE_K = 200
+
+
+def q72_fixed_sample(spark, sf_dir):
+    """Fixed-budget uniform sample: the K documents with the smallest
+    salted hash — the distributed form of 'give me exactly K random
+    docs, the SAME K on every re-run'. orderBy+limit plans as a
+    distributed TakeOrdered (per-partition top-K then a K-row driver
+    merge), so no full sort materializes; unlike rate-based sampling
+    the budget is exact, and unlike df.sample it survives
+    repartitioning."""
+    docs = _t(spark, sf_dir, "documents")
+    from ..operators.sampling import uniform_from_key
+
+    return (
+        docs.select(
+            "doc_id", "lang", uniform_from_key(F.col("doc_id"), "fixed").alias("u")
+        )
+        .orderBy("u")
+        .limit(FIXED_SAMPLE_K)
+    )
+
+
+Q72_SQL = f"""
+SELECT doc_id, lang,
+       CAST(CAST('0x' || substring(md5('fixed:' || CAST(doc_id AS VARCHAR)), 1, 15)
+            AS BIGINT) AS DOUBLE) / 1152921504606846976.0 AS u
+FROM documents ORDER BY u LIMIT {FIXED_SAMPLE_K}
+"""
+
+
+REGISTRY.update({"q72_fixed_sample": QuerySpec(q72_fixed_sample, Q72_SQL)})
+
+
 # ------------------------------------------------------------------------
 # Registry ordering contract: the driver's correctness harness records at
 # most 50 entries per round (CORRECTNESS_r02 stopped at exactly 50 while

@@ -437,3 +437,30 @@ def test_chunk_occurrences_flags_copied_text(spark):
     assert occ[(2, 0)] == occ[(2, 1)] == 2
     assert occ[(3, 0)] == occ[(3, 1)] == 1  # unique text, incl. 4-token tail chunk
     assert len(occ) == 6
+
+
+def test_random_projection_preserves_distances_in_expectation(spark):
+    """JL sanity: squared distances in the 8-dim projection estimate
+    the 64-dim ones unbiasedly — check the mean ratio over real pairs
+    (individual pairs vary; ±1 Rademacher at k=8 has ~1/√8 rel σ)."""
+    import numpy as np
+
+    from flink_assignment_spark.functions.vector import random_project
+
+    emb = load_table(spark, SF_DIR, "embeddings").limit(60)
+    rows = emb.select("vec_id", "embedding", random_project("embedding", 64, 8).alias("p")).collect()
+    X = np.array([r.embedding for r in rows]); P = np.array([r.p for r in rows])
+    ratios = []
+    for i in range(0, 50, 5):
+        for j in range(i + 1, 50, 7):
+            d_hi = float(np.sum((X[i] - X[j]) ** 2))
+            d_lo = float(np.sum((P[i] - P[j]) ** 2))
+            if d_hi > 1e-9:
+                ratios.append(d_lo / d_hi)
+    m = float(np.mean(ratios))
+    assert 0.6 < m < 1.4, m
+    # determinism: same matrix on every call
+    again = spark.createDataFrame([r.asDict() for r in rows]).select(
+        "vec_id", random_project("embedding", 64, 8).alias("p2")
+    ).collect()
+    assert {r.vec_id: tuple(r.p2) for r in again} == {r.vec_id: tuple(r.p) for r in rows}
