@@ -2891,6 +2891,86 @@ FROM documents ORDER BY u LIMIT {FIXED_SAMPLE_K}
 REGISTRY.update({"q72_fixed_sample": QuerySpec(q72_fixed_sample, Q72_SQL)})
 
 
+def q73_lm_score(spark, sf_dir):
+    """CCNet/C4-style LM quality scoring: every document's average
+    bigram log-probability under an add-1-smoothed LM trained on the
+    corpus itself. Integer micro-nat accumulation makes the score
+    fold-order-exact (see operators/lm.py for the 100 TB shape: vocab-
+    bounded LM tables, 1:1 scoring joins, one corpus scan)."""
+    from ..operators.lm import bigram_lm_scores
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return bigram_lm_scores(docs)
+
+
+Q73_SQL = """
+WITH toks AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '') AS tk
+  FROM documents
+), occ AS (
+  SELECT doc_id,
+         unnest(list_transform(tk[1:len(tk)-1], (e, i) -> struct_pack(w1 := e, bg := e || ' ' || tk[i+1]))) AS p
+  FROM toks WHERE len(tk) >= 2
+), o AS (
+  SELECT doc_id, p.w1 AS w1, p.bg AS bg FROM occ
+), c_bg AS (SELECT bg, COUNT(*) AS c_bg FROM o GROUP BY bg),
+c_w1 AS (SELECT w1, COUNT(*) AS c_w1 FROM o GROUP BY w1),
+v AS (SELECT COUNT(DISTINCT t) AS v FROM (SELECT unnest(tk) AS t FROM toks)),
+scored AS (
+  SELECT o.doc_id,
+         CAST(round(ln((c_bg.c_bg + 1) / (c_w1.c_w1 + v.v)) * 1e6) AS BIGINT) AS lp_micro
+  FROM o JOIN c_bg USING (bg) JOIN c_w1 USING (w1), v
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       CAST(SUM(lp_micro) AS BIGINT) AS sum_lp_micro,
+       round(CAST(SUM(lp_micro) AS DOUBLE) / COUNT(*) / 1000000.0, 6) AS avg_logprob
+FROM scored GROUP BY doc_id
+"""
+
+
+REGISTRY.update({"q73_lm_score": QuerySpec(q73_lm_score, Q73_SQL)})
+
+
+def q74_normalize_text(spark, sf_dir):
+    """Canonical text normalization (the cleaning step every training
+    pipeline runs before hashing/dedup): lowercase → collapse runs of
+    whitespace → strip non-alphanumerics → trim, emitting the
+    normalized length, the chars removed, and the canonical md5 that
+    downstream exact-dedup would key on. Pure narrow map, zero
+    shuffles; Java regex and RE2 agree on this pattern subset."""
+    docs = _t(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9\s]", ""),
+            r"\s+",
+            " ",
+        )
+    )
+    return docs.select(
+        "doc_id",
+        F.length(norm).alias("norm_len"),
+        (F.length("text") - F.length(norm)).alias("n_removed"),
+        F.md5(norm).alias("norm_hash"),
+    )
+
+
+Q74_SQL = r"""
+WITH n AS (
+  SELECT doc_id, text,
+         trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'),
+                             '\s+', ' ', 'g')) AS norm
+  FROM documents
+)
+SELECT doc_id, CAST(length(norm) AS INT) AS norm_len,
+       CAST(length(text) - length(norm) AS INT) AS n_removed,
+       md5(norm) AS norm_hash
+FROM n
+"""
+
+
+REGISTRY.update({"q74_normalize_text": QuerySpec(q74_normalize_text, Q74_SQL)})
+
+
 # ------------------------------------------------------------------------
 # Registry ordering contract: the driver's correctness harness records at
 # most 50 entries per round (CORRECTNESS_r02 stopped at exactly 50 while
