@@ -215,3 +215,32 @@ def test_q65_band_key_no_join(spark):
     df = REGISTRY["q65_value_bands"].spark(spark, SF_DIR)
     plan = physical_plan(df)
     assert "Join" not in plan, plan
+
+
+def test_date_partitioned_write_prunes_partitions(spark, tmp_path):
+    """The ingest layout contract: a date-partitioned parquet table
+    turns a date predicate into directory-level partition pruning —
+    the scan's PartitionFilters carries the predicate and the file
+    listing drops to the matching day, so a 100 TB history scan reads
+    one day's files, not all of them."""
+    from pyspark.sql import functions as F
+
+    from flink_assignment_spark.sources.loaders import load_table
+    from flink_assignment_spark.sources.sinks import write_parquet
+
+    ev = load_table(spark, SF_DIR, "events").withColumn(
+        "d", F.date_format("ts", "yyyy-MM-dd")
+    )
+    path = str(tmp_path / "events_by_day")
+    write_parquet(ev, path, partition_by=["d"])
+
+    t = spark.read.parquet(path)
+    one_day = t.filter(F.col("d") == "2024-01-05").select("event_id", "value")
+    plan = physical_plan(one_day)
+    assert "PartitionFilters" in plan and "2024-01-05" in plan.split("PartitionFilters", 1)[1].split("]")[0]
+    # the pruned scan must not carry the partition predicate as a data
+    # filter (it is resolved at listing time, before any file is read)
+    n_days = ev.select("d").distinct().count()
+    got = one_day.count()
+    want = ev.filter(F.col("d") == "2024-01-05").count()
+    assert got == want and n_days > 1
