@@ -115,6 +115,17 @@ def main() -> None:
         "--doc-scales", type=int, nargs="+", default=[5_000, 50_000, 500_000]
     )
     ap.add_argument(
+        "--doc-queries",
+        nargs="+",
+        default=[
+            "q16_dedup_minhash_lsh",
+            "q29_dedup_clusters",
+            "q66_sequence_packing",
+            "q68_chunk_dedup",
+            "q73_lm_score",
+        ],
+    )
+    ap.add_argument(
         "--reps",
         type=int,
         default=3,
@@ -139,7 +150,7 @@ def main() -> None:
         ensure_events(spark, n, os.path.join(base, "events.parquet"))
         results[str(n)] = {qn: _timed_reps(spark, qn, base, n, args.reps) for qn in qnames}
 
-    doc_qnames = ["q16_dedup_minhash_lsh", "q29_dedup_clusters"]
+    doc_qnames = args.doc_queries
     doc_results = {}
     for n in args.doc_scales:
         base = f"/tmp/fas_docscale_{n}"

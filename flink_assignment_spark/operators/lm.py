@@ -61,7 +61,7 @@ def bigram_lm_scores(
     ``p(w2|w1) = (c(w1 w2)+1) / (c(w1·)+V)``, summed in exact integer
     micro-nats. Docs with < 2 tokens produce no row."""
     occ = bigram_occurrences(docs, text_col, id_col).cache()
-    c_bg = occ.groupBy("bg").agg(F.count("*").alias("c_bg"))
+    c_bg = occ.groupBy("w1", "bg").agg(F.count("*").alias("c_bg"))
     c_w1 = occ.groupBy("w1").agg(F.count("*").alias("c_w1"))
     # V is the corpus vocabulary size — one bounded scalar (the same
     # class of driver action as the IVF train-sample count)
@@ -72,10 +72,13 @@ def bigram_lm_scores(
     )
     p = (F.col("c_bg") + 1) / (F.col("c_w1") + F.lit(int(v)))
     li = F.round(F.log(p) * 1e6).cast("long")
+    # fold the unigram table into a per-bigram LM first: that join is
+    # VOCAB-scale (distinct bigrams), so the corpus-scale occurrence
+    # frame pays only ONE shuffle join — on Zipfian text the distinct
+    # bigram table is far smaller than the occurrence stream
+    lm = c_bg.join(c_w1, "w1").select("bg", li.alias("lp_micro"))
     return (
-        occ.join(c_bg, "bg")
-        .join(c_w1, "w1")
-        .select("doc_id", li.alias("lp_micro"))
+        occ.join(lm, "bg")
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_bigrams"),
