@@ -162,3 +162,28 @@ def make_cell_assign_udf(centroids, n_nearest):
         return pd.Series(list(order.astype(np.int32)))
 
     return assign
+
+
+def make_zlib_len_udf(level=6):
+    """Compressed byte length of each string under zlib at ``level``.
+
+    The compression *ratio* (deflate bytes / raw bytes) is a byte-level
+    data-quality proxy complementary to the word-level Gopher
+    repetition filter: highly compressible text is boilerplate or
+    looped spam, near-incompressible text is base64/random noise.
+    zlib is in the CPython stdlib, the output length is deterministic
+    for a fixed level, and the work is per-row-bounded, so an Arrow
+    batch UDF is the right shape — the ratio itself and all banding
+    stays JVM-side."""
+
+    @pandas_udf("long")
+    def zlib_len(s: pd.Series) -> pd.Series:
+        import zlib
+
+        return s.map(
+            lambda t: len(zlib.compress(t.encode("utf-8"), level))
+            if t is not None
+            else None
+        ).astype("Int64")
+
+    return zlib_len

@@ -3060,6 +3060,229 @@ WHERE cents = (SELECT MIN(cents) FROM li i WHERE i.l_partkey = o.l_partkey)
 REGISTRY.update({"q76_min_price_per_part": QuerySpec(q76_min_price_per_part, Q76_SQL)})
 
 
+SHARD_COUNT = 64  # shared with Q77_SQL
+
+
+def q77_corpus_shards(spark, sf_dir):
+    """Deterministic corpus shuffle into training shards: every doc
+    gets a salted-hash shard id and a stable position within its
+    shard. This is the write-side of every training run — a global
+    *random-looking* but reproducible order, expressed as 64 per-shard
+    sorts instead of one global sort (a trainer needs deterministic
+    shard membership + intra-shard order, not one total order). The
+    shard id is uniform by construction, so ``partitionBy(shard)`` has
+    no skewed key; shard count is the knob that matches the writer's
+    parallelism at any corpus size."""
+    docs = _t(spark, sf_dir, "documents")
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit("shard:"), F.col("doc_id").cast("string"))), 1, 15),
+        16,
+        10,
+    ).cast("long")
+    sharded = docs.select(
+        "doc_id", "n_chars", (h % SHARD_COUNT).alias("shard"), h.alias("__h")
+    )
+    w = Window.partitionBy("shard").orderBy("__h", "doc_id")
+    return sharded.select(
+        "doc_id",
+        "shard",
+        (F.row_number().over(w) - 1).alias("pos"),
+        "n_chars",
+    )
+
+
+Q77_SQL = f"""
+WITH h AS (
+  SELECT doc_id, n_chars,
+         CAST('0x' || substring(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS hh
+  FROM documents
+)
+SELECT doc_id, hh % {SHARD_COUNT} AS shard,
+       CAST(ROW_NUMBER() OVER (PARTITION BY hh % {SHARD_COUNT} ORDER BY hh, doc_id) - 1 AS INTEGER) AS pos,
+       n_chars
+FROM h
+"""
+
+
+REGISTRY.update({"q77_corpus_shards": QuerySpec(q77_corpus_shards, Q77_SQL)})
+
+
+def q78_shingle_novelty(spark, sf_dir):
+    """Per-document novelty: the fraction of a doc's word-3-gram
+    shingles whose FIRST corpus occurrence (lowest doc_id) is this
+    doc. The corpus-novelty curve is how pipelines decide when more
+    raw data stops adding information. Both aggregates run at reduced
+    cardinality — min(doc_id) per distinct shingle hash, then a count
+    per first-doc — so no corpus self-join and no row blow-up; the
+    join that reunites them is aggregate-vs-aggregate (AQE picks
+    broadcast/SHJ from observed sizes)."""
+    from ..operators.dedup import doc_shingles
+
+    sh = doc_shingles(docs=_t(spark, sf_dir, "documents"))
+    per_doc = sh.groupBy("doc_id").agg(F.max("n_shingles").alias("n_shingles"))
+    n_new = (
+        sh.groupBy("h")
+        .agg(F.min("doc_id").alias("first_doc"))
+        .groupBy("first_doc")
+        .agg(F.count("*").alias("n_new"))
+    )
+    return per_doc.join(
+        n_new, per_doc.doc_id == n_new.first_doc, "left"
+    ).select(
+        "doc_id",
+        "n_shingles",
+        F.coalesce("n_new", F.lit(0)).alias("n_new"),
+        F.round(F.coalesce("n_new", F.lit(0)) / F.col("n_shingles"), 4).alias(
+            "novelty"
+        ),
+    )
+
+
+Q78_SQL = """
+WITH tok AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '') AS tk
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(generate_series(1, len(tk) - 2),
+                       i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS s
+  FROM tok WHERE len(tk) >= 3
+), idx AS (
+  SELECT doc_id, len(s) AS n_shingles,
+         CAST('0x' || substring(md5(unnest(s)), 1, 15) AS BIGINT) AS h
+  FROM sh
+), per_doc AS (
+  SELECT doc_id, MAX(n_shingles) AS n_shingles FROM idx GROUP BY doc_id
+), firsts AS (
+  SELECT h, MIN(doc_id) AS first_doc FROM idx GROUP BY h
+), n_new AS (
+  SELECT first_doc, COUNT(*) AS n_new FROM firsts GROUP BY first_doc
+)
+SELECT p.doc_id, p.n_shingles,
+       COALESCE(n.n_new, 0) AS n_new,
+       round(COALESCE(n.n_new, 0) / CAST(p.n_shingles AS DOUBLE), 4) AS novelty
+FROM per_doc p LEFT JOIN n_new n ON p.doc_id = n.first_doc
+"""
+
+
+REGISTRY.update({"q78_shingle_novelty": QuerySpec(q78_shingle_novelty, Q78_SQL)})
+
+
+# Byte-level quality bands shared with the pytest oracle
+# (tests/test_compression_ratio.py); chosen off the synthetic corpus's
+# observed ratio spread.
+ZLIB_LEVEL = 6
+COMPRESS_REPETITIVE = 0.35  # ratio below -> boilerplate / looped spam
+COMPRESS_RANDOM = 0.90  # ratio above -> base64 / random noise
+
+
+def q79_compression_ratio(spark, sf_dir):
+    """Byte-level compression-ratio quality proxy: deflate each doc
+    (zlib level 6, stdlib, deterministic) and band the ratio. The only
+    Python crossing is the compressed *length* via one Arrow-batched
+    UDF; ratio math and banding stay JVM-side. Rows-only in the
+    driver (DuckDB has no zlib); the pytest oracle recomputes every
+    row's ratio with the same stdlib zlib and compares exactly."""
+    from ..functions._pandas_udfs import make_zlib_len_udf
+
+    zl = make_zlib_len_udf(ZLIB_LEVEL)
+    docs = _t(spark, sf_dir, "documents")
+    raw_len = F.length(F.encode("text", "utf-8"))
+    scored = docs.select(
+        "doc_id",
+        "source",
+        raw_len.alias("raw_bytes"),
+        zl(F.col("text")).alias("zlib_bytes"),
+    ).withColumn(
+        "ratio", F.round(F.col("zlib_bytes") / F.col("raw_bytes"), 4)
+    )
+    return scored.select(
+        "doc_id",
+        "source",
+        "raw_bytes",
+        "zlib_bytes",
+        "ratio",
+        F.when(F.col("ratio") < COMPRESS_REPETITIVE, F.lit("repetitive"))
+        .when(F.col("ratio") > COMPRESS_RANDOM, F.lit("random"))
+        .otherwise(F.lit("ok"))
+        .alias("band"),
+    )
+
+
+REGISTRY.update({"q79_compression_ratio": QuerySpec(q79_compression_ratio, None)})
+
+
+# Q22-shape constants shared with the oracle: the "selected nations"
+# stand in for TPC-H's country-code prefix list.
+Q22_NATIONS = (1, 3, 5, 7, 11, 13, 17)
+
+
+Q22_CUTOFF = "2001-01-01"  # "lapsed" = no order on/after this date
+
+
+def q80_inactive_above_avg(spark, sf_dir):
+    """TPC-H Q22 shape: customers in a fixed nation set whose balance
+    exceeds the average positive balance of that set AND who have
+    placed no RECENT order (none on/after Q22_CUTOFF — every synthetic
+    customer has old orders, so the classic no-orders-ever predicate
+    would be vacuous), rolled up per nation. The scalar average folds
+    to one broadcast literal; the lapsed test is an anti-join against
+    the date-filtered orders (the filter pushes to the parquet scan —
+    no count subquery per row). All balance math runs on integer cents
+    — ``bal_cents * n > sum_cents`` replaces a float average compare,
+    so the oracle matches bit-for-bit."""
+    c = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_nationkey").isin(*Q22_NATIONS))
+        .select(
+            "c_custkey",
+            "c_nationkey",
+            F.round(F.col("c_acctbal") * 100).cast("long").alias("bal_cents"),
+        )
+    )
+    pos = c.filter(F.col("bal_cents") > 0).agg(
+        F.sum("bal_cents").alias("s"), F.count("*").alias("n")
+    )
+    row = pos.head()
+    s, n = (row["s"] or 0), (row["n"] or 1)
+    recent = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit(Q22_CUTOFF).cast("timestamp"))
+        .select("o_custkey")
+    )
+    return (
+        c.filter(F.col("bal_cents") * n > s)
+        .join(recent, c.c_custkey == recent.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("numcust"),
+            (F.sum("bal_cents") / 100.0).alias("totacctbal"),
+        )
+    )
+
+
+Q80_SQL = f"""
+WITH sel AS (
+  SELECT c_custkey, c_nationkey,
+         CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+  FROM customer WHERE c_nationkey IN {Q22_NATIONS}
+), avg_pos AS (
+  SELECT SUM(bal_cents) AS s, COUNT(*) AS n FROM sel WHERE bal_cents > 0
+)
+SELECT c_nationkey, COUNT(*) AS numcust,
+       SUM(bal_cents) / 100.0 AS totacctbal
+FROM sel, avg_pos
+WHERE bal_cents * n > s
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = sel.c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '{Q22_CUTOFF} 00:00:00')
+GROUP BY c_nationkey
+"""
+
+
+REGISTRY.update({"q80_inactive_above_avg": QuerySpec(q80_inactive_above_avg, Q80_SQL)})
+
+
 # ------------------------------------------------------------------------
 # Registry ordering contract: the driver's correctness harness records at
 # most 50 entries per round (CORRECTNESS_r02 stopped at exactly 50 while
@@ -3069,7 +3292,7 @@ REGISTRY.update({"q76_min_price_per_part": QuerySpec(q76_min_price_per_part, Q76
 #   [0, 50)  the first 50 oracle-bearing queries, original order
 #            (q01..q54)
 #   next     every other oracle-bearing query in insertion order
-#            (q56..q63, q65-q76, ...), then q55 — beyond the driver
+#            (q56..q63, q65-q78, q80, ...), then q55 — beyond the driver
 #            cap, but tests/test_synthetic_queries.py runs the SAME
 #            compare on every one of them each CI pass
 #   tail     rows-only queries (q31/q37/q40/q43/q47 — each is covered by
