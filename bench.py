@@ -8,6 +8,13 @@ ONE JSON line:
 Execution is forced with the noop sink (full plan runs, no driver-side
 collect overhead). Each query is timed individually after a session
 warm-up query so JVM/codegen startup isn't attributed to the first one.
+
+Each query runs $SPARK_GRAFT_BENCH_REPS times (default 2) and reports
+the MINIMUM: this harness's VM shows ±5-10x swings on identical
+queries between consecutive runs (noisy-neighbor interference, see
+SCALING.md), and the min is the standard low-variance estimator of a
+query's true cost when the noise is strictly additive — which
+machine interference is.
 """
 
 from __future__ import annotations
@@ -59,11 +66,15 @@ def main() -> None:
 
     run_query(spark.range(256).repartition(n_part).mapInPandas(_noop_kernel, "id long"))
 
+    reps = max(int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2")), 1)
     timings: dict[str, float] = {}
     for name, spec in REGISTRY.items():
-        t0 = time.monotonic()
-        run_query(spec.spark(spark, SF_DIR))
-        timings[name] = round(time.monotonic() - t0, 3)
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.monotonic()
+            run_query(spec.spark(spark, SF_DIR))
+            best = min(best, time.monotonic() - t0)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -74,6 +85,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf_value(SF_DIR),
+                "reps_per_query": reps,
             }
         )
     )
