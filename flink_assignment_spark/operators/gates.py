@@ -123,3 +123,41 @@ def pii_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
         F.length(redacted).alias("redacted_len"),
         F.md5(redacted).alias("redacted_hash"),
     )
+
+
+ZLIB_LEVEL = 6
+COMPRESS_REPETITIVE = 0.35  # ratio below -> boilerplate / looped spam
+COMPRESS_RANDOM = 0.90  # ratio above -> base64 / random noise
+
+
+def compression_stats(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Byte-level compression-ratio quality gate (q79 batch form):
+    deflate length via one Arrow-batched UDF, ratio math and banding
+    JVM-side. A stateless narrow map — batch/stream portable like the
+    other gates in this module."""
+    from ..functions._pandas_udfs import make_zlib_len_udf
+
+    zl = make_zlib_len_udf(ZLIB_LEVEL)
+    raw_len = F.length(F.encode(F.col(text_col), "utf-8"))
+    return (
+        docs.select(
+            id_col,
+            "source",
+            raw_len.alias("raw_bytes"),
+            zl(F.col(text_col)).alias("zlib_bytes"),
+        )
+        .withColumn("ratio", F.round(F.col("zlib_bytes") / F.col("raw_bytes"), 4))
+        .select(
+            id_col,
+            "source",
+            "raw_bytes",
+            "zlib_bytes",
+            "ratio",
+            F.when(F.col("ratio") < COMPRESS_REPETITIVE, F.lit("repetitive"))
+            .when(F.col("ratio") > COMPRESS_RANDOM, F.lit("random"))
+            .otherwise(F.lit("ok"))
+            .alias("band"),
+        )
+    )

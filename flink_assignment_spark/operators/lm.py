@@ -91,3 +91,94 @@ def bigram_lm_scores(
             ),
         )
     )
+
+
+def export_lm(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"):
+    """Train the add-1 bigram LM and export it as a worker-shippable
+    artifact: ``(lm_map, fallback_micro, v)`` with ``lm_map[bg] =
+    lp_micro`` for every corpus bigram and ``fallback_micro =
+    round(ln(1/V)*1e6)`` for bigrams unseen at train time (the w1
+    history itself unseen — the weakest add-1 estimate).
+
+    This is the CCNet deployment shape: the LM is a TRAINED ARTIFACT
+    (KenLM file in their case) broadcast to every worker, and scoring
+    is a stateless narrow map — which is what lets the same scorer run
+    over a batch frame or an append-mode stream with no shuffle and no
+    state. The export is a driver collect bounded by DISTINCT-BIGRAM
+    cardinality (vocab-scale, not corpus-scale) — the same boundedness
+    contract as the IVF train sample; a production pipeline would
+    train on a fixed reference corpus (wiki), not the full crawl.
+
+    The lp_micro values are collected from the SAME Catalyst
+    expression the batch scorer uses, so broadcast scoring is
+    bit-identical to ``bigram_lm_scores`` by construction."""
+    import math
+
+    occ = bigram_occurrences(docs, text_col, id_col)
+    c_bg = occ.groupBy("w1", "bg").agg(F.count("*").alias("c_bg"))
+    c_w1 = occ.groupBy("w1").agg(F.count("*").alias("c_w1"))
+    v = (
+        docs.select(F.explode(tokens(F.col(text_col))).alias("t"))
+        .agg(F.count_distinct("t"))
+        .collect()[0][0]
+    )
+    p = (F.col("c_bg") + 1) / (F.col("c_w1") + F.lit(int(v)))
+    li = F.round(F.log(p) * 1e6).cast("long")
+    lm = c_bg.join(c_w1, "w1").select("bg", li.alias("lp_micro"))
+    lm_map = {r["bg"]: r["lp_micro"] for r in lm.collect()}
+    fallback_micro = round(math.log(1.0 / int(v)) * 1e6)
+    return lm_map, int(fallback_micro), int(v)
+
+
+def score_with_broadcast_lm(
+    docs: DataFrame,
+    lm_map: dict,
+    fallback_micro: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Same output schema/values as :func:`bigram_lm_scores`, computed
+    as a NARROW MAP with the exported LM broadcast once per executor —
+    zero shuffles, zero state, batch/stream portable. Tokenization
+    matches the Catalyst form exactly: ASCII ``\\s+`` split (Java's
+    default ``\\s`` class), empty tokens dropped."""
+    import re
+
+    import pandas as pd
+
+    bc = docs.sparkSession.sparkContext.broadcast((lm_map, fallback_micro))
+
+    @F.pandas_udf("struct<n_bigrams: long, sum_lp_micro: long>")
+    def _score(texts):
+        lm, fb = bc.value
+        ws = re.compile(r"\s+", re.ASCII)
+        ns, sums = [], []
+        for t in texts:
+            if t is None:
+                ns.append(0)
+                sums.append(0)
+                continue
+            tk = [w for w in ws.split(t) if w]
+            n = max(len(tk) - 1, 0)
+            s = 0
+            for i in range(n):
+                s += lm.get(tk[i] + " " + tk[i + 1], fb)
+            ns.append(n)
+            sums.append(s)
+        return pd.DataFrame({"n_bigrams": ns, "sum_lp_micro": sums})
+
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), _score(F.col(text_col)).alias("s"))
+        .filter(F.col("s.n_bigrams") > 0)
+        .select(
+            "doc_id",
+            F.col("s.n_bigrams").alias("n_bigrams"),
+            F.col("s.sum_lp_micro").alias("sum_lp_micro"),
+        )
+        .withColumn(
+            "avg_logprob",
+            F.round(
+                F.col("sum_lp_micro").cast("double") / F.col("n_bigrams") / F.lit(1e6), 6
+            ),
+        )
+    )

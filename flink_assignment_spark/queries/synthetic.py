@@ -3169,44 +3169,25 @@ REGISTRY.update({"q78_shingle_novelty": QuerySpec(q78_shingle_novelty, Q78_SQL)}
 
 
 # Byte-level quality bands shared with the pytest oracle
-# (tests/test_compression_ratio.py); chosen off the synthetic corpus's
-# observed ratio spread.
-ZLIB_LEVEL = 6
-COMPRESS_REPETITIVE = 0.35  # ratio below -> boilerplate / looped spam
-COMPRESS_RANDOM = 0.90  # ratio above -> base64 / random noise
+# (tests/test_compression_ratio.py) and the streaming gate — the
+# single source of truth lives in operators/gates.py.
+from ..operators.gates import (  # noqa: E402
+    COMPRESS_RANDOM,
+    COMPRESS_REPETITIVE,
+    ZLIB_LEVEL,
+    compression_stats,
+)
 
 
 def q79_compression_ratio(spark, sf_dir):
     """Byte-level compression-ratio quality proxy: deflate each doc
     (zlib level 6, stdlib, deterministic) and band the ratio. The only
     Python crossing is the compressed *length* via one Arrow-batched
-    UDF; ratio math and banding stay JVM-side. Rows-only in the
-    driver (DuckDB has no zlib); the pytest oracle recomputes every
-    row's ratio with the same stdlib zlib and compares exactly."""
-    from ..functions._pandas_udfs import make_zlib_len_udf
-
-    zl = make_zlib_len_udf(ZLIB_LEVEL)
-    docs = _t(spark, sf_dir, "documents")
-    raw_len = F.length(F.encode("text", "utf-8"))
-    scored = docs.select(
-        "doc_id",
-        "source",
-        raw_len.alias("raw_bytes"),
-        zl(F.col("text")).alias("zlib_bytes"),
-    ).withColumn(
-        "ratio", F.round(F.col("zlib_bytes") / F.col("raw_bytes"), 4)
-    )
-    return scored.select(
-        "doc_id",
-        "source",
-        "raw_bytes",
-        "zlib_bytes",
-        "ratio",
-        F.when(F.col("ratio") < COMPRESS_REPETITIVE, F.lit("repetitive"))
-        .when(F.col("ratio") > COMPRESS_RANDOM, F.lit("random"))
-        .otherwise(F.lit("ok"))
-        .alias("band"),
-    )
+    UDF; ratio math and banding stay JVM-side (operators/gates.py —
+    shared verbatim with the streaming gate). Rows-only in the driver
+    (DuckDB has no zlib); the pytest oracle recomputes every row's
+    ratio with the same stdlib zlib and compares exactly."""
+    return compression_stats(_t(spark, sf_dir, "documents"))
 
 
 REGISTRY.update({"q79_compression_ratio": QuerySpec(q79_compression_ratio, None)})

@@ -45,3 +45,14 @@ def pii_gate_stream(
     from ..operators.gates import pii_stats
 
     return pii_stats(docs, text_col, id_col)
+
+
+def compression_gate_stream(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Byte-level compression-ratio gate for a streamed crawl batch —
+    the q79 narrow map (one Arrow UDF for the deflate length, banding
+    JVM-side) applied unchanged to an append-mode stream."""
+    from ..operators.gates import compression_stats
+
+    return compression_stats(docs, text_col, id_col)
