@@ -3264,6 +3264,83 @@ GROUP BY c_nationkey
 REGISTRY.update({"q80_inactive_above_avg": QuerySpec(q80_inactive_above_avg, Q80_SQL)})
 
 
+def q81_kll_quantile_rollup(spark, sf_dir):
+    """Weekly value quantiles REAGGREGATED FROM DAILY KLL SKETCHES —
+    the q64 mergeable-state pattern applied to ORDER STATISTICS:
+    ``kll_sketch_agg_double`` per day produces a bounded-size
+    mergeable summary, ``kll_merge_agg_double`` rolls days into weeks
+    without re-reading events (exact percentiles cannot be
+    re-aggregated from per-day percentiles at all). The two-level
+    shape is what a 100 TB hypertable stores: per-partition sketches,
+    merged on demand for any coarser window. Sketch binaries are
+    engine-specific → rows-only driver check; pytest bounds the
+    estimates against exact quantiles via KLL's rank-error guarantee
+    (k=200 → ~1.65% one-sided rank error)."""
+    from ..functions.scalar import utc_day, utc_week_start
+
+    daily = (
+        _t(spark, sf_dir, "events")
+        .groupBy(
+            utc_week_start(F.col("ts")).alias("week"),
+            utc_day(F.col("ts")).alias("day"),
+        )
+        .agg(F.kll_sketch_agg_double("value", F.lit(200)).alias("day_sketch"))
+    )
+    merged = daily.groupBy("week").agg(
+        F.kll_merge_agg_double("day_sketch").alias("wk"),
+        F.count("*").alias("n_days"),
+    )
+    return merged.select(
+        F.date_format("week", "yyyy-MM-dd").alias("week"),
+        "n_days",
+        F.round(F.kll_sketch_get_quantile_double("wk", F.lit(0.5)), 2).alias("p50"),
+        F.round(F.kll_sketch_get_quantile_double("wk", F.lit(0.95)), 2).alias("p95"),
+        F.round(F.kll_sketch_get_quantile_double("wk", F.lit(0.99)), 2).alias("p99"),
+        F.kll_sketch_get_n_double("wk").alias("n_values"),
+    )
+
+
+REGISTRY.update({"q81_kll_quantile_rollup": QuerySpec(q81_kll_quantile_rollup, None)})
+
+
+def q82_theta_retention(spark, sf_dir):
+    """Week-over-week user retention via THETA sketches — the sketch
+    family that supports SET ALGEBRA (HLL can only union): per-week
+    ``theta_sketch_agg`` over user_id, then for each adjacent week
+    pair estimate |this ∩ prev| (retained), |this \\ prev| (new). At
+    100 TB the weekly sketches are tiny persisted state; every
+    retention/churn matrix cell is a sketch-only computation, never a
+    re-scan or a distinct-distinct join of raw events. Estimates →
+    rows-only driver check; pytest bounds them against exact set
+    sizes computed from raw events."""
+    from ..functions.scalar import utc_week_start
+
+    weekly = (
+        _t(spark, sf_dir, "events")
+        .groupBy(utc_week_start(F.col("ts")).alias("week"))
+        .agg(F.theta_sketch_agg("user_id").alias("sk"))
+    )
+    w = Window.orderBy("week")  # weeks-per-corpus rows: trivially small
+    pairs = weekly.select(
+        "week",
+        "sk",
+        F.lag("sk").over(w).alias("prev_sk"),
+    ).filter(F.col("prev_sk").isNotNull())
+    return pairs.select(
+        F.date_format("week", "yyyy-MM-dd").alias("week"),
+        F.round(F.theta_sketch_estimate("sk")).cast("long").alias("approx_users"),
+        F.round(
+            F.theta_sketch_estimate(F.theta_intersection("sk", "prev_sk"))
+        ).cast("long").alias("approx_retained"),
+        F.round(
+            F.theta_sketch_estimate(F.theta_difference("sk", "prev_sk"))
+        ).cast("long").alias("approx_new"),
+    )
+
+
+REGISTRY.update({"q82_theta_retention": QuerySpec(q82_theta_retention, None)})
+
+
 # ------------------------------------------------------------------------
 # Registry ordering contract: the driver's correctness harness records at
 # most 50 entries per round (CORRECTNESS_r02 stopped at exactly 50 while

@@ -464,3 +464,66 @@ def test_random_projection_preserves_distances_in_expectation(spark):
         "vec_id", random_project("embedding", 64, 8).alias("p2")
     ).collect()
     assert {r.vec_id: tuple(r.p2) for r in again} == {r.vec_id: tuple(r.p) for r in rows}
+
+
+def test_kll_rollup_rank_error_bound(spark):
+    """q81's merged weekly quantile estimates must respect KLL's rank
+    guarantee: the estimate at rank q lies between the EXACT values at
+    ranks q±3ε (k=200 → ε≈1.65% one-sided normalized rank error; 3ε
+    makes the probabilistic bound effectively certain at these sizes).
+    DuckDB cross-checks with its own exact quantile as the oracle for
+    the band edges; n_values must equal the exact row count."""
+    import duckdb
+
+    from flink_assignment_spark.queries.synthetic import REGISTRY
+
+    rolled = {
+        r.week: r
+        for r in REGISTRY["q81_kll_quantile_rollup"].spark(spark, SF_DIR).collect()
+    }
+    eps = 3 * 0.0165
+    bands = {}
+    for q in (0.5, 0.95, 0.99):
+        lo_q, hi_q = max(q - eps, 0.0), min(q + eps, 1.0)
+        for week, lo, hi, n in duckdb.sql(
+            "SELECT strftime(date_trunc('week', ts), '%Y-%m-%d') AS week, "
+            f"quantile_cont(value, {lo_q}) AS lo, quantile_cont(value, {hi_q}) AS hi, "
+            "count(*) AS n "
+            f"FROM '{SF_DIR}/events.parquet' GROUP BY 1"
+        ).fetchall():
+            bands[(week, q)] = (lo, hi, n)
+    assert len(rolled) > 0 and set(rolled) == {w for (w, _) in bands}
+    for week, row in rolled.items():
+        for q, est in ((0.5, row.p50), (0.95, row.p95), (0.99, row.p99)):
+            lo, hi, n = bands[(week, q)]
+            assert lo - 0.01 <= est <= hi + 0.01, (week, q, est, lo, hi)
+            assert row.n_values == n, (week, row.n_values, n)
+
+
+def test_theta_retention_exact_in_sampling_free_regime(spark):
+    """Theta sketches store raw hashed keys until ~4096 distinct
+    values (no sampling), so at test scale q82's retained/new/users
+    estimates must EQUAL the exact set sizes — and always satisfy
+    retained + new == users (difference and intersection partition
+    the week's user set)."""
+    from flink_assignment_spark.functions.scalar import utc_week_start
+    from flink_assignment_spark.queries.synthetic import REGISTRY
+
+    got = {
+        r.week: (r.approx_users, r.approx_retained, r.approx_new)
+        for r in REGISTRY["q82_theta_retention"].spark(spark, SF_DIR).collect()
+    }
+    weekly = {
+        r.week: set(r.users)
+        for r in load_table(spark, SF_DIR, "events")
+        .groupBy(F.date_format(utc_week_start(F.col("ts")), "yyyy-MM-dd").alias("week"))
+        .agg(F.collect_set("user_id").alias("users"))
+        .collect()
+    }
+    ordered = sorted(weekly)
+    assert len(got) == len(ordered) - 1 > 0
+    for prev, cur in zip(ordered, ordered[1:]):
+        users, retained, new = got[cur]
+        p, c = weekly[prev], weekly[cur]
+        assert (users, retained, new) == (len(c), len(c & p), len(c - p)), cur
+        assert retained + new == users
