@@ -3341,6 +3341,136 @@ def q82_theta_retention(spark, sf_dir):
 REGISTRY.update({"q82_theta_retention": QuerySpec(q82_theta_retention, None)})
 
 
+def q83_pipeline_e2e(spark, sf_dir):
+    """The flagship COMPOSED training-data pipeline in one lazy DAG:
+    normalize (q74) → Gopher repetition gate (q61) → benchmark
+    decontamination (q60) → exact dedup-apply on the canonical text
+    (q62) → per-source yield summary. Every stage is one of the
+    already-proven operators applied to the PREVIOUS stage's output —
+    the point is that they compose into a single Catalyst plan (the
+    narrow gates fuse into the scan; the only wide ops are the probe
+    anti-join, the dedup aggregate, and the final rollup), instead of
+    five materialized intermediate corpora. The repetition test uses
+    exact integer math (5·dups ≤ total ⇔ ratio ≤ 0.2) so the gate
+    decision cannot straddle a float boundary between engines."""
+    docs = _t(spark, sf_dir, "documents")
+    ntext = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9\s]", ""),
+            r"\s+",
+            " ",
+        )
+    )
+    staged = docs.select("doc_id", "source", ntext.alias("ntext"))
+    tk = tokens(F.col("ntext"))
+    corpus = staged.filter(F.col("doc_id") >= 20).select(
+        "doc_id",
+        "source",
+        "ntext",
+        F.greatest(F.size(tk) - 2, F.lit(0)).alias("n_total"),
+        F.size(word_shingles(tk, 3)).alias("n_distinct"),
+        F.size(tk).alias("n_tokens"),
+    )
+    passed = corpus.filter(
+        (F.col("n_total") - F.col("n_distinct")) * 5 <= F.col("n_total")
+    )
+    # decontamination: any normalized 3-gram shared with the probe docs
+    from ..operators.gates import shingle_hash_array
+
+    probe = (
+        staged.filter(F.col("doc_id") < 20)
+        .select(F.explode(shingle_hash_array(F.col("ntext"))).alias("h"))
+        .distinct()
+    )
+    sh = passed.select(
+        "doc_id", F.explode_outer(shingle_hash_array(F.col("ntext"))).alias("h")
+    ).filter(F.col("h").isNotNull())
+    dirty = sh.join(F.broadcast(probe), "h").select("doc_id").distinct()
+    clean = passed.join(dirty, "doc_id", "left_anti")
+    # exact dedup on the canonical text: keep each group's min doc_id
+    keepers = clean.groupBy(F.md5("ntext").alias("nh")).agg(
+        F.min("doc_id").alias("keep_id")
+    )
+    # keepers is CORPUS-scale (one row per distinct canonical text) —
+    # never broadcast; the (nh, doc_id) equi-join shuffles both sides
+    # on the near-uniform hash (AQE picks SHJ/SMJ from real sizes)
+    kept = clean.join(
+        keepers,
+        (F.md5(clean.ntext) == keepers.nh) & (clean.doc_id == keepers.keep_id),
+    )
+    totals = (
+        staged.filter(F.col("doc_id") >= 20)
+        .groupBy("source")
+        .agg(F.count("*").alias("total"))
+    )
+    return (
+        kept.groupBy("source")
+        .agg(F.count("*").alias("n_kept"), F.sum("n_tokens").alias("n_tokens"))
+        .join(F.broadcast(totals), "source")
+        .select(
+            "source",
+            "n_kept",
+            "n_tokens",
+            F.round(F.col("n_kept") / F.col("total"), 4).alias("kept_rate"),
+        )
+    )
+
+
+Q83_SQL = r"""
+WITH staged AS (
+  SELECT doc_id, source,
+         trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'),
+                             '\s+', ' ', 'g')) AS ntext
+  FROM documents
+), tok AS (
+  SELECT doc_id, source, ntext,
+         list_filter(regexp_split_to_array(ntext, '\s+'), t -> t <> '') AS tk
+  FROM staged WHERE doc_id >= 20
+), corpus AS (
+  SELECT doc_id, source, ntext, len(tk) AS n_tokens,
+         greatest(len(tk) - 2, 0) AS n_total,
+         CASE WHEN len(tk) >= 3 THEN len(list_distinct(list_transform(
+              generate_series(1, len(tk) - 2),
+              i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) ELSE 0 END AS n_distinct,
+         CASE WHEN len(tk) >= 3 THEN list_distinct(list_transform(
+              generate_series(1, len(tk) - 2),
+              i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) ELSE [] END AS shingles
+  FROM tok
+), passed AS (
+  SELECT * FROM corpus WHERE (n_total - n_distinct) * 5 <= n_total
+), probe AS (
+  SELECT DISTINCT CAST('0x' || substring(md5(unnest(list_distinct(list_transform(
+           generate_series(1, len(tk) - 2),
+           i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])))), 1, 15) AS BIGINT) AS h
+  FROM (SELECT list_filter(regexp_split_to_array(ntext, '\s+'), t -> t <> '') AS tk
+        FROM staged WHERE doc_id < 20)
+  WHERE len(tk) >= 3
+), sh AS (
+  SELECT doc_id, CAST('0x' || substring(md5(unnest(shingles)), 1, 15) AS BIGINT) AS h
+  FROM passed
+), dirty AS (
+  SELECT DISTINCT doc_id FROM sh WHERE h IN (SELECT h FROM probe)
+), clean AS (
+  SELECT * FROM passed WHERE doc_id NOT IN (SELECT doc_id FROM dirty)
+), keepers AS (
+  SELECT md5(ntext) AS nh, MIN(doc_id) AS keep_id FROM clean GROUP BY md5(ntext)
+), kept AS (
+  SELECT c.* FROM clean c JOIN keepers k
+    ON md5(c.ntext) = k.nh AND c.doc_id = k.keep_id
+), totals AS (
+  SELECT source, COUNT(*) AS total FROM staged WHERE doc_id >= 20 GROUP BY source
+)
+SELECT k.source, COUNT(*) AS n_kept,
+       CAST(SUM(k.n_tokens) AS BIGINT) AS n_tokens,
+       round(COUNT(*) / CAST(t.total AS DOUBLE), 4) AS kept_rate
+FROM kept k JOIN totals t ON k.source = t.source
+GROUP BY k.source, t.total
+"""
+
+
+REGISTRY.update({"q83_pipeline_e2e": QuerySpec(q83_pipeline_e2e, Q83_SQL)})
+
+
 # ------------------------------------------------------------------------
 # Registry ordering contract: the driver's correctness harness records at
 # most 50 entries per round (CORRECTNESS_r02 stopped at exactly 50 while
