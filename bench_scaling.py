@@ -123,6 +123,8 @@ def main() -> None:
             "q66_sequence_packing",
             "q68_chunk_dedup",
             "q73_lm_score",
+            "q78_shingle_novelty",
+            "q83_pipeline_e2e",
         ],
     )
     ap.add_argument(

@@ -3387,16 +3387,15 @@ def q83_pipeline_e2e(spark, sf_dir):
     ).filter(F.col("h").isNotNull())
     dirty = sh.join(F.broadcast(probe), "h").select("doc_id").distinct()
     clean = passed.join(dirty, "doc_id", "left_anti")
-    # exact dedup on the canonical text: keep each group's min doc_id
-    keepers = clean.groupBy(F.md5("ntext").alias("nh")).agg(
-        F.min("doc_id").alias("keep_id")
-    )
-    # keepers is CORPUS-scale (one row per distinct canonical text) —
-    # never broadcast; the (nh, doc_id) equi-join shuffles both sides
-    # on the near-uniform hash (AQE picks SHJ/SMJ from real sizes)
-    kept = clean.join(
-        keepers,
-        (F.md5(clean.ntext) == keepers.nh) & (clean.doc_id == keepers.keep_id),
+    # exact dedup on the canonical text: keep each group's min doc_id.
+    # A keep-first window costs ONE exchange on the near-uniform md5
+    # key; the groupBy-then-rejoin form would shuffle the corpus twice
+    # (and its keeper table is corpus-scale — never broadcastable).
+    wdup = Window.partitionBy(F.md5("ntext")).orderBy("doc_id")
+    kept = (
+        clean.withColumn("rn", F.row_number().over(wdup))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
     )
     totals = (
         staged.filter(F.col("doc_id") >= 20)

@@ -143,3 +143,100 @@ def test_streaming_hll_sketch_agg_matches_batch(spark, tmp_path):
         batch_est, exact = want[day]
         assert abs(est - batch_est) <= max(2, 0.02 * exact), (day, est, batch_est)
         assert abs(est - exact) <= max(2, 0.05 * exact), (day, est, exact)
+
+
+def test_streaming_kll_sketch_agg_matches_batch(spark, tmp_path):
+    """KLL quantile sketches are mergeable streaming state exactly
+    like HLL: a complete-mode aggregation merges per-micro-batch
+    sketches instead of recomputing. Assert the streamed p50/p95
+    stay within KLL's 3ε rank-error band of the exact per-day
+    quantiles computed over the full replay (k=200 → ε≈1.65%)."""
+    from pyspark.sql import functions as F
+
+    d = tmp_path / "kll"
+    d.mkdir()
+    schema = "value double, ts timestamp"
+    rows1 = [(float(i % 997), BASE + timedelta(hours=i % 20)) for i in range(2000)]
+    rows2 = [(float((i * 7) % 997), BASE + timedelta(hours=i % 20)) for i in range(2000)]
+    spark.createDataFrame(rows1, schema).coalesce(1).write.parquet(str(d / "f1"))
+    spark.createDataFrame(rows2, schema).coalesce(1).write.parquet(str(d / "f2"))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d) + "/*")
+    )
+    agg = stream.groupBy(F.to_date("ts").alias("day")).agg(
+        F.kll_sketch_get_quantile_double(
+            F.kll_sketch_agg_double("value", F.lit(200)), F.lit(0.5)
+        ).alias("p50"),
+        F.kll_sketch_get_quantile_double(
+            F.kll_sketch_agg_double("value", F.lit(200)), F.lit(0.95)
+        ).alias("p95"),
+    )
+    q = agg.writeStream.outputMode("complete").format("memory").queryName("klls").start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {str(r.day): (r.p50, r.p95) for r in spark.sql("SELECT * FROM klls").collect()}
+
+    eps = 3 * 0.0165
+    batch = spark.createDataFrame(rows1 + rows2, schema)
+    bands = {
+        str(r.day): r
+        for r in batch.groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.expr(f"percentile(value, {0.5 - eps})").alias("p50_lo"),
+            F.expr(f"percentile(value, {0.5 + eps})").alias("p50_hi"),
+            F.expr(f"percentile(value, {0.95 - eps})").alias("p95_lo"),
+            F.expr(f"percentile(value, {min(0.95 + eps, 1.0)})").alias("p95_hi"),
+        )
+        .collect()
+    }
+    assert len(got) > 0 and set(got) == set(bands)
+    for day, (p50, p95) in got.items():
+        b = bands[day]
+        assert b.p50_lo - 1e-9 <= p50 <= b.p50_hi + 1e-9, (day, p50, b)
+        assert b.p95_lo - 1e-9 <= p95 <= b.p95_hi + 1e-9, (day, p95, b)
+
+
+def test_streaming_theta_sketch_agg_exact_small(spark, tmp_path):
+    """Theta sketches as streaming state: below the sampling
+    threshold (~4096 distinct) the streamed per-day estimate must
+    EQUAL the exact distinct count even with users split across
+    micro-batches."""
+    from pyspark.sql import functions as F
+
+    d = tmp_path / "theta"
+    d.mkdir()
+    schema = "user_id long, ts timestamp"
+    rows1 = [(u, BASE + timedelta(hours=u % 20)) for u in range(400)]
+    rows2 = [(u, BASE + timedelta(hours=u % 20)) for u in range(200, 600)]
+    spark.createDataFrame(rows1, schema).coalesce(1).write.parquet(str(d / "f1"))
+    spark.createDataFrame(rows2, schema).coalesce(1).write.parquet(str(d / "f2"))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d) + "/*")
+    )
+    agg = stream.groupBy(F.to_date("ts").alias("day")).agg(
+        F.round(F.theta_sketch_estimate(F.theta_sketch_agg("user_id")))
+        .cast("long")
+        .alias("est")
+    )
+    q = agg.writeStream.outputMode("complete").format("memory").queryName("thetas").start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {str(r.day): r.est for r in spark.sql("SELECT * FROM thetas").collect()}
+    batch = spark.createDataFrame(rows1 + rows2, schema)
+    want = {
+        str(r.day): r.exact
+        for r in batch.groupBy(F.to_date("ts").alias("day"))
+        .agg(F.count_distinct("user_id").alias("exact"))
+        .collect()
+    }
+    assert got == want and len(got) > 0
