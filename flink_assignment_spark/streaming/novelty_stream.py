@@ -1,0 +1,141 @@
+"""Incremental corpus-novelty tracking — the streaming twin of q78.
+
+A crawl pipeline's stop condition is the novelty curve: what fraction
+of each arriving batch's shingles has the corpus never seen? This
+module maintains two tables under a ``foreachBatch`` sink:
+
+- ``seen/`` — every distinct shingle hash observed so far,
+  HASH-BUCKET-PARTITIONED (``bucket = h % n_buckets`` directories).
+  Per micro-batch only the buckets that actually receive new shingles
+  are rewritten, via Spark's dynamic partition overwrite — a real
+  incremental upsert shape on plain parquet (the production form is
+  the same pattern through Delta/Iceberg ``MERGE INTO``; the bucket
+  count is the knob that bounds per-batch rewrite volume at corpus
+  scale). Single-writer assumption: one query owns ``state_dir``.
+- ``stats/`` — one appended row per micro-batch:
+  ``(batch_id, n_docs, n_shingles, n_new, novelty_rate)``.
+
+Novelty semantics match batch q78 exactly when batches replay in
+id order: a shingle is NEW iff no earlier-arriving doc contained it
+(q78's min-doc-id first-occurrence rule under the in-order replay
+contract shared with the other streaming operators) — pinned by
+tests/test_streaming_novelty.py against the q78 oracle query.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.gates import shingle_hash_array
+
+N_BUCKETS = 64
+
+
+def _seen_path(state_dir: str) -> str:
+    return os.path.join(state_dir, "seen")
+
+
+def _stats_path(state_dir: str) -> str:
+    return os.path.join(state_dir, "stats")
+
+
+def merge_novelty_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    state_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Score one micro-batch against the seen-shingle state, append
+    the stats row, and fold the batch's new shingles into the state
+    (touched buckets only)."""
+    spark = batch_df.sparkSession
+    seen_path, stats_path = _seen_path(state_dir), _stats_path(state_dir)
+
+    sh = (
+        batch_df.select(F.explode(shingle_hash_array(F.col(text_col))).alias("h"))
+        .distinct()
+        .withColumn("bucket", F.pmod(F.col("h"), F.lit(N_BUCKETS)).cast("int"))
+    )
+    have_seen = os.path.exists(os.path.join(seen_path, "_SUCCESS"))
+    if have_seen:
+        seen = spark.read.option("basePath", seen_path).parquet(seen_path)
+        # the anti-join carries the bucket equi-key, so at scale it is
+        # a partition-pruned, co-partitioned probe (only the buckets
+        # this batch touches are read)
+        new = sh.join(seen, ["bucket", "h"], "left_anti")
+    else:
+        new = sh
+    new = new.cache()
+
+    n_docs = batch_df.count()
+    n_batch = sh.count()
+    n_new = new.count()
+    stats = spark.createDataFrame(
+        [
+            (
+                int(batch_id),
+                int(n_docs),
+                int(n_batch),
+                int(n_new),
+                round(n_new / n_batch, 4) if n_batch else 0.0,
+            )
+        ],
+        "batch_id long, n_docs long, n_shingles long, n_new long, novelty_rate double",
+    )
+    stats.coalesce(1).write.mode("append").parquet(stats_path)
+
+    if n_new:
+        touched = [int(r.bucket) for r in new.select("bucket").distinct().collect()]
+        if have_seen:
+            # union the touched buckets' existing rows with the new
+            # ones; only those bucket directories will be replaced
+            existing = spark.read.option("basePath", seen_path).parquet(seen_path).filter(
+                F.col("bucket").isin(touched)
+            )
+            out = existing.unionByName(new.select("bucket", "h"))
+        else:
+            out = new.select("bucket", "h")
+        # stage to a SIDE directory first — writing into seen_path
+        # while `existing` still reads from it would be a silent
+        # read-under-overwrite race — then swap only the touched
+        # bucket dirs (the bounded-rewrite contract; everything else
+        # is untouched on disk)
+        import shutil
+
+        staging = seen_path + ".staging"
+        if os.path.exists(staging):
+            shutil.rmtree(staging)
+        out.select("h", "bucket").write.partitionBy("bucket").parquet(staging)
+        os.makedirs(seen_path, exist_ok=True)
+        for b in touched:
+            src = os.path.join(staging, f"bucket={b}")
+            dst = os.path.join(seen_path, f"bucket={b}")
+            if os.path.exists(dst):
+                shutil.rmtree(dst)
+            os.rename(src, dst)
+        shutil.rmtree(staging)
+        open(os.path.join(seen_path, "_SUCCESS"), "a").close()
+    new.unpersist()
+
+
+def incremental_novelty(
+    docs: DataFrame,
+    state_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Start the novelty-tracking query; returns the StreamingQuery."""
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        merge_novelty_batch(batch_df, batch_id, state_dir, text_col, id_col)
+
+    return docs.writeStream.outputMode("append").foreachBatch(_sink).start()
+
+
+def read_novelty_stats(spark: SparkSession, state_dir: str) -> DataFrame:
+    """The per-batch novelty curve accumulated so far."""
+    return spark.read.parquet(_stats_path(state_dir))
