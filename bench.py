@@ -75,6 +75,11 @@ def main() -> None:
             run_query(spec.spark(spark, SF_DIR))
             best = min(best, time.monotonic() - t0)
         timings[name] = round(best, 3)
+        # several queries cache working frames (shingle indexes, LM
+        # occurrence streams) without a consumer-side unpersist hook;
+        # dropping them per query keeps the 80+-query × reps session
+        # from leaning on LRU eviction under memory pressure
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     print(

@@ -31,7 +31,9 @@ def funnel(
     """(key, <step>_ts ...) for keys completing all steps in order."""
     if len(steps) < 2:
         raise ValueError("a funnel needs at least two steps")
-    gap = F.expr(f"INTERVAL '{int(step_horizon_s)}' SECOND")
+    # microsecond precision — int(s) SECOND would silently truncate a
+    # fractional horizon to 0 while the streaming twin honors it
+    gap = F.expr(f"INTERVAL '{int(step_horizon_s * 1_000_000)}' MICROSECOND")
     cur = (
         events.filter(F.col(type_col) == steps[0])
         .groupBy(key_col)

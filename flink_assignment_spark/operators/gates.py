@@ -136,26 +136,38 @@ def compression_stats(
     """Byte-level compression-ratio quality gate (q79 batch form):
     deflate length via one Arrow-batched UDF, ratio math and banding
     JVM-side. A stateless narrow map — batch/stream portable like the
-    other gates in this module."""
+    other gates in this module. A ``source`` column is carried through
+    when present (the q79 shape) but not required, matching the
+    any-document-frame contract of the sibling gates. Empty documents
+    band as ``empty`` (a zero-byte ratio is undefined, and a NULL
+    falling through to ``otherwise`` would silently read as 'ok')."""
     from ..functions._pandas_udfs import make_zlib_len_udf
 
     zl = make_zlib_len_udf(ZLIB_LEVEL)
     raw_len = F.length(F.encode(F.col(text_col), "utf-8"))
+    carry = ["source"] if "source" in docs.columns else []
     return (
         docs.select(
             id_col,
-            "source",
+            *carry,
             raw_len.alias("raw_bytes"),
             zl(F.col(text_col)).alias("zlib_bytes"),
         )
-        .withColumn("ratio", F.round(F.col("zlib_bytes") / F.col("raw_bytes"), 4))
+        .withColumn(
+            "ratio",
+            F.when(
+                F.col("raw_bytes") > 0,
+                F.round(F.col("zlib_bytes") / F.col("raw_bytes"), 4),
+            ),
+        )
         .select(
             id_col,
-            "source",
+            *carry,
             "raw_bytes",
             "zlib_bytes",
             "ratio",
-            F.when(F.col("ratio") < COMPRESS_REPETITIVE, F.lit("repetitive"))
+            F.when(F.col("raw_bytes") == 0, F.lit("empty"))
+            .when(F.col("ratio") < COMPRESS_REPETITIVE, F.lit("repetitive"))
             .when(F.col("ratio") > COMPRESS_RANDOM, F.lit("random"))
             .otherwise(F.lit("ok"))
             .alias("band"),

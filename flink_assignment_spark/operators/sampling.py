@@ -79,7 +79,12 @@ def mixture_rates(
 
     Returns one small row per weighted group: ``(group, n, w,
     keep_rate)``. Groups absent from ``weights`` get no row (they are
-    dropped from the mixture). Two narrow aggregations over a
+    dropped from the mixture). A weighted group with ZERO rows in
+    ``df`` raises: its n_g/w_g = 0 makes T = 0 (the requested mixture
+    is infeasible — every other group would need downsampling to
+    nothing), and silently computing rates from only the present
+    groups would ship a corpus whose achieved mixture cannot match the
+    requested weights. Two narrow aggregations over a
     group-cardinality frame — the 100 TB cost is one count per group;
     the rates frame is broadcast back to the corpus by the caller.
     """
@@ -97,6 +102,13 @@ def mixture_rates(
     # frame — a bounded driver action (like the IVF train-sample
     # count), NOT a per-row collect. Folding it in as a literal keeps
     # the corpus-side plan free of single-row nested-loop cross joins.
+    present = {r[0] for r in counts.select(group).collect()}
+    missing = set(weights) - present
+    if missing:
+        raise ValueError(
+            f"mixture is infeasible: weighted group(s) {sorted(missing)} have "
+            "zero rows (T = min_g(n_g/w_g) = 0)"
+        )
     t = counts.agg(F.min(F.col("n").cast("double") / F.col("w"))).collect()[0][0]
     return counts.select(
         group,

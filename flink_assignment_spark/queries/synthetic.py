@@ -2698,19 +2698,26 @@ def q69_user_outliers(spark, sf_dir):
     Spark's partial aggregation and DuckDB agree bit-for-bit), and
     flag |v−μ| > 3σ as (n·vi − S)² > 9·(n·Q − S²) — the n² scaling
     cancels, no float ever crosses the threshold compare. One shuffle:
-    the user_id window; the rollup reuses its partitioning."""
+    the user_id window; the rollup reuses its partitioning.
+
+    The quadratic terms run in DECIMAL(38,0) (DuckDB: HUGEINT), not
+    BIGINT: n·Q ≈ n²·vi² overflows int64 once a user holds ~6k events
+    at this value range — silently under non-ANSI Spark, loudly in
+    DuckDB. 128-bit integers hold to n ≈ 1e12 events per key."""
     ev = _t(spark, sf_dir, "events").select("user_id", "value")
     vi = F.round(F.col("value") * 1000).cast("long")
+    dec = "decimal(38,0)"
     w = Window.partitionBy("user_id")
     d = (
         ev.select("user_id", vi.alias("vi"))
         .withColumn("n", F.count("*").over(w))
-        .withColumn("s", F.sum("vi").over(w))
-        .withColumn("q", F.sum(F.col("vi") * F.col("vi")).over(w))
+        .withColumn("s", F.sum(F.col("vi").cast(dec)).over(w))
+        # vi² itself fits a long (vi ≤ ~1e6); only the Σ needs width
+        .withColumn("q", F.sum((F.col("vi") * F.col("vi")).cast(dec)).over(w))
     )
-    dev = F.col("n") * F.col("vi") - F.col("s")
+    dev = F.col("n").cast(dec) * F.col("vi").cast(dec) - F.col("s")
     dev2 = dev * dev  # stays integral — ** would promote to double
-    var_n2 = F.col("n") * F.col("q") - F.col("s") * F.col("s")
+    var_n2 = F.col("n").cast(dec) * F.col("q") - F.col("s") * F.col("s")
     out = d.withColumn("is_out", (dev2 > 9 * var_n2).cast("int"))
     return (
         out.groupBy("user_id")
@@ -2736,9 +2743,9 @@ WITH d AS (
   SELECT user_id, CAST(round(value * 1000) AS BIGINT) AS vi FROM events
 ), s AS (
   SELECT user_id, vi,
-         COUNT(*) OVER (PARTITION BY user_id) AS n,
-         CAST(SUM(vi) OVER (PARTITION BY user_id) AS BIGINT) AS s,
-         CAST(SUM(vi * vi) OVER (PARTITION BY user_id) AS BIGINT) AS q
+         CAST(COUNT(*) OVER (PARTITION BY user_id) AS HUGEINT) AS n,
+         CAST(SUM(vi) OVER (PARTITION BY user_id) AS HUGEINT) AS s,
+         CAST(SUM(vi * vi) OVER (PARTITION BY user_id) AS HUGEINT) AS q
   FROM d
 ), o AS (
   SELECT user_id, n, s, q, vi,

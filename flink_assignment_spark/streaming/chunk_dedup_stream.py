@@ -54,8 +54,13 @@ def chunk_dedup_stream(
         import pandas as pd
 
         seen = state.get[0] if state.exists else 0
+        # concat BEFORE sorting: the iterator yields multiple Arrow
+        # chunks for large groups (> arrow.maxRecordsPerBatch), and
+        # sorting each chunk independently would misnumber occurrences
+        # whose global (doc_id, idx) order crosses a chunk boundary
+        pdf = pd.concat(list(pdf_iter), ignore_index=True)
         out = []
-        for pdf in pdf_iter:
+        if len(pdf):
             pdf = pdf.sort_values(["doc_id", "idx"], kind="mergesort")
             for _, r in pdf.iterrows():
                 seen += 1

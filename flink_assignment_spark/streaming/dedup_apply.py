@@ -12,7 +12,9 @@ Merge semantics per micro-batch (an upsert keyed on ``text_hash``):
   ``n_dups``.
 
 ``n_dups`` is therefore EXACT regardless of arrival order (counts are
-additive). The keeper matches batch ``q62_dedup_apply``'s min-id keeper
+additive, and the ``_applied_batch`` marker — committed in the same
+atomic rename as the data — makes redelivered batches no-ops, so
+at-least-once replay cannot double-count). The keeper matches batch ``q62_dedup_apply``'s min-id keeper
 whenever ids ascend with arrival order (the in-order replay contract
 shared with the other streaming operators); under out-of-order id
 arrival the keeper is first-seen-batch-min instead — same survivor
@@ -40,14 +42,32 @@ def _table_exists(path: str) -> bool:
     return os.path.exists(os.path.join(path, "_SUCCESS"))
 
 
+def _applied_batch(table_path: str) -> int:
+    marker = os.path.join(table_path, "_applied_batch")
+    if os.path.exists(marker):
+        with open(marker) as f:
+            return int(f.read().strip() or -1)
+    return -1
+
+
 def merge_dedup_groups(
     batch_df: DataFrame,
     table_path: str,
     text_col: str = "text",
     id_col: str = "doc_id",
     carry_cols: tuple[str, ...] = (),
+    batch_id: int | None = None,
 ) -> None:
-    """Upsert one micro-batch's exact-dup groups into the kept table."""
+    """Upsert one micro-batch's exact-dup groups into the kept table.
+
+    Idempotent under Structured Streaming's at-least-once foreachBatch
+    replay when ``batch_id`` is passed: the applied batch id travels
+    INSIDE the staging directory, so the data merge and the replay
+    marker commit in the same atomic rename — a crash between them is
+    impossible, and a redelivered batch is skipped instead of
+    double-adding its ``n_dups``."""
+    if batch_id is not None and batch_id <= _applied_batch(table_path):
+        return
     spark = batch_df.sparkSession
     keep_cols = [id_col, *carry_cols]
     new = (
@@ -83,6 +103,9 @@ def merge_dedup_groups(
     if os.path.exists(staging):
         shutil.rmtree(staging)
     merged.write.parquet(staging)
+    if batch_id is not None:
+        with open(os.path.join(staging, "_applied_batch"), "w") as f:
+            f.write(str(int(batch_id)))
     if os.path.exists(table_path):
         shutil.rmtree(table_path)
     os.rename(staging, table_path)
@@ -104,7 +127,9 @@ def incremental_dedup_apply(
     """
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
-        merge_dedup_groups(batch_df, table_path, text_col, id_col, carry_cols)
+        merge_dedup_groups(
+            batch_df, table_path, text_col, id_col, carry_cols, batch_id=batch_id
+        )
 
     return docs.writeStream.outputMode("append").foreachBatch(_sink).start()
 

@@ -20,6 +20,19 @@ id order: a shingle is NEW iff no earlier-arriving doc contained it
 (q78's min-doc-id first-occurrence rule under the in-order replay
 contract shared with the other streaming operators) — pinned by
 tests/test_streaming_novelty.py against the q78 oracle query.
+
+Replay semantics (foreachBatch is at-least-once): the order per batch
+is swap buckets → append stats → commit the ``_applied_batch``
+marker. A fully-applied redelivered batch is skipped via the marker;
+a redelivery that raced the stats append produces a duplicate
+``batch_id`` row which ``read_novelty_stats`` resolves by keeping the
+max-``n_new`` row (a replay can only UNDER-count novelty, because its
+own shingles are already in the state). The seen state itself always
+converges — re-merging a batch's shingles is idempotent by
+construction (set union). The residual imperfection on plain FS is a
+crash in the middle of the multi-bucket swap, which can under-count
+that single batch's stats row while leaving the state correct; a
+transactional table format (Delta/Iceberg) closes it.
 """
 
 from __future__ import annotations
@@ -42,6 +55,21 @@ def _stats_path(state_dir: str) -> str:
     return os.path.join(state_dir, "stats")
 
 
+def _applied_batch(state_dir: str) -> int:
+    marker = os.path.join(state_dir, "_applied_batch")
+    if os.path.exists(marker):
+        with open(marker) as f:
+            return int(f.read().strip() or -1)
+    return -1
+
+
+def _commit_marker(state_dir: str, batch_id: int) -> None:
+    tmp = os.path.join(state_dir, "_applied_batch.tmp")
+    with open(tmp, "w") as f:
+        f.write(str(int(batch_id)))
+    os.replace(tmp, os.path.join(state_dir, "_applied_batch"))
+
+
 def merge_novelty_batch(
     batch_df: DataFrame,
     batch_id: int,
@@ -49,9 +77,12 @@ def merge_novelty_batch(
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> None:
-    """Score one micro-batch against the seen-shingle state, append
-    the stats row, and fold the batch's new shingles into the state
-    (touched buckets only)."""
+    """Score one micro-batch against the seen-shingle state, fold its
+    new shingles into the state (touched buckets only), then append
+    the stats row and commit the replay marker — see the module
+    docstring for the crash/replay contract."""
+    if batch_id <= _applied_batch(state_dir):
+        return
     spark = batch_df.sparkSession
     seen_path, stats_path = _seen_path(state_dir), _stats_path(state_dir)
 
@@ -74,19 +105,6 @@ def merge_novelty_batch(
     n_docs = batch_df.count()
     n_batch = sh.count()
     n_new = new.count()
-    stats = spark.createDataFrame(
-        [
-            (
-                int(batch_id),
-                int(n_docs),
-                int(n_batch),
-                int(n_new),
-                round(n_new / n_batch, 4) if n_batch else 0.0,
-            )
-        ],
-        "batch_id long, n_docs long, n_shingles long, n_new long, novelty_rate double",
-    )
-    stats.coalesce(1).write.mode("append").parquet(stats_path)
 
     if n_new:
         touched = [int(r.bucket) for r in new.select("bucket").distinct().collect()]
@@ -121,6 +139,22 @@ def merge_novelty_batch(
         open(os.path.join(seen_path, "_SUCCESS"), "a").close()
     new.unpersist()
 
+    # stats AFTER the state update, marker last (module docstring)
+    stats = spark.createDataFrame(
+        [
+            (
+                int(batch_id),
+                int(n_docs),
+                int(n_batch),
+                int(n_new),
+                round(n_new / n_batch, 4) if n_batch else 0.0,
+            )
+        ],
+        "batch_id long, n_docs long, n_shingles long, n_new long, novelty_rate double",
+    )
+    stats.coalesce(1).write.mode("append").parquet(stats_path)
+    _commit_marker(state_dir, batch_id)
+
 
 def incremental_novelty(
     docs: DataFrame,
@@ -137,5 +171,14 @@ def incremental_novelty(
 
 
 def read_novelty_stats(spark: SparkSession, state_dir: str) -> DataFrame:
-    """The per-batch novelty curve accumulated so far."""
-    return spark.read.parquet(_stats_path(state_dir))
+    """The per-batch novelty curve accumulated so far. Duplicate
+    ``batch_id`` rows (an at-least-once replay that raced the marker)
+    resolve to the max-``n_new`` row — a replay can only under-count
+    its own already-merged shingles."""
+    from pyspark.sql import Window as W
+
+    raw = spark.read.parquet(_stats_path(state_dir))
+    rn = F.row_number().over(
+        W.partitionBy("batch_id").orderBy(F.col("n_new").desc())
+    )
+    return raw.withColumn("__rn", rn).filter(F.col("__rn") == 1).drop("__rn")

@@ -26,6 +26,20 @@ def _band(ratio: float) -> str:
     return "ok"
 
 
+def test_empty_and_sourceless_frames(spark):
+    """Edge contract: empty text bands 'empty' with a NULL ratio (not
+    a silent 'ok'), and a frame without a source column works."""
+    from flink_assignment_spark.operators.gates import compression_stats
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, "a a a a a a a a a a a a a a a a")], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r for r in compression_stats(df).collect()}
+    assert "source" not in compression_stats(df).columns
+    assert rows[1]["band"] == "empty" and rows[1]["ratio"] is None
+    assert rows[2]["band"] in ("repetitive", "ok", "random")
+
+
 def test_q79_matches_stdlib_zlib(spark):
     got = {
         r["doc_id"]: r

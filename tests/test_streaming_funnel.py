@@ -12,6 +12,8 @@ from flink_assignment_spark.operators.funnel import funnel
 from flink_assignment_spark.sources.loaders import load_table
 from flink_assignment_spark.streaming.funnel_stream import funnel_stream
 
+from .conftest import SF_DIR
+
 BASE = datetime(2024, 3, 1, tzinfo=timezone.utc)
 SCHEMA = "user_id long, event_type string, ts timestamp"
 STEPS = ["signup", "click", "purchase"]
@@ -112,7 +114,7 @@ def test_streaming_funnel_single_batch_matches_q63_on_real_events(spark, tmp_pat
     """End-to-end on the driver-generated events table with q63's 7-day
     horizon. One micro-batch (no trigger cap) so the within-batch sort
     satisfies the in-order contract regardless of file layout."""
-    ev = load_table(spark, "/root/testdata/sf0.001", "events").select(
+    ev = load_table(spark, SF_DIR, "events").select(
         "user_id", "event_type", "ts"
     )
     d = str(tmp_path / "real_ev")
