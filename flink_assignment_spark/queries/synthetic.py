@@ -3348,6 +3348,57 @@ def q82_theta_retention(spark, sf_dir):
 REGISTRY.update({"q82_theta_retention": QuerySpec(q82_theta_retention, None)})
 
 
+def q84_theta_source_overlap(spark, sf_dir):
+    """Pairwise distinct-user overlap between event-type cohorts in
+    SKETCH SPACE: one theta sketch per cohort (a single pass over
+    events), then every pairwise |A ∩ B| estimate comes from the tiny
+    sketches alone — k cohorts cost k sketch rows and k·(k−1)/2
+    sketch-only intersections, never a distinct-distinct self-join of
+    raw events. This is the audit a multi-source corpus runs to find
+    redundant providers before paying to dedup them. The pair matrix
+    is built with a self-join on the sketch frame (cohort-cardinality,
+    broadcast both sides at any corpus size). Estimates → rows-only
+    driver check; pytest pins exactness in the sampling-free regime."""
+    sk = (
+        _t(spark, sf_dir, "events")
+        .groupBy(F.col("event_type").alias("cohort"))
+        .agg(F.theta_sketch_agg("user_id").alias("sk"))
+    ).cache()
+    # enumerate the pair matrix driver-side (bounded by cohort count —
+    # the same driver-action class as the IVF train sample) and attach
+    # sketches via two broadcast EQUI-joins: the direct `a < b`
+    # self-join would plan as a nested-loop join, the shape PLANS.md
+    # bans even when it is harmless at this cardinality
+    cohorts = sorted(r.cohort for r in sk.select("cohort").collect())
+    pair_rows = [
+        (ca, cb) for i, ca in enumerate(cohorts) for cb in cohorts[i + 1 :]
+    ]
+    pairs = (
+        spark.createDataFrame(pair_rows, "cohort_a string, cohort_b string")
+        .join(
+            F.broadcast(sk.select(F.col("cohort").alias("cohort_a"), F.col("sk").alias("sk_a"))),
+            "cohort_a",
+        )
+        .join(
+            F.broadcast(sk.select(F.col("cohort").alias("cohort_b"), F.col("sk").alias("sk_b"))),
+            "cohort_b",
+        )
+    )
+    inter = F.theta_sketch_estimate(F.theta_intersection("sk_a", "sk_b"))
+    uni = F.theta_sketch_estimate(F.theta_union("sk_a", "sk_b"))
+    return pairs.select(
+        "cohort_a",
+        "cohort_b",
+        F.round(F.theta_sketch_estimate("sk_a")).cast("long").alias("approx_a"),
+        F.round(F.theta_sketch_estimate("sk_b")).cast("long").alias("approx_b"),
+        F.round(inter).cast("long").alias("approx_overlap"),
+        F.round(inter / uni, 4).alias("approx_jaccard"),
+    )
+
+
+REGISTRY.update({"q84_theta_source_overlap": QuerySpec(q84_theta_source_overlap, None)})
+
+
 def q83_pipeline_e2e(spark, sf_dir):
     """The flagship COMPOSED training-data pipeline in one lazy DAG:
     normalize (q74) → Gopher repetition gate (q61) → benchmark

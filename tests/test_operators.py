@@ -527,3 +527,29 @@ def test_theta_retention_exact_in_sampling_free_regime(spark):
         p, c = weekly[prev], weekly[cur]
         assert (users, retained, new) == (len(c), len(c & p), len(c - p)), cur
         assert retained + new == users
+
+
+def test_theta_source_overlap_exact_in_sampling_free_regime(spark):
+    """q84's sketch-space pairwise overlaps equal exact set
+    intersections below theta's sampling threshold, and Jaccard is
+    consistent with them."""
+    from flink_assignment_spark.queries.synthetic import REGISTRY
+
+    got = {
+        (r.cohort_a, r.cohort_b): r
+        for r in REGISTRY["q84_theta_source_overlap"].spark(spark, SF_DIR).collect()
+    }
+    cohorts = {
+        r.cohort: set(r.users)
+        for r in load_table(spark, SF_DIR, "events")
+        .groupBy(F.col("event_type").alias("cohort"))
+        .agg(F.collect_set("user_id").alias("users"))
+        .collect()
+    }
+    names = sorted(cohorts)
+    expected_pairs = {(a, b) for i, a in enumerate(names) for b in names[i + 1 :]}
+    assert set(got) == expected_pairs and len(got) > 0
+    for (a, b), r in got.items():
+        A, B = cohorts[a], cohorts[b]
+        assert (r.approx_a, r.approx_b, r.approx_overlap) == (len(A), len(B), len(A & B))
+        assert r.approx_jaccard == round(len(A & B) / len(A | B), 4)
