@@ -361,38 +361,44 @@ def simhash_fingerprints(
     return summed.select("doc_id", fp.alias("simhash"))
 
 
-def simhash_pairs(
-    docs: DataFrame,
+def hamming_pairs(
+    fps: DataFrame,
+    id_col: str,
+    fp_col: str,
+    bits: int,
     max_hamming: int,
-    text_col: str = "text",
-    id_col: str = "doc_id",
 ) -> DataFrame:
-    """Near-dup pairs with SimHash Hamming distance ≤ ``max_hamming``.
+    """All id pairs whose ``bits``-wide integer fingerprints differ in
+    ≤ ``max_hamming`` bit positions — the generic pigeonhole-blocked
+    join shared by text SimHash (q17) and media phash (q85).
 
     Pigeonhole blocking: split the fingerprint into ``max_hamming+1``
     bit-blocks; any pair within distance ``max_hamming`` agrees on at
     least one whole block, so equi-joining on (block_idx, block_value)
     finds every such pair without an N² scan. Exact popcount verifies.
+    Returns ``(doc_a, doc_b, hamming)`` with ``doc_a < doc_b``.
     """
     n_blocks = max_hamming + 1
-    fps = simhash_fingerprints(docs, text_col, id_col)
-    block_w = SIMHASH_BITS // n_blocks
+    block_w = bits // n_blocks
     blocks = []
     for i in range(n_blocks):
         lo = i * block_w
-        width = block_w if i < n_blocks - 1 else SIMHASH_BITS - lo
+        width = block_w if i < n_blocks - 1 else bits - lo
         mask = (1 << width) - 1
         blocks.append(
             F.struct(
                 F.lit(i).alias("blk"),
-                F.shiftright(F.col("simhash"), lo).bitwiseAND(F.lit(mask)).alias("val"),
+                F.shiftright(F.col(fp_col), lo).bitwiseAND(F.lit(mask)).alias("val"),
             )
         )
     # cache: the self-join below references this subtree twice, and
-    # Spark re-executes the whole fingerprint pipeline (token explode +
-    # 48 bit-sums) once per side without it
-    blocked = fps.select("doc_id", "simhash", F.explode(F.array(*blocks)).alias("b")).select(
-        "doc_id", "simhash", F.col("b.blk").alias("blk"), F.col("b.val").alias("val")
+    # Spark re-executes the upstream fingerprint pipeline once per
+    # side without it
+    blocked = fps.select(
+        F.col(id_col).alias("doc_id"), F.col(fp_col).alias("fp"),
+        F.explode(F.array(*blocks)).alias("b"),
+    ).select(
+        "doc_id", "fp", F.col("b.blk").alias("blk"), F.col("b.val").alias("val")
     ).cache()
     a = blocked.alias("a")
     b = blocked.alias("b")
@@ -406,17 +412,29 @@ def simhash_pairs(
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("a.simhash").alias("sh_a"),
-            F.col("b.simhash").alias("sh_b"),
+            F.col("a.fp").alias("fp_a"),
+            F.col("b.fp").alias("fp_b"),
         )
         .distinct()
     )
-    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    ham = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
     return (
         cand.withColumn("hamming", ham.cast("int"))
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    max_hamming: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dup pairs with SimHash Hamming distance ≤ ``max_hamming``
+    via :func:`hamming_pairs` pigeonhole blocking."""
+    fps = simhash_fingerprints(docs, text_col, id_col)
+    return hamming_pairs(fps, "doc_id", "simhash", SIMHASH_BITS, max_hamming)
 
 
 CHUNK_TOKENS = 16

@@ -3399,6 +3399,129 @@ def q84_theta_source_overlap(spark, sf_dir):
 REGISTRY.update({"q84_theta_source_overlap": QuerySpec(q84_theta_source_overlap, None)})
 
 
+MEDIA_PHASH_MAX_HAMMING = 7
+
+
+def q85_media_neardup(spark, sf_dir):
+    """Near-duplicate MEDIA detection: perceptual-hash fingerprints
+    from the mapInPandas image pipeline (q37's Arrow kernel; decode is
+    the declared deterministic stub, the 64-bit phash fold is real),
+    then the SAME pigeonhole-blocked Hamming join the text SimHash
+    path uses (``operators.dedup.hamming_pairs``, shared code) — the
+    image-dedup pass of a multimodal corpus, with candidate volume
+    bounded by block collisions instead of N². Python-side phash →
+    rows-only driver check; pytest pins determinism and the planted
+    near-dup pair (tests/test_multimodal.py)."""
+    from ..operators.dedup import hamming_pairs
+    from ..operators.multimodal import image_features, media_from_documents
+
+    media = media_from_documents(_t(spark, sf_dir, "documents"))
+    fps = image_features(media).select("media_id", "phash")
+    return hamming_pairs(
+        fps, "media_id", "phash", 64, MEDIA_PHASH_MAX_HAMMING
+    ).withColumnsRenamed({"doc_a": "media_a", "doc_b": "media_b"})
+
+
+REGISTRY.update({"q85_media_neardup": QuerySpec(q85_media_neardup, None)})
+
+
+def q86_priority_wait_counts(spark, sf_dir):
+    """TPC-H Q4 shape (order-priority checking): count orders per
+    priority in a date window having at least one lineitem shipped
+    more than 90 days after the order date (this schema carries
+    l_shipdate, not commit/receipt dates) — a CORRELATED EXISTS that
+    Catalyst plans as a LEFT-SEMI join on the order key with the
+    date comparison as the join filter: no row multiplication however
+    many late items an order has, no per-row subquery re-scan."""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    cond = (o.o_orderkey == li.l_orderkey) & (
+        li.l_shipdate > o.o_orderdate + F.expr("INTERVAL 90 DAYS")
+    )
+    return (
+        o.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+Q86_SQL = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+GROUP BY o_orderpriority
+"""
+
+
+REGISTRY.update({"q86_priority_wait_counts": QuerySpec(q86_priority_wait_counts, Q86_SQL)})
+
+
+def q87_promo_revenue_share(spark, sf_dir):
+    """TPC-H Q14 shape (promotion effect): PROMO revenue as a share of
+    total revenue per order-year — a conditional aggregate over one
+    fact-dim broadcast join. Revenue runs on integer cents so the
+    global and conditional sums are fold-order-exact; only the final
+    share division touches floating point, identically in both
+    engines."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_orderkey",
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+        .cast("long")
+        .alias("rev_cents"),
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", F.year("o_orderdate").alias("o_year")
+    )
+    p = _t(spark, sf_dir, "part").select(
+        "p_partkey", F.col("p_type").startswith("PROMO").alias("is_promo")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_year")
+        .agg(
+            (F.sum(F.when(F.col("is_promo"), F.col("rev_cents")).otherwise(0)) / 100.0).alias(
+                "promo_revenue"
+            ),
+            (F.sum("rev_cents") / 100.0).alias("total_revenue"),
+            F.round(
+                F.sum(F.when(F.col("is_promo"), F.col("rev_cents")).otherwise(0))
+                / F.sum("rev_cents"),
+                6,
+            ).alias("promo_share"),
+        )
+    )
+
+
+Q87_SQL = """
+WITH j AS (
+  SELECT year(o.o_orderdate) AS o_year,
+         CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT) AS rev_cents,
+         p.p_type LIKE 'PROMO%' AS is_promo
+  FROM lineitem l
+  JOIN part p ON l.l_partkey = p.p_partkey
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+)
+SELECT o_year,
+       SUM(CASE WHEN is_promo THEN rev_cents ELSE 0 END) / 100.0 AS promo_revenue,
+       SUM(rev_cents) / 100.0 AS total_revenue,
+       round(CAST(SUM(CASE WHEN is_promo THEN rev_cents ELSE 0 END) AS DOUBLE)
+             / SUM(rev_cents), 6) AS promo_share
+FROM j GROUP BY o_year
+"""
+
+
+REGISTRY.update({"q87_promo_revenue_share": QuerySpec(q87_promo_revenue_share, Q87_SQL)})
+
+
 def q83_pipeline_e2e(spark, sf_dir):
     """The flagship COMPOSED training-data pipeline in one lazy DAG:
     normalize (q74) → Gopher repetition gate (q61) → benchmark

@@ -11,6 +11,8 @@ from flink_assignment_spark.operators.multimodal import (
     resize_images,
 )
 
+from .conftest import SF_DIR
+
 
 def _media_df(spark, n=20):
     rows = [
@@ -104,3 +106,41 @@ def test_null_payload_yields_empty_stats_not_crash(spark):
     aud = {r.media_id: r for r in audio_features(df).collect()}
     assert aud[0].n_samples == 0 and aud[0].rms == 0.0
     assert aud[1].n_samples == 2
+
+
+def test_media_neardup_exact_recall_vs_bruteforce(spark):
+    """q85's pigeonhole-blocked Hamming join must find EXACTLY the
+    pairs a brute-force popcount over all phash pairs finds — the
+    blocking is a pruning strategy, never a recall trade-off."""
+    from flink_assignment_spark.queries.synthetic import (
+        MEDIA_PHASH_MAX_HAMMING,
+        REGISTRY,
+    )
+
+    got = {
+        (r.media_a, r.media_b): r.hamming
+        for r in REGISTRY["q85_media_neardup"].spark(spark, SF_DIR).collect()
+    }
+    from flink_assignment_spark.operators.multimodal import (
+        image_features,
+        media_from_documents,
+    )
+    from flink_assignment_spark.sources.loaders import load_table
+
+    fps = [
+        (r.media_id, r.phash)
+        for r in image_features(
+            media_from_documents(load_table(spark, SF_DIR, "documents"))
+        )
+        .select("media_id", "phash")
+        .collect()
+    ]
+    want = {}
+    for i in range(len(fps)):
+        for j in range(i + 1, len(fps)):
+            (ia, fa), (ib, fb) = fps[i], fps[j]
+            d = bin((fa ^ fb) & ((1 << 64) - 1)).count("1")
+            if d <= MEDIA_PHASH_MAX_HAMMING:
+                a, b = min(ia, ib), max(ia, ib)
+                want[(a, b)] = d
+    assert got == want and len(want) > 0
