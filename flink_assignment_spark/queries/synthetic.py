@@ -3669,11 +3669,12 @@ REGISTRY.update({"q83_pipeline_e2e": QuerySpec(q83_pipeline_e2e, Q83_SQL)})
 #   [0, 50)  the first 50 oracle-bearing queries, original order
 #            (q01..q54)
 #   next     every other oracle-bearing query in insertion order
-#            (q56..q63, q65-q78, q80, ...), then q55 — beyond the driver
-#            cap, but tests/test_synthetic_queries.py runs the SAME
-#            compare on every one of them each CI pass
-#   tail     rows-only queries (q31/q37/q40/q43/q47 — each is covered by
-#            its own pytest accuracy/determinism harness instead)
+#            (q56..q63, q65-q78, q80, q83, q86, q87), then q55 — beyond
+#            the driver cap, but tests/test_synthetic_queries.py runs
+#            the SAME compare on every one of them each CI pass
+#   tail     rows-only queries (q31/q37/q40/q43/q47/q64/q79/q81/q82/
+#            q84/q85 — each covered by its own pytest accuracy/
+#            determinism/recall harness instead)
 _ORACLE_FIRST = {n: s for n, s in REGISTRY.items() if s.oracle is not None and n != "q55_media_stats"}
 _ORACLE_FIRST["q55_media_stats"] = REGISTRY["q55_media_stats"]
 _ROWS_ONLY = {n: s for n, s in REGISTRY.items() if s.oracle is None}
