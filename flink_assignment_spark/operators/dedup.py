@@ -367,6 +367,7 @@ def hamming_pairs(
     fp_col: str,
     bits: int,
     max_hamming: int,
+    max_block_bucket: int | None = None,
 ) -> DataFrame:
     """All id pairs whose ``bits``-wide integer fingerprints differ in
     ≤ ``max_hamming`` bit positions — the generic pigeonhole-blocked
@@ -377,20 +378,24 @@ def hamming_pairs(
     least one whole block, so equi-joining on (block_idx, block_value)
     finds every such pair without an N² scan. Exact popcount verifies.
     Returns ``(doc_a, doc_b, hamming)`` with ``doc_a < doc_b``.
-    """
+
+    ``max_block_bucket`` is the skew valve (same contract as
+    ``MAX_LSH_BUCKET``): a (block, value) cell holding more than this
+    many fingerprints is dropped entirely — a degenerate/constant
+    fingerprint shared by k inputs otherwise forms a k² join clique on
+    one key. ``None`` (the q17 path, whose DuckDB oracle mirrors the
+    uncapped join) keeps exact recall."""
     n_blocks = max_hamming + 1
     block_w = bits // n_blocks
     blocks = []
     for i in range(n_blocks):
         lo = i * block_w
         width = block_w if i < n_blocks - 1 else bits - lo
-        mask = (1 << width) - 1
-        blocks.append(
-            F.struct(
-                F.lit(i).alias("blk"),
-                F.shiftright(F.col(fp_col), lo).bitwiseAND(F.lit(mask)).alias("val"),
-            )
-        )
+        # width == 64 (bits=64, max_hamming=0): the full-width mask
+        # exceeds a signed long literal; the identity slice needs none
+        shifted = F.shiftright(F.col(fp_col), lo)
+        val = shifted if width >= 64 else shifted.bitwiseAND(F.lit((1 << width) - 1))
+        blocks.append(F.struct(F.lit(i).alias("blk"), val.alias("val")))
     # cache: the self-join below references this subtree twice, and
     # Spark re-executes the upstream fingerprint pipeline once per
     # side without it
@@ -400,6 +405,17 @@ def hamming_pairs(
     ).select(
         "doc_id", "fp", F.col("b.blk").alias("blk"), F.col("b.val").alias("val")
     ).cache()
+    if max_block_bucket is not None:
+        # the over-cap cell list is bounded by N/cap rows (each holds
+        # > cap members) — broadcastable at any corpus size, unlike
+        # the keep-list, which is fingerprint-cardinality
+        hot = (
+            blocked.groupBy("blk", "val")
+            .agg(F.count("*").alias("__n"))
+            .filter(F.col("__n") > max_block_bucket)
+            .select("blk", "val")
+        )
+        blocked = blocked.join(F.broadcast(hot), ["blk", "val"], "left_anti").cache()
     a = blocked.alias("a")
     b = blocked.alias("b")
     cand = (

@@ -3400,6 +3400,8 @@ REGISTRY.update({"q84_theta_source_overlap": QuerySpec(q84_theta_source_overlap,
 
 
 MEDIA_PHASH_MAX_HAMMING = 7
+MEDIA_MIN_BYTES = 64  # below this the stub phash degenerates to a constant
+MEDIA_MAX_BLOCK_BUCKET = 100
 
 
 def q85_media_neardup(spark, sf_dir):
@@ -3409,16 +3411,33 @@ def q85_media_neardup(spark, sf_dir):
     then the SAME pigeonhole-blocked Hamming join the text SimHash
     path uses (``operators.dedup.hamming_pairs``, shared code) — the
     image-dedup pass of a multimodal corpus, with candidate volume
-    bounded by block collisions instead of N². Python-side phash →
-    rows-only driver check; pytest pins determinism and the planted
-    near-dup pair (tests/test_multimodal.py)."""
+    bounded by block collisions instead of N².
+
+    Two skew guards: payloads under MEDIA_MIN_BYTES are excluded (the
+    stub phash maps them ALL to 0, which would declare every tiny blob
+    a mutual near-dup AND pile a k² clique onto one join key — real
+    phash libraries have the same degenerate-input regime), and
+    hamming_pairs drops any (block, value) cell larger than
+    MEDIA_MAX_BLOCK_BUCKET via the broadcast hot-cell anti-join (the
+    MAX_LSH_BUCKET contract). Python-side phash → rows-only driver
+    check; pytest pins exact recall vs brute force under the same
+    guards (tests/test_multimodal.py)."""
     from ..operators.dedup import hamming_pairs
     from ..operators.multimodal import image_features, media_from_documents
 
     media = media_from_documents(_t(spark, sf_dir, "documents"))
-    fps = image_features(media).select("media_id", "phash")
+    fps = (
+        image_features(media)
+        .filter(F.col("n_bytes") >= MEDIA_MIN_BYTES)
+        .select("media_id", "phash")
+    )
     return hamming_pairs(
-        fps, "media_id", "phash", 64, MEDIA_PHASH_MAX_HAMMING
+        fps,
+        "media_id",
+        "phash",
+        64,
+        MEDIA_PHASH_MAX_HAMMING,
+        max_block_bucket=MEDIA_MAX_BLOCK_BUCKET,
     ).withColumnsRenamed({"doc_a": "media_a", "doc_b": "media_b"})
 
 
@@ -3669,7 +3688,8 @@ REGISTRY.update({"q83_pipeline_e2e": QuerySpec(q83_pipeline_e2e, Q83_SQL)})
 #   [0, 50)  the first 50 oracle-bearing queries, original order
 #            (q01..q54)
 #   next     every other oracle-bearing query in insertion order
-#            (q56..q63, q65-q78, q80, q83, q86, q87), then q55 — beyond
+#            (q56..q63, q65-q78, q80, q86, q87, q83 — file insertion
+#            order; q83 is registered last), then q55 — beyond
 #            the driver cap, but tests/test_synthetic_queries.py runs
 #            the SAME compare on every one of them each CI pass
 #   tail     rows-only queries (q31/q37/q40/q43/q47/q64/q79/q81/q82/

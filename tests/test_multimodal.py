@@ -110,9 +110,16 @@ def test_null_payload_yields_empty_stats_not_crash(spark):
 
 def test_media_neardup_exact_recall_vs_bruteforce(spark):
     """q85's pigeonhole-blocked Hamming join must find EXACTLY the
-    pairs a brute-force popcount over all phash pairs finds — the
-    blocking is a pruning strategy, never a recall trade-off."""
+    pairs a brute-force popcount over all eligible phash pairs finds
+    (payloads ≥ MEDIA_MIN_BYTES — tinier ones share the stub's
+    degenerate zero phash and are excluded by the query). The test
+    also asserts the hot-cell cap never fires at this scale, so the
+    exact-equality compare is not vacuous."""
+    from collections import Counter
+
     from flink_assignment_spark.queries.synthetic import (
+        MEDIA_MAX_BLOCK_BUCKET,
+        MEDIA_MIN_BYTES,
         MEDIA_PHASH_MAX_HAMMING,
         REGISTRY,
     )
@@ -127,14 +134,24 @@ def test_media_neardup_exact_recall_vs_bruteforce(spark):
     )
     from flink_assignment_spark.sources.loaders import load_table
 
-    fps = [
-        (r.media_id, r.phash)
-        for r in image_features(
-            media_from_documents(load_table(spark, SF_DIR, "documents"))
-        )
-        .select("media_id", "phash")
+    feats = (
+        image_features(media_from_documents(load_table(spark, SF_DIR, "documents")))
+        .select("media_id", "n_bytes", "phash")
         .collect()
-    ]
+    )
+    fps = [(r.media_id, r.phash) for r in feats if r.n_bytes >= MEDIA_MIN_BYTES]
+    assert len(fps) < len(feats), "fixture should contain sub-threshold payloads"
+    # the cap must be inert at this scale for exact-recall equality
+    n_blocks = MEDIA_PHASH_MAX_HAMMING + 1
+    w = 64 // n_blocks
+    cells = Counter()
+    for _, fp in fps:
+        u = fp & ((1 << 64) - 1)
+        for i in range(n_blocks):
+            lo = i * w
+            width = w if i < n_blocks - 1 else 64 - lo
+            cells[(i, (u >> lo) & ((1 << width) - 1))] += 1
+    assert max(cells.values()) <= MEDIA_MAX_BLOCK_BUCKET
     want = {}
     for i in range(len(fps)):
         for j in range(i + 1, len(fps)):

@@ -552,4 +552,6 @@ def test_theta_source_overlap_exact_in_sampling_free_regime(spark):
     for (a, b), r in got.items():
         A, B = cohorts[a], cohorts[b]
         assert (r.approx_a, r.approx_b, r.approx_overlap) == (len(A), len(B), len(A & B))
-        assert r.approx_jaccard == round(len(A & B) / len(A | B), 4)
+        # F.round is HALF_UP, Python round is half-even — compare with
+        # a half-ulp-at-4-decimals tolerance instead of repr equality
+        assert abs(r.approx_jaccard - len(A & B) / len(A | B)) <= 5.001e-5
