@@ -1,0 +1,91 @@
+"""Streaming MinHash-LSH vs batch banding: the accumulated candidate
+set equals the batch bucket-pair set (order-independent — new×old and
+new×new cover each colliding pair exactly once), the signature
+estimator matches its batch value, and every q16 exact-verified pair
+is recalled."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from flink_assignment_spark.functions.text import MINHASH_PERMS
+from flink_assignment_spark.operators.dedup import minhash_signatures
+from flink_assignment_spark.queries.synthetic import REGISTRY
+from flink_assignment_spark.sources.loaders import load_table
+from flink_assignment_spark.streaming.lsh_stream import (
+    incremental_lsh_neardup,
+    read_candidate_pairs,
+)
+
+from .conftest import SF_DIR
+
+DOCS_SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
+N_DOCS = 120
+ROWS_PER_BAND = 2
+
+
+def _batch_candidates(spark, docs):
+    """Uncapped batch LSH bucket pairs + the exact estimator value,
+    computed independently of the streaming code path."""
+    sigs = minhash_signatures(docs).collect()
+    by_doc = {r["doc_id"]: [r[f"mh{i}"] for i in range(len(MINHASH_PERMS))] for r in sigs}
+    buckets = {}
+    for d, sig in by_doc.items():
+        for band in range(len(MINHASH_PERMS) // ROWS_PER_BAND):
+            key = (band, tuple(sig[band * ROWS_PER_BAND : (band + 1) * ROWS_PER_BAND]))
+            buckets.setdefault(key, []).append(d)
+    want = {}
+    for ids in buckets.values():
+        ids = sorted(ids)
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                a, b = ids[i], ids[j]
+                sa, sb = by_doc[a], by_doc[b]
+                est = round(sum(x == y for x, y in zip(sa, sb)) / len(sa), 6)
+                want[(a, b)] = est
+    return want
+
+
+def test_streaming_lsh_candidates_match_batch(spark, tmp_path):
+    docs = (
+        load_table(spark, SF_DIR, "documents")
+        .select("doc_id", "text", "lang", "source", "n_chars")
+        .filter(F.col("doc_id") < N_DOCS)
+    )
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    # 6 micro-batches of ~20 docs; batching layout must not matter
+    rows = docs.collect()
+    for i in range(6):
+        chunk = [r for r in rows if r.doc_id % 6 == i]
+        spark.createDataFrame(chunk, DOCS_SCHEMA).coalesce(1).write.parquet(
+            str(in_dir / f"f{i}")
+        )
+    state_dir = str(tmp_path / "state")
+    stream = (
+        spark.readStream.schema(DOCS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(in_dir) + "/*")
+    )
+    q = incremental_lsh_neardup(stream, state_dir, rows_per_band=ROWS_PER_BAND)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {
+        (r.doc_a, r.doc_b): r.est_jaccard
+        for r in read_candidate_pairs(spark, state_dir).collect()
+    }
+    want = _batch_candidates(spark, docs)
+    assert got == want and len(want) > 0
+
+    # LSH recall contract: every exact-verified near-dup pair from the
+    # batch q16 pipeline (restricted to this subset) must be a
+    # streamed candidate
+    verified = {
+        (r.doc_a, r.doc_b)
+        for r in REGISTRY["q16_dedup_minhash_lsh"].spark(spark, SF_DIR).collect()
+        if r.doc_a < N_DOCS and r.doc_b < N_DOCS
+    }
+    assert verified and verified <= set(got)
