@@ -213,3 +213,32 @@ def read_candidate_pairs(spark: SparkSession, state_dir: str) -> DataFrame:
     estimated Jaccard (replays may append duplicates — distinct'd
     here)."""
     return spark.read.parquet(_pairs_path(state_dir)).distinct()
+
+
+def verify_candidates(
+    docs: DataFrame,
+    pairs: DataFrame,
+    threshold: float,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact-Jaccard verification of accumulated streamed candidates —
+    the batch half of the incremental detect→verify loop. Restricts
+    the inverted index to candidate docs (the q16 trick: the verify
+    join is bounded by candidate volume, not corpus size) and returns
+    ``(doc_a, doc_b, est_jaccard, jaccard)`` for pairs at or above
+    ``threshold``. Run per day/week over the pairs table; the
+    streaming side keeps only estimates, so the expensive exact join
+    never blocks ingest."""
+    from ..operators.dedup import ngram_jaccard_pairs
+
+    cand_docs = (
+        pairs.select(F.col("doc_a").alias(id_col))
+        .union(pairs.select(F.col("doc_b").alias(id_col)))
+        .distinct()
+    )
+    sh_cand = doc_shingles(docs, text_col, id_col).join(
+        cand_docs, id_col, "left_semi"
+    )
+    exact = ngram_jaccard_pairs(docs, threshold, text_col, id_col, shingles=sh_cand)
+    return pairs.join(exact, ["doc_a", "doc_b"])

@@ -89,3 +89,47 @@ def test_streaming_lsh_candidates_match_batch(spark, tmp_path):
         if r.doc_a < N_DOCS and r.doc_b < N_DOCS
     }
     assert verified and verified <= set(got)
+
+
+def test_verify_candidates_closes_the_loop(spark, tmp_path):
+    """Streamed candidates + batch exact verification == the batch
+    q16 result on the same subset (threshold 0.3, uncapped stream
+    candidates are a superset of the capped batch candidates)."""
+    from flink_assignment_spark.streaming.lsh_stream import verify_candidates
+
+    docs = (
+        load_table(spark, SF_DIR, "documents")
+        .select("doc_id", "text", "lang", "source", "n_chars")
+        .filter(F.col("doc_id") < N_DOCS)
+    )
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    rows = docs.collect()
+    for i in range(3):
+        chunk = [r for r in rows if r.doc_id % 3 == i]
+        spark.createDataFrame(chunk, DOCS_SCHEMA).coalesce(1).write.parquet(
+            str(in_dir / f"f{i}")
+        )
+    state_dir = str(tmp_path / "state")
+    stream = (
+        spark.readStream.schema(DOCS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(in_dir) + "/*")
+    )
+    q = incremental_lsh_neardup(stream, state_dir, rows_per_band=ROWS_PER_BAND)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    verified = verify_candidates(docs, read_candidate_pairs(spark, state_dir), 0.3)
+    got = {(r.doc_a, r.doc_b): r.jaccard for r in verified.collect()}
+    want = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in REGISTRY["q16_dedup_minhash_lsh"].spark(spark, SF_DIR).collect()
+        if r.doc_a < N_DOCS and r.doc_b < N_DOCS
+    }
+    # uncapped streamed candidates can only ADD pairs the capped batch
+    # run dropped; every batch pair must match exactly
+    assert want and set(want) <= set(got)
+    for k, j in want.items():
+        assert got[k] == j, k
