@@ -217,6 +217,32 @@ def minhash_signatures(
     return sh.groupBy("doc_id").agg(*aggs)
 
 
+def band_keys(sigs: DataFrame, rows_per_band: int) -> DataFrame:
+    """(doc_id, band, key) — one row per LSH band per signature row.
+
+    THE band-key definition (``concat_ws(',', mh_i...)`` over each
+    band's signature slots): the batch pipeline and the streaming
+    bucket state must produce byte-identical keys for the
+    stream==batch candidate-set contract to hold, so both call this
+    single helper. ``sigs`` is :func:`minhash_signatures` output;
+    extra columns are carried through."""
+    n_perms = len(MINHASH_PERMS)
+    bands = []
+    for band_idx in range(n_perms // rows_per_band):
+        cols = [
+            F.col(f"mh{band_idx * rows_per_band + r}") for r in range(rows_per_band)
+        ]
+        bands.append(
+            F.struct(
+                F.lit(band_idx).alias("band"), F.concat_ws(",", *cols).alias("key")
+            )
+        )
+    carried = [c for c in sigs.columns if not c.startswith("mh")]
+    return sigs.select(*carried, F.explode(F.array(*bands)).alias("bk")).select(
+        *carried, F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+
+
 def _bucket_pairs(ids_col) -> "F.Column":
     """All ordered (doc_a < doc_b) pairs within one bucket's id array —
     pure Catalyst (array_sort + nested transform + flatten), no UDF.
@@ -276,16 +302,7 @@ def minhash_lsh_pairs(
     """
     sh = doc_shingles(docs, text_col, id_col, n, max_doc_freq).cache()
     sigs = minhash_signatures(docs, text_col, id_col, n, shingles=sh)
-    n_perms = len(MINHASH_PERMS)
-    bands = []
-    for band_idx in range(0, n_perms // rows_per_band):
-        cols = [F.col(f"mh{band_idx * rows_per_band + r}") for r in range(rows_per_band)]
-        bands.append(
-            F.struct(F.lit(band_idx).alias("band"), F.concat_ws(",", *cols).alias("key"))
-        )
-    banded = sigs.select("doc_id", F.explode(F.array(*bands)).alias("bk")).select(
-        "doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
-    )
+    banded = band_keys(sigs, rows_per_band)
     buckets = (
         banded.groupBy("band", "key")
         .agg(F.collect_list("doc_id").alias("ids"))

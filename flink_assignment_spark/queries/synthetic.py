@@ -3080,12 +3080,10 @@ def q77_corpus_shards(spark, sf_dir):
     shard id is uniform by construction, so ``partitionBy(shard)`` has
     no skewed key; shard count is the knob that matches the writer's
     parallelism at any corpus size."""
+    from ..functions.text import hash60
+
     docs = _t(spark, sf_dir, "documents")
-    h = F.conv(
-        F.substring(F.md5(F.concat(F.lit("shard:"), F.col("doc_id").cast("string"))), 1, 15),
-        16,
-        10,
-    ).cast("long")
+    h = hash60(F.concat(F.lit("shard:"), F.col("doc_id").cast("string")))
     sharded = docs.select(
         "doc_id", "n_chars", (h % SHARD_COUNT).alias("shard"), h.alias("__h")
     )

@@ -2,14 +2,15 @@
 
 The incremental form of the batch q16 pipeline: each arriving micro-
 batch is shingled, MinHash-signed (the SAME 16 permutations /
-md5-derived hashes as ``operators.dedup``), LSH-banded, and joined
-against the corpus-so-far's bucket state — a crawl batch learns which
-of its documents near-duplicate ANY earlier document without ever
-re-scanning the corpus.
+md5-derived hashes as ``operators.dedup``), LSH-banded (the SAME
+``band_keys`` helper, so keys are byte-identical by construction),
+and joined against the corpus-so-far's bucket state — a crawl batch
+learns which of its documents near-duplicate ANY earlier document
+without re-scanning the corpus.
 
-State layout under ``state_dir`` (same bucket-partitioned parquet
-pattern as ``novelty_stream``; production = the identical MERGE INTO
-through Delta/Iceberg):
+State layout under ``state_dir`` (bucket-partitioned parquet via
+``streaming._state.swap_partitions``; production = the identical
+MERGE INTO through Delta/Iceberg):
 
 - ``buckets/pt=K/`` — one row per (band, key, doc_id, sig): an LSH
   bucket membership carrying the member's full 16-slot signature.
@@ -17,9 +18,8 @@ through Delta/Iceberg):
   the partitions it actually touches.
 - ``pairs/`` — appended candidate pairs ``(doc_a, doc_b, est_jaccard)``
   with ``est_jaccard`` = fraction of agreeing signature slots (the
-  standard MinHash estimator). A downstream exact-verify (q15's
-  capped-index join over just these pairs) or a threshold filter
-  consumes this table.
+  standard MinHash estimator). :func:`verify_candidates` (or a
+  threshold filter) consumes this table.
 
 Candidate-set completeness is ORDER-INDEPENDENT: for any pair, the
 later-arriving doc meets the earlier one in bucket state (new×old),
@@ -27,24 +27,39 @@ or both share a micro-batch (new×new) — each colliding pair is found
 exactly once either way. tests/test_streaming_lsh.py pins the
 accumulated candidate set equal to the batch banding's bucket pairs,
 the estimator equal to its batch value, and recall of every q16
-verified pair.
+verified pair. Contract scope: the equality holds for the UNCAPPED
+configuration; batch q16 additionally applies MAX_SHINGLE_DF /
+MAX_LSH_BUCKET caps, which are corpus-global knowledge a stream
+cannot reproduce incrementally — on corpora where those caps actually
+fire, the uncapped stream yields a SUPERSET of the capped batch
+candidates (never a miss), at a skew cost the ``max_state_bucket``
+valve below bounds.
 
-Replay: the ``_applied_batch`` marker (committed after the state
-merge, before which a redelivered batch is recomputed idempotently —
-bucket upsert is a set union; pairs may duplicate and are distinct'd
-at read) mirrors ``novelty_stream``'s contract.
+``max_state_bucket`` is the streaming skew valve (the incremental
+analogue of batch ``max_bucket``): once a (band, key) bucket's state
+exceeds the cap it is SATURATED — its members are replaced by a
+single tombstone row, it stops emitting pairs, and it stops growing.
+Exactly like the batch cap, this sacrifices recall only on degenerate
+buckets (near-constant corpora that exact-dedup should have removed),
+and it bounds both state size and the new×old fan-out per key for the
+stream's whole lifetime.
+
+Replay: the ``_applied_batch`` marker (``streaming._state``) is
+committed after the state merge; a redelivered batch is recomputed
+idempotently — the bucket upsert is a set union; pairs may duplicate
+and are distinct'd at read.
 """
 
 from __future__ import annotations
 
 import os
-import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.text import MINHASH_PERMS
-from ..operators.dedup import doc_shingles, minhash_signatures
+from ..operators.dedup import band_keys, doc_shingles, minhash_signatures
+from ._state import applied_batch, commit_marker, swap_partitions
 
 N_PT = 64
 N_PERMS = len(MINHASH_PERMS)
@@ -58,40 +73,13 @@ def _pairs_path(state_dir: str) -> str:
     return os.path.join(state_dir, "pairs")
 
 
-def _applied_batch(state_dir: str) -> int:
-    marker = os.path.join(state_dir, "_applied_batch")
-    if os.path.exists(marker):
-        with open(marker) as f:
-            return int(f.read().strip() or -1)
-    return -1
-
-
-def _commit_marker(state_dir: str, batch_id: int) -> None:
-    tmp = os.path.join(state_dir, "_applied_batch.tmp")
-    with open(tmp, "w") as f:
-        f.write(str(int(batch_id)))
-    os.replace(tmp, os.path.join(state_dir, "_applied_batch"))
-
-
 def _banded_sigs(batch_df: DataFrame, text_col: str, id_col: str, rows_per_band: int):
     """(doc_id, sig, band, key, pt) — one row per band per doc."""
     sh = doc_shingles(batch_df, text_col, id_col)
     sigs = minhash_signatures(batch_df, text_col, id_col, shingles=sh)
     sig = F.array(*[F.col(f"mh{i}") for i in range(N_PERMS)])
-    bands = []
-    for band_idx in range(N_PERMS // rows_per_band):
-        cols = [
-            F.col(f"mh{band_idx * rows_per_band + r}") for r in range(rows_per_band)
-        ]
-        bands.append(
-            F.struct(
-                F.lit(band_idx).alias("band"), F.concat_ws(",", *cols).alias("key")
-            )
-        )
-    return (
-        sigs.select("doc_id", sig.alias("sig"), F.explode(F.array(*bands)).alias("bk"))
-        .select("doc_id", "sig", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
-        .withColumn("pt", F.pmod(F.crc32(F.concat_ws("|", "band", "key")), F.lit(N_PT)).cast("int"))
+    return band_keys(sigs.withColumn("sig", sig), rows_per_band).withColumn(
+        "pt", F.pmod(F.crc32(F.concat_ws("|", "band", "key")), F.lit(N_PT)).cast("int")
     )
 
 
@@ -111,27 +99,36 @@ def merge_lsh_batch(
     text_col: str = "text",
     id_col: str = "doc_id",
     rows_per_band: int = 2,
+    max_state_bucket: int | None = None,
 ) -> None:
     """Detect the batch's candidate near-dup pairs against state +
     within the batch, append them, and fold the batch into state."""
-    if batch_id <= _applied_batch(state_dir):
+    if batch_id <= applied_batch(state_dir):
         return
     spark = batch_df.sparkSession
     bpath = _buckets_path(state_dir)
     banded = _banded_sigs(batch_df, text_col, id_col, rows_per_band).cache()
+    touched = [int(r.pt) for r in banded.select("pt").distinct().collect()]
+    if not touched:  # empty batch / no shingle-bearing docs: no-op
+        banded.unpersist()
+        commit_marker(state_dir, batch_id)
+        return
 
     have_state = os.path.exists(os.path.join(bpath, "_SUCCESS"))
-    touched = [int(r.pt) for r in banded.select("pt").distinct().collect()]
     if have_state:
+        # one cached read of the touched partitions feeds BOTH the
+        # candidate join and the state fold
         state = (
             spark.read.option("basePath", bpath)
             .parquet(bpath)
             .filter(F.col("pt").isin(touched))
+            .cache()
         )
+        live = state.filter(F.col("doc_id").isNotNull())  # skip tombstones
         new_old = (
             banded.alias("n")
             .join(
-                state.alias("o"),
+                live.alias("o"),
                 (F.col("n.band") == F.col("o.band"))
                 & (F.col("n.key") == F.col("o.key"))
                 & (F.col("n.doc_id") != F.col("o.doc_id")),
@@ -142,12 +139,19 @@ def merge_lsh_batch(
                 _est_jaccard(F.col("n.sig"), F.col("o.sig")).alias("est_jaccard"),
             )
         )
+        # members landing in an already-saturated bucket emit nothing
+        tombstoned = state.filter(F.col("doc_id").isNull()).select("band", "key")
+        new_new_src = banded.join(
+            F.broadcast(tombstoned), ["band", "key"], "left_anti"
+        )
     else:
+        state = None
         new_old = None
+        new_new_src = banded
     new_new = (
-        banded.alias("a")
+        new_new_src.alias("a")
         .join(
-            banded.alias("b"),
+            new_new_src.alias("b"),
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.key") == F.col("b.key"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
@@ -158,39 +162,49 @@ def merge_lsh_batch(
             _est_jaccard(F.col("a.sig"), F.col("b.sig")).alias("est_jaccard"),
         )
     )
-    pairs = new_new if new_old is None else new_new.unionByName(new_old)
-    pairs.distinct().write.mode("append").parquet(_pairs_path(state_dir))
+    pairs = (new_new if new_old is None else new_new.unionByName(new_old)).distinct().cache()
+    if pairs.count():
+        pairs.write.mode("append").parquet(_pairs_path(state_dir))
+    pairs.unpersist()
 
-    # fold the batch's bucket rows into the touched pt partitions
-    # (staging + per-partition swap — same crash contract as
-    # novelty_stream; the upsert is a set union, so replay converges)
+    # fold the batch's bucket rows into the touched pt partitions;
+    # buckets crossing max_state_bucket collapse to a tombstone row
     out = banded.select("pt", "band", "key", "doc_id", "sig")
-    if have_state:
-        existing = (
-            spark.read.option("basePath", bpath)
-            .parquet(bpath)
-            .filter(F.col("pt").isin(touched))
-            .select("pt", "band", "key", "doc_id", "sig")
+    if state is not None:
+        out = state.select("pt", "band", "key", "doc_id", "sig").unionByName(out)
+    out = out.distinct()
+    if max_state_bucket is not None:
+        # saturation is STICKY: a bucket already tombstoned keeps only
+        # its tombstone (new arrivals are dropped), and a live bucket
+        # crossing the cap this batch collapses to a fresh tombstone
+        keys = ["pt", "band", "key"]
+        as_tomb = lambda df: df.select(  # noqa: E731
+            *keys,
+            F.lit(None).cast("long").alias("doc_id"),
+            F.lit(None).cast("array<long>").alias("sig"),
         )
-        out = existing.unionByName(out).distinct()
-    staging = bpath + ".staging"
-    if os.path.exists(staging):
-        shutil.rmtree(staging)
-    out.select("band", "key", "doc_id", "sig", "pt").write.partitionBy("pt").parquet(
-        staging
+        old_tombs = out.filter(F.col("doc_id").isNull()).select(*keys).distinct()
+        live = out.filter(F.col("doc_id").isNotNull()).join(
+            F.broadcast(old_tombs), keys, "left_anti"
+        )
+        hot = (
+            live.groupBy(*keys)
+            .agg(F.count("*").alias("__n"))
+            .filter(F.col("__n") > max_state_bucket)
+            .select(*keys)
+        )
+        out = (
+            live.join(F.broadcast(hot), keys, "left_anti")
+            .unionByName(as_tomb(old_tombs))
+            .unionByName(as_tomb(hot))
+        )
+    swap_partitions(
+        out.select("band", "key", "doc_id", "sig", "pt"), bpath, "pt", touched
     )
-    os.makedirs(bpath, exist_ok=True)
-    for pt in touched:
-        src = os.path.join(staging, f"pt={pt}")
-        dst = os.path.join(bpath, f"pt={pt}")
-        if os.path.exists(src):
-            if os.path.exists(dst):
-                shutil.rmtree(dst)
-            os.rename(src, dst)
-    shutil.rmtree(staging)
-    open(os.path.join(bpath, "_SUCCESS"), "a").close()
+    if state is not None:
+        state.unpersist()
     banded.unpersist()
-    _commit_marker(state_dir, batch_id)
+    commit_marker(state_dir, batch_id)
 
 
 def incremental_lsh_neardup(
@@ -199,11 +213,20 @@ def incremental_lsh_neardup(
     text_col: str = "text",
     id_col: str = "doc_id",
     rows_per_band: int = 2,
+    max_state_bucket: int | None = None,
 ):
     """Start the streaming near-dup query; returns the StreamingQuery."""
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
-        merge_lsh_batch(batch_df, batch_id, state_dir, text_col, id_col, rows_per_band)
+        merge_lsh_batch(
+            batch_df,
+            batch_id,
+            state_dir,
+            text_col,
+            id_col,
+            rows_per_band,
+            max_state_bucket,
+        )
 
     return docs.writeStream.outputMode("append").foreachBatch(_sink).start()
 
@@ -227,18 +250,23 @@ def verify_candidates(
     the inverted index to candidate docs (the q16 trick: the verify
     join is bounded by candidate volume, not corpus size) and returns
     ``(doc_a, doc_b, est_jaccard, jaccard)`` for pairs at or above
-    ``threshold``. Run per day/week over the pairs table; the
-    streaming side keeps only estimates, so the expensive exact join
-    never blocks ingest."""
+    ``threshold``. ``pairs`` feeds three plan branches and the shingle
+    index feeds a self-join, so both are cached here (the q16 caching
+    rationale: Spark performs no cross-branch common-subexpression
+    elimination). Run per day/week over the pairs table; the streaming
+    side keeps only estimates, so the expensive exact join never
+    blocks ingest."""
     from ..operators.dedup import ngram_jaccard_pairs
 
+    pairs = pairs.cache()
+    pairs.count()
     cand_docs = (
         pairs.select(F.col("doc_a").alias(id_col))
         .union(pairs.select(F.col("doc_b").alias(id_col)))
         .distinct()
     )
-    sh_cand = doc_shingles(docs, text_col, id_col).join(
-        cand_docs, id_col, "left_semi"
+    sh_cand = (
+        doc_shingles(docs, text_col, id_col).join(cand_docs, id_col, "left_semi").cache()
     )
     exact = ngram_jaccard_pairs(docs, threshold, text_col, id_col, shingles=sh_cand)
     return pairs.join(exact, ["doc_a", "doc_b"])

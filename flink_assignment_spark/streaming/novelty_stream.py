@@ -43,6 +43,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.gates import shingle_hash_array
+from ._state import applied_batch, commit_marker, swap_partitions
 
 N_BUCKETS = 64
 
@@ -53,21 +54,6 @@ def _seen_path(state_dir: str) -> str:
 
 def _stats_path(state_dir: str) -> str:
     return os.path.join(state_dir, "stats")
-
-
-def _applied_batch(state_dir: str) -> int:
-    marker = os.path.join(state_dir, "_applied_batch")
-    if os.path.exists(marker):
-        with open(marker) as f:
-            return int(f.read().strip() or -1)
-    return -1
-
-
-def _commit_marker(state_dir: str, batch_id: int) -> None:
-    tmp = os.path.join(state_dir, "_applied_batch.tmp")
-    with open(tmp, "w") as f:
-        f.write(str(int(batch_id)))
-    os.replace(tmp, os.path.join(state_dir, "_applied_batch"))
 
 
 def merge_novelty_batch(
@@ -81,7 +67,7 @@ def merge_novelty_batch(
     new shingles into the state (touched buckets only), then append
     the stats row and commit the replay marker — see the module
     docstring for the crash/replay contract."""
-    if batch_id <= _applied_batch(state_dir):
+    if batch_id <= applied_batch(state_dir):
         return
     spark = batch_df.sparkSession
     seen_path, stats_path = _seen_path(state_dir), _stats_path(state_dir)
@@ -117,26 +103,10 @@ def merge_novelty_batch(
             out = existing.unionByName(new.select("bucket", "h"))
         else:
             out = new.select("bucket", "h")
-        # stage to a SIDE directory first — writing into seen_path
-        # while `existing` still reads from it would be a silent
-        # read-under-overwrite race — then swap only the touched
-        # bucket dirs (the bounded-rewrite contract; everything else
-        # is untouched on disk)
-        import shutil
-
-        staging = seen_path + ".staging"
-        if os.path.exists(staging):
-            shutil.rmtree(staging)
-        out.select("h", "bucket").write.partitionBy("bucket").parquet(staging)
-        os.makedirs(seen_path, exist_ok=True)
-        for b in touched:
-            src = os.path.join(staging, f"bucket={b}")
-            dst = os.path.join(seen_path, f"bucket={b}")
-            if os.path.exists(dst):
-                shutil.rmtree(dst)
-            os.rename(src, dst)
-        shutil.rmtree(staging)
-        open(os.path.join(seen_path, "_SUCCESS"), "a").close()
+        # staging write + per-bucket swap via the shared _state helper
+        # (writing into seen_path while `existing` still reads from it
+        # would be a silent read-under-overwrite race)
+        swap_partitions(out.select("h", "bucket"), seen_path, "bucket", touched)
     new.unpersist()
 
     # stats AFTER the state update, marker last (module docstring)
@@ -153,7 +123,7 @@ def merge_novelty_batch(
         "batch_id long, n_docs long, n_shingles long, n_new long, novelty_rate double",
     )
     stats.coalesce(1).write.mode("append").parquet(stats_path)
-    _commit_marker(state_dir, batch_id)
+    commit_marker(state_dir, batch_id)
 
 
 def incremental_novelty(

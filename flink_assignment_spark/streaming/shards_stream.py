@@ -20,6 +20,8 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import IntegerType, LongType, StructField, StructType
 
+from ..functions.text import hash60
+
 _OUT_SCHEMA = StructType(
     [
         StructField("doc_id", LongType()),
@@ -37,13 +39,9 @@ def shard_assign_stream(
     """(doc_id, shard, pos, n_chars) over a streamed corpus; shard =
     q77's salted 60-bit hash mod ``n_shards``, pos = per-shard arrival
     counter (keyed state, one long per shard)."""
-    h = F.conv(
-        F.substring(
-            F.md5(F.concat(F.lit("shard:"), F.col(id_col).cast("string"))), 1, 15
-        ),
-        16,
-        10,
-    ).cast("long")
+    # hash60 is THE oracle-shared 60-bit hash definition — q77 and the
+    # stream must derive identical shard ids from it
+    h = hash60(F.concat(F.lit("shard:"), F.col(id_col).cast("string")))
     keyed = docs.select(
         F.col(id_col).alias("doc_id"),
         (h % n_shards).cast("int").alias("shard"),

@@ -133,3 +133,51 @@ def test_verify_candidates_closes_the_loop(spark, tmp_path):
     assert want and set(want) <= set(got)
     for k, j in want.items():
         assert got[k] == j, k
+
+
+def test_state_bucket_saturation_valve(spark, tmp_path):
+    """With max_state_bucket set, a degenerate bucket (many identical
+    docs) saturates: state collapses to one tombstone row, later
+    members emit no pairs, and state stops growing — the streaming
+    analogue of batch max_bucket."""
+    import os
+
+    from flink_assignment_spark.streaming.lsh_stream import _buckets_path
+
+    cap = 4
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    # 3 waves of 4 identical docs: wave 1 fits the cap, wave 2 pushes
+    # the bucket over it, wave 3 arrives saturated
+    text = "alpha beta gamma delta epsilon zeta eta theta"
+    for w in range(3):
+        rows = [(w * 4 + i, text, "en", "s", 8) for i in range(4)]
+        spark.createDataFrame(rows, DOCS_SCHEMA).coalesce(1).write.parquet(
+            str(in_dir / f"f{w}")
+        )
+    state_dir = str(tmp_path / "state")
+    stream = (
+        spark.readStream.schema(DOCS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(in_dir) + "/*")
+    )
+    q = incremental_lsh_neardup(
+        stream, state_dir, rows_per_band=ROWS_PER_BAND, max_state_bucket=cap
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    state = spark.read.parquet(_buckets_path(state_dir))
+    # every bucket is saturated: only tombstones remain, one per bucket
+    assert state.filter(F.col("doc_id").isNotNull()).count() == 0
+    n_buckets = state.select("band", "key").distinct().count()
+    assert state.count() == n_buckets > 0
+    # wave 1 pairs were emitted (bucket under cap); wave-3 docs
+    # (ids 8-11) never appear — they arrived saturated
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in read_candidate_pairs(spark, state_dir).collect()
+    }
+    assert (0, 1) in got
+    assert all(a < 8 and b < 8 for a, b in got), got
