@@ -138,9 +138,11 @@ def compression_stats(
     JVM-side. A stateless narrow map — batch/stream portable like the
     other gates in this module. A ``source`` column is carried through
     when present (the q79 shape) but not required, matching the
-    any-document-frame contract of the sibling gates. Empty documents
-    band as ``empty`` (a zero-byte ratio is undefined, and a NULL
-    falling through to ``otherwise`` would silently read as 'ok')."""
+    any-document-frame contract of the sibling gates. Empty AND NULL
+    documents band as ``empty`` (either way the ratio is undefined and
+    NULL; without an explicit branch a NULL ``raw_bytes`` would make
+    every ``when`` condition NULL and silently fall through to
+    'ok')."""
     from ..functions._pandas_udfs import make_zlib_len_udf
 
     zl = make_zlib_len_udf(ZLIB_LEVEL)
@@ -166,7 +168,7 @@ def compression_stats(
             "raw_bytes",
             "zlib_bytes",
             "ratio",
-            F.when(F.col("raw_bytes") == 0, F.lit("empty"))
+            F.when(F.coalesce(F.col("raw_bytes"), F.lit(0)) == 0, F.lit("empty"))
             .when(F.col("ratio") < COMPRESS_REPETITIVE, F.lit("repetitive"))
             .when(F.col("ratio") > COMPRESS_RANDOM, F.lit("random"))
             .otherwise(F.lit("ok"))

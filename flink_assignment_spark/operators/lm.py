@@ -93,7 +93,15 @@ def bigram_lm_scores(
     )
 
 
-def export_lm(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"):
+DEFAULT_MAX_LM_ENTRIES = 5_000_000  # ~a few hundred MB of dict on the driver
+
+
+def export_lm(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_lm_entries: int = DEFAULT_MAX_LM_ENTRIES,
+):
     """Train the add-1 bigram LM and export it as a worker-shippable
     artifact: ``(lm_map, fallback_micro, v)`` with ``lm_map[bg] =
     lp_micro`` for every corpus bigram and ``fallback_micro =
@@ -108,6 +116,13 @@ def export_lm(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"):
     cardinality (vocab-scale, not corpus-scale) — the same boundedness
     contract as the IVF train sample; a production pipeline would
     train on a fixed reference corpus (wiki), not the full crawl.
+    That contract is ENFORCED, not assumed: a corpus whose
+    distinct-bigram count exceeds ``max_lm_entries`` (pathological —
+    random tokens make distinct bigrams ≈ corpus size) raises
+    ``ValueError`` instead of collecting, the same refusal pattern as
+    ``similarity.cosine_topk``'s ``max_query_block``; such callers
+    should use the join-based :func:`bigram_lm_scores`, which never
+    materializes the LM on the driver.
 
     The lp_micro values are collected from the SAME Catalyst
     expression the batch scorer uses, so broadcast scoring is
@@ -124,8 +139,19 @@ def export_lm(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"):
     )
     p = (F.col("c_bg") + 1) / (F.col("c_w1") + F.lit(int(v)))
     li = F.round(F.log(p) * 1e6).cast("long")
-    lm = c_bg.join(c_w1, "w1").select("bg", li.alias("lp_micro"))
-    lm_map = {r["bg"]: r["lp_micro"] for r in lm.collect()}
+    lm = c_bg.join(c_w1, "w1").select("bg", li.alias("lp_micro")).cache()
+    try:
+        n_entries = lm.count()  # cluster-side count — nothing reaches the driver yet
+        if n_entries > max_lm_entries:
+            raise ValueError(
+                f"export_lm: corpus has {n_entries} distinct bigrams, over the "
+                f"max_lm_entries cap of {max_lm_entries} — refusing to collect a "
+                "corpus-scale LM onto the driver; use the join-based "
+                "bigram_lm_scores instead (or raise the cap deliberately)."
+            )
+        lm_map = {r["bg"]: r["lp_micro"] for r in lm.collect()}
+    finally:
+        lm.unpersist()
     fallback_micro = round(math.log(1.0 / int(v)) * 1e6)
     return lm_map, int(fallback_micro), int(v)
 

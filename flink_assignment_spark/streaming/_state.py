@@ -41,7 +41,11 @@ def swap_partitions(
     upsert on plain parquet (production: the same MERGE INTO through a
     transactional table format). Crash mid-swap leaves a prefix of the
     partitions updated; callers' folds must be set unions so a replay
-    converges. ``_SUCCESS`` is only created when data was written."""
+    converges. ``_SUCCESS`` is only created when data was written.
+
+    A touched partition whose staging output is EMPTY (no src dir) has
+    its existing dst directory removed — "touched" means "this is the
+    partition's new contents", including contents of zero rows."""
     staging = table_path + ".staging"
     if os.path.exists(staging):
         shutil.rmtree(staging)
@@ -51,9 +55,9 @@ def swap_partitions(
     for p in touched:
         src = os.path.join(staging, f"{part_col}={p}")
         dst = os.path.join(table_path, f"{part_col}={p}")
+        if os.path.exists(dst):
+            shutil.rmtree(dst)
         if os.path.exists(src):
-            if os.path.exists(dst):
-                shutil.rmtree(dst)
             os.rename(src, dst)
             wrote_any = True
     shutil.rmtree(staging)

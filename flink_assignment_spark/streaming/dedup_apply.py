@@ -42,6 +42,23 @@ def _table_exists(path: str) -> bool:
     return os.path.exists(os.path.join(path, "_SUCCESS"))
 
 
+def _recover_swap(table_path: str) -> None:
+    """Heal a crash inside the two-rename swap. The swap is
+    (1) rename current table aside to ``.old``, (2) rename staging in,
+    (3) delete ``.old`` — so a leftover ``.old`` means either the
+    crash hit between (1) and (2) (no live table: restore ``.old``)
+    or between (2) and (3) (live table present: drop ``.old``)."""
+    old = table_path + ".old"
+    if not os.path.exists(old):
+        return
+    if _table_exists(table_path):
+        shutil.rmtree(old)
+    else:
+        if os.path.exists(table_path):
+            shutil.rmtree(table_path)
+        os.rename(old, table_path)
+
+
 def _applied_batch(table_path: str) -> int:
     marker = os.path.join(table_path, "_applied_batch")
     if os.path.exists(marker):
@@ -63,9 +80,13 @@ def merge_dedup_groups(
     Idempotent under Structured Streaming's at-least-once foreachBatch
     replay when ``batch_id`` is passed: the applied batch id travels
     INSIDE the staging directory, so the data merge and the replay
-    marker commit in the same atomic rename — a crash between them is
-    impossible, and a redelivered batch is skipped instead of
-    double-adding its ``n_dups``."""
+    marker always commit together — a redelivered batch is skipped
+    instead of double-adding its ``n_dups``. (That guarantee is about
+    marker/data PAIRING, not whole-swap atomicity: the swap itself is
+    two renames, and :func:`_recover_swap` heals the window between
+    them on the next call, so accumulated state survives a crash at
+    any point.)"""
+    _recover_swap(table_path)
     if batch_id is not None and batch_id <= _applied_batch(table_path):
         return
     spark = batch_df.sparkSession
@@ -106,9 +127,17 @@ def merge_dedup_groups(
     if batch_id is not None:
         with open(os.path.join(staging, "_applied_batch"), "w") as f:
             f.write(str(int(batch_id)))
+    # two-rename swap: the accumulated table is only ever ASIDE (not
+    # deleted) until the new copy is in place, so a crash at any
+    # point leaves a recoverable state (see _recover_swap)
+    old = table_path + ".old"
+    if os.path.exists(old):
+        shutil.rmtree(old)
     if os.path.exists(table_path):
-        shutil.rmtree(table_path)
+        os.rename(table_path, old)
     os.rename(staging, table_path)
+    if os.path.exists(old):
+        shutil.rmtree(old)
 
 
 def incremental_dedup_apply(
@@ -136,4 +165,5 @@ def incremental_dedup_apply(
 
 def read_kept(spark: SparkSession, table_path: str) -> DataFrame:
     """The maintained kept corpus: (text_hash, keeper cols..., n_dups)."""
+    _recover_swap(table_path)
     return spark.read.parquet(table_path)

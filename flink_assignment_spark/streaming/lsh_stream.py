@@ -234,8 +234,15 @@ def incremental_lsh_neardup(
 def read_candidate_pairs(spark: SparkSession, state_dir: str) -> DataFrame:
     """Accumulated distinct candidate pairs with their signature-
     estimated Jaccard (replays may append duplicates — distinct'd
-    here)."""
-    return spark.read.parquet(_pairs_path(state_dir)).distinct()
+    here). A stream that has processed batches but never collided
+    creates no ``pairs/`` directory — that is a legitimate empty
+    result, not an error."""
+    path = _pairs_path(state_dir)
+    if not os.path.exists(path):
+        return spark.createDataFrame(
+            [], "doc_a long, doc_b long, est_jaccard double"
+        )
+    return spark.read.parquet(path).distinct()
 
 
 def verify_candidates(

@@ -7,7 +7,8 @@ module maintains two tables under a ``foreachBatch`` sink:
 - ``seen/`` — every distinct shingle hash observed so far,
   HASH-BUCKET-PARTITIONED (``bucket = h % n_buckets`` directories).
   Per micro-batch only the buckets that actually receive new shingles
-  are rewritten, via Spark's dynamic partition overwrite — a real
+  are rewritten, via the shared staging-write + per-partition
+  directory swap in ``streaming._state.swap_partitions`` — a real
   incremental upsert shape on plain parquet (the production form is
   the same pattern through Delta/Iceberg ``MERGE INTO``; the bucket
   count is the knob that bounds per-batch rewrite volume at corpus

@@ -27,17 +27,20 @@ def _band(ratio: float) -> str:
 
 
 def test_empty_and_sourceless_frames(spark):
-    """Edge contract: empty text bands 'empty' with a NULL ratio (not
-    a silent 'ok'), and a frame without a source column works."""
+    """Edge contract: empty AND NULL text band 'empty' with a NULL
+    ratio (a NULL would otherwise make every when() condition NULL and
+    silently fall through to 'ok'), and a sourceless frame works."""
     from flink_assignment_spark.operators.gates import compression_stats
 
     df = spark.createDataFrame(
-        [(1, ""), (2, "a a a a a a a a a a a a a a a a")], "doc_id long, text string"
+        [(1, ""), (2, "a a a a a a a a a a a a a a a a"), (3, None)],
+        "doc_id long, text string",
     )
     rows = {r["doc_id"]: r for r in compression_stats(df).collect()}
     assert "source" not in compression_stats(df).columns
     assert rows[1]["band"] == "empty" and rows[1]["ratio"] is None
     assert rows[2]["band"] in ("repetitive", "ok", "random")
+    assert rows[3]["band"] == "empty" and rows[3]["ratio"] is None
 
 
 def test_q79_matches_stdlib_zlib(spark):

@@ -1,0 +1,105 @@
+"""Round-6 hardening contracts: the shared state protocol's crash /
+empty-partition edges and the driver-collect refusal guards."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+
+from flink_assignment_spark.streaming._state import swap_partitions
+from flink_assignment_spark.streaming.dedup_apply import (
+    _recover_swap,
+    merge_dedup_groups,
+    read_kept,
+)
+from flink_assignment_spark.streaming.lsh_stream import read_candidate_pairs
+
+
+def test_export_lm_refuses_over_cap(spark):
+    """A corpus whose distinct-bigram count exceeds max_lm_entries must
+    raise instead of collecting a corpus-scale LM onto the driver."""
+    from flink_assignment_spark.operators.lm import export_lm
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i} w{i + 1} w{i + 2}") for i in range(20)],
+        "doc_id long, text string",
+    )
+    with pytest.raises(ValueError, match="max_lm_entries"):
+        export_lm(docs, max_lm_entries=5)
+    # a permissive cap still trains the same artifact: docs overlap,
+    # so distinct bigrams = (w_j, w_{j+1}) for j in 0..20 → 21 entries
+    lm_map, fb, v = export_lm(docs, max_lm_entries=1000)
+    assert len(lm_map) == 21 and v == 22 and fb < 0
+
+
+def test_swap_partitions_clears_emptied_partition(spark, tmp_path):
+    """A touched partition whose new contents are zero rows must have
+    its stale directory removed, not silently left in place."""
+    table = str(tmp_path / "state")
+    df = spark.createDataFrame([(0, "a"), (1, "b")], "pt int, val string")
+    swap_partitions(df, table, "pt", [0, 1])
+    assert {r["val"] for r in spark.read.parquet(table).collect()} == {"a", "b"}
+    # second fold: partition 0 is touched but now empty, 1 gets "c"
+    df2 = spark.createDataFrame([(1, "c")], "pt int, val string")
+    swap_partitions(df2, table, "pt", [0, 1])
+    assert {r["val"] for r in spark.read.parquet(table).collect()} == {"c"}
+
+
+def test_read_candidate_pairs_empty_state(spark, tmp_path):
+    """A stream that processed batches but never collided has no
+    pairs/ directory — that is an empty result, not an error."""
+    out = read_candidate_pairs(spark, str(tmp_path / "lsh_state"))
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["doc_a", "doc_b", "est_jaccard"]
+
+
+def _kept_rows(spark, table):
+    return {
+        (r["doc_id"], r["n_dups"]) for r in read_kept(spark, table).collect()
+    }
+
+
+def test_dedup_apply_two_rename_swap_recovery(spark, tmp_path):
+    """Crash at any point inside the two-rename swap leaves the
+    accumulated kept table recoverable (the r5 single-rmtree swap lost
+    ALL prior state if the crash landed between rmtree and rename)."""
+    table = str(tmp_path / "kept")
+    b0 = spark.createDataFrame(
+        [(1, "x"), (2, "x"), (3, "y")], "doc_id long, text string"
+    )
+    merge_dedup_groups(b0, table, batch_id=0)
+    assert _kept_rows(spark, table) == {(1, 2), (3, 1)}
+
+    # crash window A: table renamed aside, staging not yet renamed in
+    shutil.copytree(table, table + ".old")
+    shutil.rmtree(table)
+    _recover_swap(table)
+    assert _kept_rows(spark, table) == {(1, 2), (3, 1)}
+    assert not os.path.exists(table + ".old")
+
+    # crash window B: staging renamed in, stale .old not yet deleted
+    shutil.copytree(table, table + ".old")
+    _recover_swap(table)
+    assert _kept_rows(spark, table) == {(1, 2), (3, 1)}
+    assert not os.path.exists(table + ".old")
+
+    # recovery is exercised on the merge path too, then state advances
+    shutil.copytree(table, table + ".old")
+    shutil.rmtree(table)
+    b1 = spark.createDataFrame([(4, "x")], "doc_id long, text string")
+    merge_dedup_groups(b1, table, batch_id=1)
+    assert _kept_rows(spark, table) == {(1, 3), (3, 1)}
+
+
+def test_compression_band_expr_null_safe(spark):
+    """NULL-text rows must not reach the ratio when()s as NULLs that
+    fall through to 'ok' (ADVICE r5); covered end-to-end in
+    test_compression_ratio.py, pinned here on a minimal frame."""
+    from flink_assignment_spark.operators.gates import compression_stats
+
+    df = spark.createDataFrame([(1, None)], "doc_id long, text string")
+    row = compression_stats(df).collect()[0]
+    assert row["band"] == "empty"
+    assert row["ratio"] is None and row["raw_bytes"] is None
