@@ -2294,14 +2294,25 @@ def q60_contamination(spark, sf_dir):
     from ..operators.dedup import doc_shingles
 
     docs = _t(spark, sf_dir, "documents")
-    sh = doc_shingles(docs)
-    probe = sh.filter(F.col("doc_id") < 20).select(F.col("h").alias("ph")).distinct()
+    # filter each side BEFORE building its index: doc_shingles starts
+    # with a round-robin repartition (its parallelism spreader), which
+    # blocks doc_id predicate pushdown — filtering the shared index
+    # after the fact made the probe branch shingle the ENTIRE corpus
+    # to extract 20 docs' shingles, and shingled the corpus twice in
+    # total (the r5 q60 regression). Split first and each branch
+    # tokenizes exactly the documents it needs, with the doc_id
+    # predicate reaching the parquet scan.
+    probe = (
+        doc_shingles(docs.filter(F.col("doc_id") < 20))
+        .select(F.col("h").alias("ph"))
+        .distinct()
+    )
+    corpus = doc_shingles(docs.filter(F.col("doc_id") >= 20))
     # the index holds one row per DISTINCT shingle per doc and the
     # probe side is distinct, so the join cannot duplicate — a plain
     # count equals count(distinct h) without the extra distinct shuffle
     return (
-        sh.filter(F.col("doc_id") >= 20)
-        .join(F.broadcast(probe), sh.h == probe.ph)
+        corpus.join(F.broadcast(probe), corpus.h == probe.ph)
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_contaminated_shingles"))
     )
