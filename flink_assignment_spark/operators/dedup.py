@@ -13,7 +13,7 @@ operator here is reproducible in ANSI SQL for the DuckDB oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import (
@@ -501,6 +501,91 @@ def chunk_index(
         .select("*", hash60(F.col("chunk")).alias("h"))
         .drop("chunk")
     )
+
+
+def substring_window_index(
+    docs: DataFrame,
+    k: int = CHUNK_TOKENS,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Stride-1 sliding-window index for FULL exact-substring dedup
+    (Lee et al. 2022's actual contract, which :func:`chunk_index`'s
+    chunk-aligned form only approximates): one row per ``k``-token
+    window at every token position — ``(doc_id, <carried cols>,
+    n_tokens, pos, h)`` with ``pos`` 0-based and ``h`` the 60-bit
+    window-content hash.
+
+    Why this equals the suffix-array formulation for detection: a
+    substring of length ≥ k repeats in the corpus iff each of its
+    k-token sliding windows repeats — so the set of positions covered
+    by duplicated windows is exactly the set of tokens inside some
+    ≥k-token repeated substring. A chunk-aligned index misses any
+    repeat that straddles a chunk boundary with different alignments
+    in the two documents; stride 1 cannot (tests/test_operators.py
+    pins such a case).
+
+    Cost: k× the chunk index's rows (one window per token instead of
+    per k tokens) — the price of alignment-independence; all of it
+    narrow Catalyst array ops until the downstream hash shuffle.
+    Batch-only (the spreader repartition below is not stream-legal);
+    the streaming exact-substring form remains the chunk-aligned
+    ``chunk_dedup_stream``.
+    """
+    docs = _spread(docs)
+    toks = tokens(F.col(text_col))
+    n_win = F.greatest(F.size(toks) - F.lit(k - 1), F.lit(0))
+    wins = F.when(
+        n_win > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_win - 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            *[c for c in docs.columns if c not in (id_col, text_col)],
+            F.size(toks).alias("n_tokens"),
+            F.posexplode(wins).alias("pos", "win"),
+        )
+        .select("*", hash60(F.col("win")).alias("h"))
+        .drop("win")
+    )
+
+
+def substring_occurrences(
+    docs: DataFrame,
+    k: int = CHUNK_TOKENS,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sliding-window occurrences with the canonical-first marker:
+    ``rn = 1`` is the corpus-wide first occurrence of the window's
+    content (global (doc_id, pos) order); ``rn > 1`` is text copied
+    from elsewhere. Same single near-uniform hash-partitioned window
+    as :func:`chunk_occurrences` — stride 1 changes row volume (k×),
+    not plan shape, so the same scaling argument applies."""
+    occ = substring_window_index(docs, k, text_col, id_col)
+    w = Window.partitionBy("h").orderBy("doc_id", "pos")
+    return occ.withColumn("rn", F.row_number().over(w))
+
+
+def dup_token_coverage(positions: Column, k: int) -> Column:
+    """Tokens covered by the union of ``[p, p+k)`` intervals for a
+    SORTED position array — the per-document 'how many tokens sit
+    inside some repeated ≥k-token substring' measure. Pure array
+    expression: sum of ``min(k, gap)`` over consecutive positions
+    plus ``k`` for the last interval; empty array → 0. Mirrored
+    verbatim in the q88 DuckDB oracle."""
+    n = F.size(positions)
+    gaps = F.zip_with(
+        F.slice(positions, 1, n - 1),
+        F.slice(positions, 2, n - 1),
+        lambda a, b: F.least(b - a, F.lit(k)),
+    )
+    covered = F.aggregate(gaps, F.lit(0), lambda acc, v: acc + v) + F.lit(k)
+    return F.when(n == 0, F.lit(0)).otherwise(covered)
 
 
 def chunk_occurrences(

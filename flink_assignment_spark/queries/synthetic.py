@@ -2652,7 +2652,9 @@ REGISTRY.update({"q67_mixture_rebalance": QuerySpec(q67_mixture_rebalance, Q67_S
 def q68_chunk_dedup(spark, sf_dir):
     """Exact substring-level dedup audit at 16-token chunk
     granularity (Lee et al. 2022's exact-substring dedup in its
-    tractable fixed-window form): every chunk occurrence beyond the
+    cheap fixed-window form; q88_substring_dedup is the full stride-1
+    contract that also catches chunk-boundary-straddling repeats, at
+    16x the index rows): every chunk occurrence beyond the
     corpus-wide first (by (doc_id, idx)) is duplicated text. One
     hash-partitioned window on the chunk hash — near-uniform key, no
     skewed reducer — then a per-source rollup of how much of each
@@ -3695,6 +3697,97 @@ GROUP BY k.source, t.total
 
 
 REGISTRY.update({"q83_pipeline_e2e": QuerySpec(q83_pipeline_e2e, Q83_SQL)})
+
+
+# ------------- full exact-substring dedup (stride-1 sliding windows)
+def q88_substring_dedup(spark, sf_dir):
+    """FULL exact-substring dedup audit (Lee et al. 2022's actual
+    contract): a 16-token window at EVERY token position, so a
+    repeated ≥16-token span is detected regardless of how it aligns
+    with chunk boundaries — the case q68's chunk-aligned form
+    structurally misses (pinned in tests/test_operators.py). Reports
+    per-source window stats plus DUPLICATED-TOKEN coverage: per doc,
+    the union of the [pos, pos+16) intervals of its duplicated
+    windows (sorted-positions gap sum — a pure array expression), i.e.
+    how many of the source's tokens sit inside text copied from
+    elsewhere in the corpus. One near-uniform hash-partitioned window
+    + one per-doc aggregation; stride 1 costs 16x the rows of q68,
+    not a different plan shape."""
+    from ..operators.dedup import (
+        CHUNK_TOKENS,
+        dup_token_coverage,
+        substring_occurrences,
+    )
+
+    assert CHUNK_TOKENS == 16  # oracle constant
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    occ = substring_occurrences(docs, CHUNK_TOKENS)
+    dup = F.col("rn") > 1
+    per_doc = occ.groupBy("doc_id", "source").agg(
+        F.max("n_tokens").alias("n_tokens"),
+        F.count("*").alias("n_windows"),
+        F.sum(dup.cast("int")).alias("n_dup_windows"),
+        F.sort_array(F.collect_list(F.when(dup, F.col("pos")))).alias("ps"),
+    )
+    cov = per_doc.withColumn(
+        "dup_tokens", dup_token_coverage(F.col("ps"), CHUNK_TOKENS).cast("long")
+    )
+    return cov.groupBy("source").agg(
+        F.sum("n_windows").alias("n_windows"),
+        F.sum("n_dup_windows").alias("n_dup_windows"),
+        F.count_distinct(
+            F.when(F.col("n_dup_windows") > 0, F.col("doc_id"))
+        ).alias("n_docs_affected"),
+        F.sum("dup_tokens").alias("dup_tokens"),
+        F.sum("n_tokens").alias("n_tokens"),
+        F.round(F.sum("dup_tokens") / F.sum("n_tokens"), 6).alias("dup_token_frac"),
+    )
+
+
+Q88_SQL = """
+WITH tk AS (
+  SELECT doc_id, source,
+         list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '') AS tk
+  FROM documents
+), wins AS (
+  SELECT doc_id, source, len(tk) AS n_tokens, CAST(i AS INT) AS pos,
+         CAST('0x' || substring(md5(array_to_string(
+             tk[(CAST(i AS INT) + 1):(CAST(i AS INT) + 16)], ' ')), 1, 15) AS BIGINT) AS h
+  FROM tk, UNNEST(range(len(tk) - 15)) AS t(i)
+  WHERE len(tk) >= 16
+), occ AS (
+  SELECT doc_id, source, n_tokens, pos,
+         row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+  FROM wins
+), per_doc AS (
+  SELECT doc_id, source,
+         MAX(n_tokens) AS n_tokens,
+         COUNT(*) AS n_windows,
+         SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS n_dup_windows,
+         COALESCE(list_sort(list(pos) FILTER (WHERE rn > 1)), []) AS ps
+  FROM occ GROUP BY doc_id, source
+), cov AS (
+  SELECT doc_id, source, n_tokens, n_windows, n_dup_windows,
+         CASE WHEN len(ps) = 0 THEN 0
+              ELSE COALESCE(list_aggregate(
+                     list_transform(range(1, len(ps)),
+                                    i -> least(16, ps[i + 1] - ps[i])),
+                     'sum'), 0) + 16
+         END AS dup_tokens
+  FROM per_doc
+)
+SELECT source,
+       CAST(SUM(n_windows) AS BIGINT) AS n_windows,
+       CAST(SUM(n_dup_windows) AS BIGINT) AS n_dup_windows,
+       CAST(COUNT(CASE WHEN n_dup_windows > 0 THEN 1 END) AS BIGINT) AS n_docs_affected,
+       CAST(SUM(dup_tokens) AS BIGINT) AS dup_tokens,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       round(CAST(SUM(dup_tokens) AS DOUBLE) / SUM(n_tokens), 6) AS dup_token_frac
+FROM cov GROUP BY source
+"""
+
+
+REGISTRY.update({"q88_substring_dedup": QuerySpec(q88_substring_dedup, Q88_SQL)})
 
 
 # ------------------------------------------------------------------------

@@ -439,6 +439,73 @@ def test_chunk_occurrences_flags_copied_text(spark):
     assert len(occ) == 6
 
 
+def test_substring_windows_catch_chunk_boundary_spanning_dup(spark):
+    """The defining case for the stride-1 sliding-window index: a
+    ≥16-token span copied at a DIFFERENT chunk alignment is invisible
+    to the chunk-aligned form (every 16-token chunk content differs)
+    but fully detected by the sliding form, with duplicated-token
+    coverage equal to the copied span's length."""
+    from flink_assignment_spark.operators.dedup import (
+        chunk_occurrences,
+        dup_token_coverage,
+        substring_occurrences,
+    )
+
+    a_toks = [f"a{i}" for i in range(40)]
+    # doc 2 copies A's tokens 4..27 (24 tokens) behind an 8-token
+    # prefix: span starts at offset 4 in doc 1 vs 8 in doc 2 —
+    # different alignment mod 16, so no 16-aligned chunk matches
+    b_toks = [f"b{i}" for i in range(8)] + a_toks[4:28]
+    docs = spark.createDataFrame(
+        [(1, " ".join(a_toks)), (2, " ".join(b_toks))], "doc_id long, text string"
+    )
+
+    chunk_rns = [r.rn for r in chunk_occurrences(docs).collect()]
+    assert all(rn == 1 for rn in chunk_rns)  # chunk form: blind to it
+
+    occ = substring_occurrences(docs).cache()
+    dup_rows = occ.filter(F.col("rn") > 1).collect()
+    # doc 1 is canonical; doc 2's copied span yields 24-16+1 = 9
+    # duplicated windows at positions 8..16
+    assert {r.doc_id for r in dup_rows} == {2}
+    assert sorted(r.pos for r in dup_rows) == list(range(8, 17))
+    cov = (
+        occ.filter("doc_id = 2")
+        .groupBy("doc_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.when(F.col("rn") > 1, F.col("pos")))
+            ).alias("ps")
+        )
+        .select(dup_token_coverage(F.col("ps"), 16).alias("cov"))
+        .collect()[0]["cov"]
+    )
+    assert cov == 24  # exactly the copied span's token length
+    occ.unpersist()
+
+
+def test_dup_token_coverage_interval_union(spark):
+    """Gap-sum edge cases: empty → 0, single window → k, overlapping
+    windows merge, disjoint windows add."""
+    from flink_assignment_spark.operators.dedup import dup_token_coverage
+
+    cases = [
+        ([], 0),          # no dup windows
+        ([5], 16),        # one window
+        ([0, 1, 2], 18),  # dense run: union [0, 18)
+        ([0, 40], 32),    # disjoint: two full windows
+        ([0, 10], 26),    # partial overlap: union [0, 26)
+    ]
+    df = spark.createDataFrame(
+        [(i, ps) for i, (ps, _) in enumerate(cases)], "i int, ps array<int>"
+    )
+    got = {
+        r["i"]: r["cov"]
+        for r in df.select("i", dup_token_coverage(F.col("ps"), 16).alias("cov")).collect()
+    }
+    assert got == {i: want for i, (_, want) in enumerate(cases)}
+
+
 def test_random_projection_preserves_distances_in_expectation(spark):
     """JL sanity: squared distances in the 8-dim projection estimate
     the 64-dim ones unbiasedly — check the mean ratio over real pairs
