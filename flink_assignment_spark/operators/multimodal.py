@@ -8,11 +8,23 @@ row-at-a-time pickling. Partitioning contract: media rows are
 re-spread before compute (bytes-dense, CPU-dense stages parallelize
 by row count, not input splits).
 
-The image/audio codec libraries are NOT in this container, so the
-decode kernels are deterministic fakes behind ``_decode_image_impl``
-— clearly marked; the Spark-side plumbing (schemas, UDF signatures,
-batch iteration, partitioning) is real and tested. Swapping in a real
-codec is a one-function change.
+Decode strategy (three tiers, first match wins):
+
+1. **Optional codec libs** — PIL for images, soundfile for audio,
+   try-imported at module load; when present they decode any format
+   they support. Absent from this container, but the code path is
+   real and pytest exercises it wherever the lib exists
+   (tests/test_multimodal.py skips otherwise).
+2. **Stdlib decoders** — always available: non-interlaced 8-bit
+   PNG (zlib inflate + the five standard scanline defilters,
+   :func:`_decode_png`) and RIFF/WAVE PCM (the stdlib ``wave``
+   module, :func:`_decode_wav`). Real decodes, byte-exact,
+   dependency-free — pinned against hand-crafted files in tests.
+3. **Deterministic byte-surface fallback** — payloads in formats
+   neither tier handles (e.g. the synthetic text-byte fixtures)
+   surface their raw bytes as the "pixel"/"sample" source, clearly
+   a fake but stable, so the distributed plumbing stays testable on
+   any input.
 """
 
 from __future__ import annotations
@@ -51,15 +63,129 @@ IMAGE_FEATURES = (
 )
 
 
-def _decode_image_impl(payload: bytes):
-    """STUB — deterministic fake decode.
+try:  # optional codec libs — tier 1 of the decode strategy
+    from PIL import Image as _PIL_Image  # type: ignore
+except ImportError:  # pragma: no cover - environment-dependent
+    _PIL_Image = None
+try:
+    import soundfile as _soundfile  # type: ignore
+except ImportError:  # pragma: no cover - environment-dependent
+    _soundfile = None
 
-    Real implementation would be e.g. PIL/libvips; this container has
-    no codec libs, so we surface the bytes themselves as the "pixel"
-    source. Deterministic, so tests are stable.
-    """
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def _decode_png(payload: bytes):
+    """Minimal real PNG decoder (stdlib only): non-interlaced, 8-bit
+    depth, grayscale (color type 0) or RGB (2). zlib-inflates the
+    IDAT stream and applies the five standard scanline filters
+    (None/Sub/Up/Average/Paeth). Returns the pixel bytes flattened
+    uint8 (all channels), identical to PIL's array for these modes.
+    Raises ValueError on anything it does not support."""
+    import struct
+    import zlib
+
     import numpy as np
 
+    if not payload.startswith(_PNG_MAGIC):
+        raise ValueError("not a PNG")
+    pos, width, height, bpp, idat = len(_PNG_MAGIC), 0, 0, 0, b""
+    while pos + 8 <= len(payload):
+        (length,), ctype = struct.unpack(">I", payload[pos : pos + 4]), payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # len + type + data + crc
+        if ctype == b"IHDR":
+            width, height, depth, color, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if depth != 8 or color not in (0, 2) or comp or filt or interlace:
+                raise ValueError("unsupported PNG variant")
+            bpp = 3 if color == 2 else 1
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+    if not (width and height and bpp):
+        raise ValueError("missing IHDR")
+    raw = zlib.decompress(idat)
+    stride = width * bpp
+    if len(raw) != height * (stride + 1):
+        raise ValueError("bad scanline length")
+    out = np.zeros((height, stride), dtype=np.uint8)
+    prior = np.zeros(stride, dtype=np.int32)
+    for y in range(height):
+        line = raw[y * (stride + 1) : (y + 1) * (stride + 1)]
+        ftype, cur = line[0], np.frombuffer(line[1:], dtype=np.uint8).astype(np.int32)
+        recon = np.zeros(stride, dtype=np.int32)
+        for i in range(stride):
+            a = recon[i - bpp] if i >= bpp else 0  # left
+            b = prior[i]  # up
+            c = prior[i - bpp] if i >= bpp else 0  # up-left
+            if ftype == 0:
+                pred = 0
+            elif ftype == 1:
+                pred = a
+            elif ftype == 2:
+                pred = b
+            elif ftype == 3:
+                pred = (a + b) // 2
+            elif ftype == 4:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            else:
+                raise ValueError(f"bad filter type {ftype}")
+            recon[i] = (cur[i] + pred) & 0xFF
+        out[y] = recon
+        prior = recon
+    return out.reshape(-1)
+
+
+def _decode_wav(payload: bytes):
+    """Real RIFF/WAVE PCM decode via the stdlib ``wave`` module:
+    returns channel-0 samples as int16 (8-bit files are widened,
+    centred at 0 per the WAV unsigned-8-bit convention). Raises on
+    non-WAV payloads."""
+    import io
+    import wave
+
+    import numpy as np
+
+    if not (payload.startswith(b"RIFF") and payload[8:12] == b"WAVE"):
+        raise ValueError("not a WAV")
+    with wave.open(io.BytesIO(payload)) as w:
+        n_ch, sw = w.getnchannels(), w.getsampwidth()
+        frames = w.readframes(w.getnframes())
+    if sw == 2:
+        pcm = np.frombuffer(frames, dtype="<i2").astype(np.int16)
+    elif sw == 1:
+        pcm = (np.frombuffer(frames, dtype=np.uint8).astype(np.int16) - 128) * 256
+    else:
+        raise ValueError(f"unsupported sample width {sw}")
+    return pcm[::n_ch] if n_ch > 1 else pcm
+
+
+def _decode_image_impl(payload: bytes):
+    """Tiered decode — PIL when installed, the stdlib PNG decoder for
+    PNG payloads, else the deterministic byte-surface fallback (raw
+    bytes as the 'pixel' source; clearly a fake, but stable, so the
+    distributed plumbing is testable on synthetic non-image
+    payloads)."""
+    import numpy as np
+
+    if _PIL_Image is not None and payload:
+        import io
+
+        try:
+            with _PIL_Image.open(io.BytesIO(payload)) as im:
+                return np.asarray(im).astype(np.uint8).reshape(-1)
+        except Exception:
+            pass  # not decodable media → fall through
+    if payload.startswith(_PNG_MAGIC):
+        try:
+            return _decode_png(payload)
+        except ValueError:
+            pass  # unsupported PNG variant → byte surface
     return np.frombuffer(payload, dtype=np.uint8)
 
 
@@ -141,10 +267,24 @@ def audio_features(media: DataFrame) -> DataFrame:
 
 
 def _decode_audio_impl(payload: bytes):
-    """STUB — deterministic fake decode: payload bytes as signed 8-bit
-    PCM. Real implementation would parse the container format."""
+    """Tiered decode — soundfile when installed, the stdlib ``wave``
+    decoder for RIFF/WAVE payloads, else the deterministic fallback
+    (payload bytes as signed 8-bit PCM)."""
     import numpy as np
 
+    if _soundfile is not None and payload:
+        import io
+
+        try:
+            data, _sr = _soundfile.read(io.BytesIO(payload), dtype="int16")
+            return data[:, 0] if getattr(data, "ndim", 1) > 1 else data
+        except Exception:
+            pass  # not decodable audio → fall through
+    if payload.startswith(b"RIFF") and payload[8:12] == b"WAVE":
+        try:
+            return _decode_wav(payload)
+        except Exception:
+            pass  # malformed/unsupported WAV → byte surface
     return np.frombuffer(payload, dtype=np.int8)
 
 

@@ -1,17 +1,174 @@
-"""Multimodal plumbing tests: schemas, Arrow batching, partition
-spread, and deterministic fake kernels (decode itself is stubbed —
-no codec libs in this environment)."""
+"""Multimodal tests: schemas, Arrow batching, partition spread, the
+REAL stdlib decoders (PNG via zlib + defilter, WAV via wave) pinned
+against hand-crafted files, optional-codec-lib paths (skipped when
+the lib is absent), and the deterministic byte-surface fallback."""
 
 from __future__ import annotations
 
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
 from flink_assignment_spark.operators.multimodal import (
     MEDIA_SCHEMA,
+    _decode_audio_impl,
+    _decode_image_impl,
+    _decode_png,
+    _decode_wav,
     frame_sample,
     image_features,
     resize_images,
 )
 
 from .conftest import SF_DIR
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data))
+    )
+
+
+def make_png(pixels: np.ndarray, filters: list[int] | None = None) -> bytes:
+    """Encode an 8-bit PNG (gray if 2-D, RGB if 3-D) with a chosen
+    filter type per scanline — lets tests exercise every defilter."""
+    if pixels.ndim == 2:
+        h, w, bpp, color = *pixels.shape, 1, 0
+        flat = pixels
+    else:
+        h, w, _ = pixels.shape
+        bpp, color = 3, 2
+        flat = pixels.reshape(h, w * 3)
+    filters = filters or [0] * h
+    raw = bytearray()
+    prior = np.zeros(w * bpp, dtype=np.int32)
+    for y in range(h):
+        line = flat[y].astype(np.int32)
+        ft = filters[y]
+        enc = np.zeros(w * bpp, dtype=np.int32)
+        for i in range(w * bpp):
+            a = line[i - bpp] if i >= bpp else 0
+            b = prior[i]
+            c = prior[i - bpp] if i >= bpp else 0
+            if ft == 0:
+                pred = 0
+            elif ft == 1:
+                pred = a
+            elif ft == 2:
+                pred = b
+            elif ft == 3:
+                pred = (a + b) // 2
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            enc[i] = (line[i] - pred) & 0xFF
+        raw.append(ft)
+        raw.extend(enc.astype(np.uint8).tobytes())
+        prior = line
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def make_wav(samples: np.ndarray, n_channels: int = 1, rate: int = 8000) -> bytes:
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(n_channels)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(samples.astype("<i2").tobytes())
+    return buf.getvalue()
+
+
+def test_png_decode_all_filter_types():
+    """The stdlib PNG decoder reconstructs exact pixels through every
+    scanline filter (None/Sub/Up/Average/Paeth), gray and RGB."""
+    rng = np.random.RandomState(7)
+    gray = rng.randint(0, 256, size=(5, 9), dtype=np.uint8)
+    for ft in range(5):
+        png = make_png(gray, filters=[ft] * 5)
+        assert np.array_equal(_decode_png(png), gray.reshape(-1)), f"filter {ft}"
+    rgb = rng.randint(0, 256, size=(4, 3, 3), dtype=np.uint8)
+    png = make_png(rgb, filters=[0, 1, 2, 4])
+    assert np.array_equal(_decode_png(png), rgb.reshape(-1))
+    # image_features consumes it through the tiered entry point
+    assert np.array_equal(_decode_image_impl(png), rgb.reshape(-1))
+
+
+def test_wav_decode_mono_and_stereo():
+    mono = np.array([0, 100, -200, 32767, -32768], dtype=np.int16)
+    assert np.array_equal(_decode_wav(make_wav(mono)), mono)
+    stereo = np.array([1, -1, 2, -2, 3, -3], dtype=np.int16)  # L,R interleaved
+    assert np.array_equal(
+        _decode_wav(make_wav(stereo, n_channels=2)), np.array([1, 2, 3], dtype=np.int16)
+    )
+    assert np.array_equal(_decode_audio_impl(make_wav(mono)), mono)
+
+
+def test_non_media_payload_falls_back_to_byte_surface():
+    """Payloads no decoder recognizes keep the deterministic fallback
+    — the synthetic text-byte fixtures rely on it."""
+    blob = b"just some text bytes"
+    assert np.array_equal(
+        _decode_image_impl(blob), np.frombuffer(blob, dtype=np.uint8)
+    )
+    assert np.array_equal(
+        _decode_audio_impl(blob), np.frombuffer(blob, dtype=np.int8)
+    )
+    # a PNG magic with a corrupt body must degrade, not raise
+    corrupt = b"\x89PNG\r\n\x1a\n" + b"\x00" * 16
+    assert _decode_image_impl(corrupt).dtype == np.uint8
+
+
+def test_image_features_on_real_png(spark):
+    """End-to-end: a real PNG payload through the distributed
+    mapInPandas stage reports pixel-level (not byte-level) stats."""
+    rng = np.random.RandomState(3)
+    gray = rng.randint(0, 256, size=(8, 8), dtype=np.uint8)
+    png = make_png(gray)
+    df = spark.createDataFrame(
+        [(1, bytearray(png), None)], MEDIA_SCHEMA
+    )
+    row = image_features(df).collect()[0]
+    assert row["n_bytes"] == 64  # 64 pixels, not len(png) bytes
+    assert row["byte_mean"] == pytest.approx(float(gray.mean()))
+
+
+def test_pil_path_agrees_with_stdlib_decoder():
+    """When PIL is installed the tier-1 path must produce the same
+    array as the stdlib PNG decoder (skip where PIL is absent)."""
+    PIL = pytest.importorskip("PIL.Image")
+    rng = np.random.RandomState(11)
+    gray = rng.randint(0, 256, size=(6, 6), dtype=np.uint8)
+    png = make_png(gray)
+    import io
+
+    with PIL.open(io.BytesIO(png)) as im:
+        via_pil = np.asarray(im).astype(np.uint8).reshape(-1)
+    assert np.array_equal(via_pil, _decode_png(png))
+    assert np.array_equal(_decode_image_impl(png), via_pil)
+
+
+def test_soundfile_path_decodes_wav():
+    """When soundfile is installed the tier-1 audio path must agree
+    with the stdlib WAV decoder (skip where soundfile is absent)."""
+    pytest.importorskip("soundfile")
+    mono = np.array([5, -5, 1000, -1000], dtype=np.int16)
+    wav = make_wav(mono)
+    assert np.array_equal(_decode_audio_impl(wav), mono)
 
 
 def _media_df(spark, n=20):
