@@ -596,6 +596,59 @@ def test_theta_retention_exact_in_sampling_free_regime(spark):
         assert retained + new == users
 
 
+def test_theta_retention_matches_duckdb_exact(spark):
+    """Independent-engine cross-check (the q64 pattern): q82's
+    sketch-space retention vs exact set algebra over DuckDB's read of
+    the same parquet. In the sampling-free regime (< ~4096 distinct
+    keys per sketch) theta estimates are exact, so the band is
+    equality; at larger scale this band would widen to the published
+    ±2σ ≈ 3.3% relative error at lg_k=12."""
+    import duckdb
+
+    from flink_assignment_spark.queries.synthetic import REGISTRY
+
+    got = {
+        r.week: (r.approx_users, r.approx_retained, r.approx_new)
+        for r in REGISTRY["q82_theta_retention"].spark(spark, SF_DIR).collect()
+    }
+    weekly: dict[str, set] = {}
+    for week, uid in duckdb.sql(
+        "SELECT DISTINCT strftime(date_trunc('week', ts), '%Y-%m-%d'), user_id "
+        f"FROM '{SF_DIR}/events.parquet'"
+    ).fetchall():
+        weekly.setdefault(week, set()).add(uid)
+    ordered = sorted(weekly)
+    assert set(got) == set(ordered[1:])
+    for prev, cur in zip(ordered, ordered[1:]):
+        p, c = weekly[prev], weekly[cur]
+        assert got[cur] == (len(c), len(c & p), len(c - p)), cur
+
+
+def test_theta_source_overlap_matches_duckdb_exact(spark):
+    """Same two-sided evidence for q84: every pairwise cohort
+    intersection estimate vs DuckDB's exact distinct-user sets."""
+    import duckdb
+
+    from flink_assignment_spark.queries.synthetic import REGISTRY
+
+    got = {
+        (r.cohort_a, r.cohort_b): (r.approx_a, r.approx_b, r.approx_overlap)
+        for r in REGISTRY["q84_theta_source_overlap"].spark(spark, SF_DIR).collect()
+    }
+    cohorts: dict[str, set] = {}
+    for ctype, uid in duckdb.sql(
+        f"SELECT DISTINCT event_type, user_id FROM '{SF_DIR}/events.parquet'"
+    ).fetchall():
+        cohorts.setdefault(ctype, set()).add(uid)
+    names = sorted(cohorts)
+    want = {
+        (a, b): (len(cohorts[a]), len(cohorts[b]), len(cohorts[a] & cohorts[b]))
+        for i, a in enumerate(names)
+        for b in names[i + 1 :]
+    }
+    assert got == want and len(want) > 0
+
+
 def test_theta_source_overlap_exact_in_sampling_free_regime(spark):
     """q84's sketch-space pairwise overlaps equal exact set
     intersections below theta's sampling threshold, and Jaccard is
