@@ -106,6 +106,58 @@ def _timed_reps(spark, qn: str, base: str, n_rows: int, reps: int) -> dict:
     }
 
 
+def stream_lsh_sweep(
+    spark, scales: list[int], n_batches: int = 10, max_state_bucket: int = 50
+) -> dict:
+    """Per-batch latency of the incremental MinHash-LSH detector as
+    the corpus state grows. The claim under test: each micro-batch's
+    cost is bounded by ITS OWN volume plus the (cap-bounded) buckets
+    it collides with — not by total accumulated state — because only
+    touched pt partitions are read/rewritten and the saturation valve
+    tombstones degenerate buckets. Evidence shape: per-batch seconds
+    across a 10-batch id-ordered replay at each corpus scale, plus
+    final state/pair volumes."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from flink_assignment_spark.streaming.lsh_stream import merge_lsh_batch
+
+    out = {}
+    for n in scales:
+        base = f"/tmp/fas_docscale_{n}"
+        ensure_documents(spark, n, os.path.join(base, "documents.parquet"))
+        docs = spark.read.parquet(os.path.join(base, "documents.parquet"))
+        state_dir = f"/tmp/fas_lsh_stream_{n}"
+        if os.path.exists(state_dir):
+            shutil.rmtree(state_dir)
+        os.makedirs(state_dir)
+        bsz = n // n_batches
+        per_batch = []
+        for b in range(n_batches):
+            batch = docs.filter(
+                (F.col("doc_id") >= b * bsz) & (F.col("doc_id") < (b + 1) * bsz)
+            )
+            t0 = time.monotonic()
+            merge_lsh_batch(batch, b, state_dir, max_state_bucket=max_state_bucket)
+            per_batch.append(round(time.monotonic() - t0, 2))
+        state_rows = spark.read.parquet(os.path.join(state_dir, "buckets")).count()
+        pairs_path = os.path.join(state_dir, "pairs")
+        n_pairs = (
+            spark.read.parquet(pairs_path).distinct().count()
+            if os.path.exists(pairs_path)
+            else 0
+        )
+        out[str(n)] = {
+            "per_batch_sec": per_batch,
+            "batch_rows": bsz,
+            "state_rows_final": state_rows,
+            "distinct_pairs": n_pairs,
+        }
+        shutil.rmtree(state_dir)
+    return out
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument(
@@ -134,12 +186,29 @@ def main() -> None:
         help="repetitions per (query, scale); median reported (single-run "
         "noise on this harness is up to ±2x)",
     )
+    ap.add_argument(
+        "--stream-lsh",
+        action="store_true",
+        help="run ONLY the streaming-LSH per-batch latency sweep "
+        "(10 micro-batches per scale, scales from --doc-scales)",
+    )
     args = ap.parse_args()
 
-    from flink_assignment_spark.queries.synthetic import REGISTRY
+    from flink_assignment_spark.queries.synthetic import REGISTRY  # noqa: F401
     from flink_assignment_spark.session import get_spark
 
     spark = get_spark("fas-bench-scaling")
+
+    if args.stream_lsh:
+        print(
+            json.dumps(
+                {
+                    "metric": "streaming-LSH per-batch latency vs corpus state",
+                    "stream_lsh": stream_lsh_sweep(spark, args.doc_scales),
+                }
+            )
+        )
+        return
     qnames = [
         "q05_tumbling_daily",
         "q07_daily_summary_having",
