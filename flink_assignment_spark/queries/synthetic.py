@@ -3953,8 +3953,8 @@ REGISTRY.update(
 #   [0, 50)  the first 50 oracle-bearing queries, original order
 #            (q01..q54)
 #   next     every other oracle-bearing query in insertion order
-#            (q56..q63, q65-q78, q80, q86, q87, q83 — file insertion
-#            order; q83 is registered last), then q55 — beyond
+#            (q56..q63, q65-q78, q80, q86, q87, q83, q88-q91 — file
+#            insertion order), then q55 — beyond
 #            the driver cap, but tests/test_synthetic_queries.py runs
 #            the SAME compare on every one of them each CI pass
 #   tail     rows-only queries (q31/q37/q40/q43/q47/q64/q79/q81/q82/
