@@ -82,16 +82,32 @@ def main() -> None:
         spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
+    payload = {
+        "metric": "total wall-clock over all registry queries (noop sink)",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_value(SF_DIR),
+        "reps_per_query": reps,
+    }
+    # full-name record first (humans, cross-round diffs) ...
+    print(json.dumps(payload))
+    # ... then a COMPACT line LAST: the driver records only a ~2 KB
+    # tail of stdout, and with 90+ queries the full-name line exceeds
+    # it (BENCH_r05 recorded `parsed: null` for exactly this reason).
+    # Short keys = first 7 chars of the query name (qNN_xxx), unique
+    # by construction today with an "x"-suffix guard; the line stays
+    # well under the tail window so the final line always parses.
+    short: dict[str, float] = {}
+    for name, sec in timings.items():
+        key = name[:7]
+        while key in short:
+            key += "x"
+        short[key] = sec
     print(
         json.dumps(
-            {
-                "metric": "total wall-clock over all registry queries (noop sink)",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf_value(SF_DIR),
-                "reps_per_query": reps,
-            }
+            {**payload, "queries": short, "keys": "first 7 chars of query names"},
+            separators=(",", ":"),
         )
     )
 
