@@ -1323,7 +1323,9 @@ FROM (SELECT doc_id AS media_id,
 
 def q37_media_features(spark, sf_dir):
     """Image/byte feature extraction through the mapInPandas media
-    pipeline (STUB decode — deterministic byte stats + toy phash).
+    pipeline (tiered decode — PIL / stdlib PNG when the payload is a
+    real image, deterministic byte-surface fallback for these
+    synthetic text-byte fixtures; see operators/multimodal.py).
     Python-side numerics (log2 entropy, 64-bit phash fold) are not
     reasonably SQL-expressible → rows-only driver check; determinism
     is pytest-verified (tests/test_multimodal.py)."""
@@ -2022,8 +2024,8 @@ def q55_media_stats(spark, sf_dir):
     """SQL-expressible columns of the media feature pipeline (q37
     keeps the non-SQL entropy/phash as a rows-only check): payload
     size and mean byte value through the SAME mapInPandas kernel as
-    q37, so a green hash here certifies the Arrow plumbing + decode
-    stub end-to-end. Payloads are utf-8 text (media_from_documents)
+    q37, so a green hash here certifies the Arrow plumbing + tiered
+    decode end-to-end. Payloads are utf-8 text (media_from_documents)
     and the corpus is ASCII, so DuckDB reproduces the byte math from
     codepoints. Both sides sum exact small ints into float64 before
     one division + round(6) — bit-identical."""
@@ -3426,8 +3428,9 @@ MEDIA_MAX_BLOCK_BUCKET = 100
 
 def q85_media_neardup(spark, sf_dir):
     """Near-duplicate MEDIA detection: perceptual-hash fingerprints
-    from the mapInPandas image pipeline (q37's Arrow kernel; decode is
-    the declared deterministic stub, the 64-bit phash fold is real),
+    from the mapInPandas image pipeline (q37's Arrow kernel; these
+    text-byte payloads take the deterministic byte-surface decode
+    tier, the 64-bit phash fold is real),
     then the SAME pigeonhole-blocked Hamming join the text SimHash
     path uses (``operators.dedup.hamming_pairs``, shared code) — the
     image-dedup pass of a multimodal corpus, with candidate volume
