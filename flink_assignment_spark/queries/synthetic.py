@@ -3738,9 +3738,10 @@ def q88_substring_dedup(spark, sf_dir):
     return cov.groupBy("source").agg(
         F.sum("n_windows").alias("n_windows"),
         F.sum("n_dup_windows").alias("n_dup_windows"),
-        F.count_distinct(
-            F.when(F.col("n_dup_windows") > 0, F.col("doc_id"))
-        ).alias("n_docs_affected"),
+        # per_doc has exactly one row per doc, so the affected-doc
+        # count is a plain conditional sum — a count_distinct here
+        # would add a two-phase expand + exchange for nothing
+        F.sum((F.col("n_dup_windows") > 0).cast("long")).alias("n_docs_affected"),
         F.sum("dup_tokens").alias("dup_tokens"),
         F.sum("n_tokens").alias("n_tokens"),
         F.round(F.sum("dup_tokens") / F.sum("n_tokens"), 6).alias("dup_token_frac"),
