@@ -178,9 +178,22 @@ def ngram_jaccard_pairs(
         if shingles is not None
         else doc_shingles(docs, text_col, id_col, n, max_doc_freq).cache()
     )
+    inter = _pair_intersections(sh)
+    jac = F.col("inter").cast("double") / (F.col("na") + F.col("nb") - F.col("inter")).cast("double")
+    return (
+        inter.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def _pair_intersections(sh: DataFrame) -> DataFrame:
+    """Shared inverted-index self-join: ``(doc_a, doc_b, na, nb,
+    inter)`` for every doc pair sharing ≥ 1 shingle hash — the
+    candidate generator behind Jaccard AND containment scoring."""
     a = sh.alias("a")
     b = sh.alias("b")
-    inter = (
+    return (
         a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(
             F.col("a.doc_id").alias("doc_a"),
@@ -190,11 +203,40 @@ def ngram_jaccard_pairs(
         )
         .agg(F.count("*").alias("inter"))
     )
+
+
+def containment_pairs(
+    docs: DataFrame,
+    threshold: float,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Pairs where the SMALLER document's shingle set is mostly inside
+    the larger one: ``containment = |A∩B| / min(|A|,|B|) ≥ threshold``.
+
+    The asymmetric dedup rule symmetric Jaccard structurally misses: a
+    tweet quoted inside a long article has tiny Jaccard (union is
+    article-sized) but containment ≈ 1 — exactly the
+    quote/subset/boilerplate-inclusion case Lee et al. 2022 flag as
+    needing substring-level treatment. Same inverted-index join and
+    skew caps as :func:`ngram_jaccard_pairs` (one extra column in the
+    output: the pair's Jaccard, to show what the symmetric rule would
+    have scored it)."""
+    sh = doc_shingles(docs, text_col, id_col, n, max_doc_freq).cache()
+    inter = _pair_intersections(sh)
+    cont = F.col("inter").cast("double") / F.least("na", "nb").cast("double")
     jac = F.col("inter").cast("double") / (F.col("na") + F.col("nb") - F.col("inter")).cast("double")
     return (
-        inter.withColumn("jaccard", jac)
-        .filter(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+        inter.withColumn("containment", cont)
+        .filter(F.col("containment") >= threshold)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round("containment", 6).alias("containment"),
+            F.round(jac, 6).alias("jaccard"),
+        )
     )
 
 

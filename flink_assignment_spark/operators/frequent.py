@@ -1,0 +1,102 @@
+"""Distributed heavy hitters: Misra-Gries candidates + exact recount.
+
+The frequent-items member of the mergeable-summary family (HLL for
+distinct, KLL for quantiles, theta for set algebra — this module for
+heavy hitters): find every token whose corpus frequency exceeds
+``N / phi_inv`` WITHOUT shuffling the full token stream on the token
+key.
+
+Two passes, the standard distributed shape:
+
+1. **Candidate pass (narrow)** — each partition runs a Misra-Gries
+   summary with ``phi_inv`` counters over its local token stream
+   inside one Arrow-batched ``mapInPandas`` stage. Pigeonhole
+   guarantee: if ``freq(x) > N / phi_inv`` globally, then in at least
+   one partition ``freq_p(x) > n_p / phi_inv``, and an item that
+   frequent in a partition ALWAYS survives that partition's
+   Misra-Gries — so the union of partition survivors is a SUPERSET of
+   the true heavy hitters (no false negatives; false positives are
+   culled by pass 2). Candidate volume is bounded by
+   ``phi_inv × n_partitions`` regardless of corpus size.
+2. **Exact recount (one bounded shuffle)** — broadcast-semi-join the
+   token stream to the candidate set, count exactly, and keep
+   ``cnt * phi_inv > N`` (an integer compare — no float threshold).
+   Only candidate-matching rows reach the exchange.
+
+The total-count ``N`` rides along as NULL-token marker rows emitted
+by the same kernel (one per partition), so the candidate pass is a
+single scan. The recount pass re-tokenizes — at 100 TB the token
+stream would be a materialized intermediate; two narrow scans is the
+honest stand-in, exactly like the reference-corpus caveat in
+``operators.lm``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens
+
+DEFAULT_PHI_INV = 200  # heavy = more than 0.5% of all tokens
+
+
+def _token_stream(docs: DataFrame, text_col: str) -> DataFrame:
+    n = docs.sparkSession.sparkContext.defaultParallelism
+    return (
+        docs.repartition(n)
+        .select(F.explode_outer(tokens(F.col(text_col))).alias("token"))
+        .filter(F.col("token").isNotNull())
+    )
+
+
+def heavy_hitters(
+    docs: DataFrame, phi_inv: int = DEFAULT_PHI_INV, text_col: str = "text"
+) -> DataFrame:
+    """``(token, cnt, share)`` for every token with
+    ``cnt * phi_inv > N`` — exact counts, exact membership."""
+
+    def mg_kernel(batches):
+        import pandas as pd
+
+        counters: dict[str, int] = {}
+        n_local = 0
+        for pdf in batches:
+            for tok in pdf["token"]:
+                n_local += 1
+                if tok in counters:
+                    counters[tok] += 1
+                elif len(counters) < phi_inv:
+                    counters[tok] = 1
+                else:  # decrement-all step (dict-size bounded by phi_inv)
+                    dead = []
+                    for t in counters:
+                        counters[t] -= 1
+                        if counters[t] == 0:
+                            dead.append(t)
+                    for t in dead:
+                        del counters[t]
+        rows = [(t, int(c)) for t, c in counters.items()]
+        rows.append((None, n_local))  # per-partition total marker
+        yield pd.DataFrame(rows, columns=["token", "cnt"])
+
+    toks = _token_stream(docs, text_col)
+    # cached: the tiny summary feeds the scalar N and the candidate
+    # set (the q15/q16 working-frame pattern — the session owner
+    # clears caches between queries)
+    summary = toks.mapInPandas(mg_kernel, "token string, cnt long").cache()
+    n_total = int(
+        summary.filter(F.col("token").isNull()).agg(F.sum("cnt")).collect()[0][0]
+    )
+    cands = summary.filter(F.col("token").isNotNull()).select("token").distinct()
+    return (
+        toks.join(F.broadcast(cands), "token")
+        .groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") * phi_inv > F.lit(n_total))
+        .select(
+            "token",
+            "cnt",
+            F.round(F.col("cnt") / F.lit(float(n_total)), 6).alias("share"),
+        )
+    )

@@ -3948,6 +3948,111 @@ REGISTRY.update(
 )
 
 
+# ------------- heavy hitters / weighted sampling / containment dedup
+HH_PHI_INV = 200  # heavy = more than 0.5% of the corpus token stream
+
+
+def q92_heavy_hitters(spark, sf_dir):
+    """Corpus token heavy hitters — the frequent-items member of the
+    mergeable-summary family (q64 HLL / q81 KLL / q82 theta / this):
+    every token with frequency > N/200, found by per-partition
+    Misra-Gries candidate summaries + an exact broadcast-semi-join
+    recount (operators/frequent.py) — the full token stream never
+    shuffles on the token key, only candidate-matching rows do.
+    Output is EXACT (the candidate pass has no false negatives, the
+    recount culls false positives), so the oracle is a plain GROUP BY
+    HAVING."""
+    from ..operators.frequent import heavy_hitters
+
+    return heavy_hitters(
+        _t(spark, sf_dir, "documents").select("text"), phi_inv=HH_PHI_INV
+    )
+
+
+Q92_SQL = f"""
+WITH tk AS (
+  SELECT list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '') AS tk
+  FROM documents
+), ex AS (
+  SELECT unnest(tk) AS token FROM tk
+), tot AS (SELECT count(*) AS n FROM ex)
+SELECT token, CAST(count(*) AS BIGINT) AS cnt,
+       round(count(*) / CAST(t.n AS DOUBLE), 6) AS share
+FROM ex, tot t
+GROUP BY token, t.n
+HAVING count(*) * {HH_PHI_INV} > t.n
+"""
+
+
+WSAMPLE_K = 150
+
+
+def q93_weighted_sample(spark, sf_dir):
+    """Deterministic WEIGHTED sample without replacement (Efraimidis-
+    Spirakis A-ES): each doc draws the deterministic salted uniform u
+    and scores ln(u)/w with w = n_chars; the top-K scores are the
+    sample. Longer documents are proportionally likelier — the
+    quality/length-weighted corpus draw a data-mixing pipeline uses —
+    yet the draw is reproducible and repartition-invariant like q72's
+    uniform form. Plans as a distributed TakeOrdered: per-partition
+    top-K, K-row driver merge, no full sort."""
+    from ..operators.sampling import uniform_from_key
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    key = F.log(uniform_from_key(F.col("doc_id"), "wsample")) / F.col("n_chars")
+    return (
+        docs.select("doc_id", "lang", F.col("n_chars").alias("weight"), key.alias("es_key"))
+        .orderBy(F.desc("es_key"), F.asc("doc_id"))
+        .limit(WSAMPLE_K)
+        .select("doc_id", "lang", "weight")
+    )
+
+
+Q93_SQL = f"""
+SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS weight
+FROM documents
+WHERE n_chars > 0
+ORDER BY ln(CAST(CAST('0x' || substring(md5('wsample:' || CAST(doc_id AS VARCHAR)), 1, 15)
+        AS BIGINT) AS DOUBLE) / 1152921504606846976.0) / n_chars DESC,
+        doc_id ASC
+LIMIT {WSAMPLE_K}
+"""
+
+
+def q94_containment_neardup(spark, sf_dir):
+    """Asymmetric near-dup detection by shingle CONTAINMENT:
+    |A∩B| / min(|A|,|B|) ≥ 0.6 — the quote/subset/boilerplate-
+    inclusion rule. A short doc embedded in a long one has tiny
+    symmetric Jaccard (the union is long-doc-sized) but containment
+    ≈ 1; the output carries both scores so the gap is visible. Same
+    capped inverted-index join as q15 (operators/dedup.py)."""
+    from ..operators.dedup import MAX_SHINGLE_DF, containment_pairs
+
+    return containment_pairs(
+        _t(spark, sf_dir, "documents"),
+        threshold=0.6,
+        max_doc_freq=MAX_SHINGLE_DF,
+    )
+
+
+Q94_SQL = _SHINGLE_CTES + """
+SELECT doc_a, doc_b,
+       round(CAST(inter AS DOUBLE) / LEAST(na, nb), 6) AS containment,
+       round(CAST(inter AS DOUBLE) / (na + nb - inter), 6) AS jaccard
+FROM pairs
+WHERE CAST(inter AS DOUBLE) / LEAST(na, nb) >= 0.6
+"""
+
+
+REGISTRY.update(
+    {
+        "q92_heavy_hitters": QuerySpec(q92_heavy_hitters, Q92_SQL),
+        "q93_weighted_sample": QuerySpec(q93_weighted_sample, Q93_SQL),
+        "q94_containment_neardup": QuerySpec(q94_containment_neardup, Q94_SQL),
+    }
+)
+
+
 # ------------------------------------------------------------------------
 # Registry ordering contract: the driver's correctness harness records at
 # most 50 entries per round (CORRECTNESS_r02 stopped at exactly 50 while
@@ -3957,7 +4062,7 @@ REGISTRY.update(
 #   [0, 50)  the first 50 oracle-bearing queries, original order
 #            (q01..q54)
 #   next     every other oracle-bearing query in insertion order
-#            (q56..q63, q65-q78, q80, q86, q87, q83, q88-q91 — file
+#            (q56..q63, q65-q78, q80, q86, q87, q83, q88-q94 — file
 #            insertion order), then q55 — beyond
 #            the driver cap, but tests/test_synthetic_queries.py runs
 #            the SAME compare on every one of them each CI pass

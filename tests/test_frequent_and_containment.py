@@ -1,0 +1,73 @@
+"""Heavy-hitters exactness under adversarial partitioning, and the
+asymmetric containment case symmetric Jaccard structurally misses."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from pyspark.sql import functions as F
+
+from flink_assignment_spark.operators.dedup import containment_pairs, ngram_jaccard_pairs
+from flink_assignment_spark.operators.frequent import heavy_hitters
+
+
+def test_heavy_hitters_exact_vs_bruteforce_spread_thin(spark):
+    """Adversarial shape for the candidate pass: the heavy token is
+    spread evenly across many partitions (never locally dominant in
+    any obvious way) among a sea of near-unique fillers — the
+    pigeonhole guarantee must still surface it, and the recount must
+    reproduce brute-force membership and counts exactly."""
+    phi_inv = 50
+    docs = []
+    # 200 docs, 10 filler tokens each (unique per doc) + token "hot"
+    # in every 4th doc → freq(hot) = 50, N = 2050, threshold N/50 = 41
+    # → hot qualifies; every filler has freq 1
+    for i in range(200):
+        toks = [f"f{i}_{j}" for j in range(10)]
+        if i % 4 == 0:
+            toks.append("hot")
+        docs.append((i, " ".join(toks)))
+    df = spark.createDataFrame(docs, "doc_id long, text string").repartition(16)
+    got = {r["token"]: r["cnt"] for r in heavy_hitters(df, phi_inv=phi_inv).collect()}
+
+    brute = Counter()
+    for _, text in docs:
+        brute.update(text.split())
+    n = sum(brute.values())
+    want = {t: c for t, c in brute.items() if c * phi_inv > n}
+    assert got == want == {"hot": 50}
+
+
+def test_heavy_hitters_boundary_is_strict(spark):
+    """cnt * phi_inv > N is strict: a token landing exactly ON the
+    threshold is excluded (integer compare, no float fuzz)."""
+    # 10 docs x 10 tokens = N=100; "edge" freq 10 → 10*10 == 100 not >
+    docs = [
+        (i, " ".join([f"u{i}_{j}" for j in range(9)] + ["edge"])) for i in range(10)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    assert heavy_hitters(df, phi_inv=10).count() == 0
+    # one extra occurrence tips it over
+    docs[0] = (0, docs[0][1] + " edge")
+    df2 = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["token"]: r["cnt"] for r in heavy_hitters(df2, phi_inv=10).collect()}
+    assert got == {"edge": 11}
+
+
+def test_containment_catches_quote_jaccard_misses(spark):
+    """A short doc quoted inside a long one: containment 1.0, Jaccard
+    far below any workable symmetric threshold."""
+    short = " ".join(f"q{i}" for i in range(12))
+    long = " ".join(f"body{i}" for i in range(80)) + " " + short + " " + " ".join(
+        f"tail{i}" for i in range(80)
+    )
+    df = spark.createDataFrame(
+        [(1, long), (2, short)], "doc_id long, text string"
+    )
+    cont = containment_pairs(df, threshold=0.9).collect()
+    assert len(cont) == 1
+    row = cont[0]
+    assert (row["doc_a"], row["doc_b"]) == (1, 2)
+    assert row["containment"] == 1.0
+    assert row["jaccard"] < 0.1  # symmetric rule would never fire
+    assert ngram_jaccard_pairs(df, threshold=0.3).count() == 0
