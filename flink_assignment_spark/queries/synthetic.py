@@ -3886,12 +3886,13 @@ WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1
 
 def q91_nation_pair_volume(spark, sf_dir):
     """TPC-H Q7-shaped: shipping volume between nation pairs by ship
-    year — supplier nation vs customer nation for two chosen nations,
-    both directions. Both nation-filtered dims broadcast; the fact
-    table shuffles only for the final (pair, year) aggregation."""
-    n1 = "NATION_1"
-    n2 = "NATION_2"
-    nation = _t(spark, sf_dir, "nation").filter(F.col("n_name").isin(n1, n2))
+    year — supplier nation vs customer nation within a four-nation
+    set (TPC-H proper uses two nations; four keeps the result
+    non-empty at the sf0.001 oracle scale), both directions. Both
+    nation-filtered dims broadcast; the fact table shuffles only for
+    the final (pair, year) aggregation."""
+    names = ["NATION_0", "NATION_1", "NATION_2", "NATION_3"]
+    nation = _t(spark, sf_dir, "nation").filter(F.col("n_name").isin(names))
     supp = (
         _t(spark, sf_dir, "supplier")
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
@@ -3932,8 +3933,8 @@ JOIN nation sn ON s_nationkey = sn.n_nationkey
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
 JOIN nation cn ON c_nationkey = cn.n_nationkey
-WHERE sn.n_name IN ('NATION_1', 'NATION_2')
-  AND cn.n_name IN ('NATION_1', 'NATION_2')
+WHERE sn.n_name IN ('NATION_0', 'NATION_1', 'NATION_2', 'NATION_3')
+  AND cn.n_name IN ('NATION_0', 'NATION_1', 'NATION_2', 'NATION_3')
   AND sn.n_name <> cn.n_name
 GROUP BY 1, 2, 3
 """
