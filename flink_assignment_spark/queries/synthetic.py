@@ -3795,12 +3795,33 @@ REGISTRY.update({"q88_substring_dedup": QuerySpec(q88_substring_dedup, Q88_SQL)}
 
 
 # ------------- remaining classic TPC-H shapes (Q10 / Q19 / Q7)
+def _rev_units():
+    """Discounted line revenue in EXACT integer 10^-4-dollar units:
+    cents(l_extendedprice) × (100 − hundredths(l_discount)). Both
+    factors are exact 2-decimal quantities, so the per-line product
+    and any sum of them are exact BIGINTs — fold-order-independent,
+    unlike a raw double sum whose round(·, 2) can land a half-cent
+    apart between engines (bit us at sf0.01 on q91). Emitting
+    units / 10000.0 is one deterministic IEEE division per row,
+    identical in Spark and DuckDB."""
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc_h = F.round(F.col("l_discount") * 100).cast("long")
+    return cents * (100 - disc_h)
+
+
+_REV_UNITS_SQL = (
+    "CAST(round(l_extendedprice * 100) AS BIGINT)"
+    " * (100 - CAST(round(l_discount * 100) AS BIGINT))"
+)
+
+
 def q89_returned_item_revenue(spark, sf_dir):
     """TPC-H Q10-shaped: lost-revenue report over returned items —
     fact-side filters (returnflag, one order-date quarter) reach both
     parquet scans, the orders join carries the quarter filter, and the
     customer/nation dims broadcast; top-20 cut totally ordered by
-    (revenue, custkey) so the limit is engine-independent."""
+    (exact integer revenue units, custkey) so the limit is
+    engine-independent even at revenue ties."""
     cust = _t(spark, sf_dir, "customer")
     nation = _t(spark, sf_dir, "nation")
     orders = _t(spark, sf_dir, "orders").filter(
@@ -3812,19 +3833,22 @@ def q89_returned_item_revenue(spark, sf_dir):
         .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
-        .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
-        )
-        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .agg(F.sum(_rev_units()).alias("units"))
+        .orderBy(F.desc("units"), F.asc("c_custkey"))
         .limit(20)
+        .select(
+            "c_custkey",
+            "c_name",
+            "c_acctbal",
+            "n_name",
+            (F.col("units") / 10000.0).alias("revenue"),
+        )
     )
 
 
-Q89_SQL = """
+Q89_SQL = f"""
 SELECT c_custkey, c_name, c_acctbal, n_name,
-       round(CAST(SUM(l_extendedprice * (1 - l_discount)) AS DOUBLE), 2) AS revenue
+       SUM({_REV_UNITS_SQL}) / 10000.0 AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -3833,7 +3857,7 @@ WHERE l_returnflag = 'R'
   AND o_orderdate >= TIMESTAMP '1996-10-01 00:00:00'
   AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
 GROUP BY 1, 2, 3, 4
-ORDER BY revenue DESC, c_custkey ASC
+ORDER BY SUM({_REV_UNITS_SQL}) DESC, c_custkey ASC
 LIMIT 20
 """
 
@@ -3868,15 +3892,13 @@ def q90_bracketed_revenue(spark, sf_dir):
     )
     return j.filter(bracket).agg(
         F.count("*").alias("n_lines"),
-        F.round(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-        ).alias("revenue"),
+        (F.sum(_rev_units()) / 10000.0).alias("revenue"),
     )
 
 
-Q90_SQL = """
+Q90_SQL = f"""
 SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
-       round(CAST(SUM(l_extendedprice * (1 - l_discount)) AS DOUBLE), 2) AS revenue
+       SUM({_REV_UNITS_SQL}) / 10000.0 AS revenue
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
    OR (p_brand = 'Brand#22' AND p_size BETWEEN 1 AND 30 AND l_quantity BETWEEN 10 AND 35)
@@ -3915,18 +3937,14 @@ def q91_nation_pair_volume(spark, sf_dir):
             "cust_nation",
             F.year("l_shipdate").cast("long").alias("ship_year"),
         )
-        .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("volume")
-        )
+        .agg((F.sum(_rev_units()) / 10000.0).alias("volume"))
     )
 
 
-Q91_SQL = """
+Q91_SQL = f"""
 SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
        CAST(year(l_shipdate) AS BIGINT) AS ship_year,
-       round(CAST(SUM(l_extendedprice * (1 - l_discount)) AS DOUBLE), 2) AS volume
+       SUM({_REV_UNITS_SQL}) / 10000.0 AS volume
 FROM lineitem
 JOIN supplier ON l_suppkey = s_suppkey
 JOIN nation sn ON s_nationkey = sn.n_nationkey
