@@ -385,37 +385,68 @@ FROM z GROUP BY 1, 2
 
 
 # ----------------------------------------------------- TPC-H-style queries
+def _rev_units():
+    """Discounted line revenue in EXACT integer 10^-4-dollar units:
+    cents(l_extendedprice) × (100 − hundredths(l_discount)). Both
+    factors are exact 2-decimal quantities, so the per-line product
+    and any sum of them are exact BIGINTs — fold-order-independent,
+    unlike a raw double sum whose round(·, 2) can land a half-cent
+    apart between engines (bit us at sf0.01 on q91 in round 6; every
+    revenue aggregate here now uses this form). Emitting
+    units / 10000.0 is one deterministic IEEE division, identical in
+    Spark and DuckDB. Headroom: ~1e9 units per line ⇒ exact up to
+    ~9e9 lines per group; beyond that switch to DECIMAL(38,4)."""
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc_h = F.round(F.col("l_discount") * 100).cast("long")
+    return cents * (100 - disc_h)
+
+
+_REV_UNITS_SQL = (
+    "CAST(round(l_extendedprice * 100) AS BIGINT)"
+    " * (100 - CAST(round(l_discount * 100) AS BIGINT))"
+)
+
+
 def q11_pricing_summary(spark, sf_dir):
     """TPC-H Q1-shaped pricing summary: scan-heavy groupBy with 8
     aggregates; Catalyst plans partial+final hash aggregation, filter
-    and 7-column projection pushed into the parquet scan."""
+    and 7-column projection pushed into the parquet scan. All money
+    sums fold in exact integer units (quantity/price/discount/tax are
+    2-decimal: cents, 1e-4 units for disc_price, 1e-6 for charge) —
+    fold-order-independent, see _rev_units; the averages divide the
+    exact sums by the exact count, one IEEE division per group."""
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= "1998-09-02")
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    charge = disc_price * (1 + F.col("l_tax"))
+    qty_c = F.round(F.col("l_quantity") * 100).cast("long")
+    price_c = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc_h = F.round(F.col("l_discount") * 100).cast("long")
+    tax_h = F.round(F.col("l_tax") * 100).cast("long")
+    charge_u6 = price_c * (100 - disc_h) * (100 + tax_h)
     return (
         li.groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(charge), 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            (F.sum(qty_c) / 100.0).alias("sum_qty"),
+            (F.sum(price_c) / 100.0).alias("sum_base_price"),
+            (F.sum(_rev_units()) / 10000.0).alias("sum_disc_price"),
+            (F.sum(charge_u6) / 1000000.0).alias("sum_charge"),
+            F.round(F.sum(qty_c) / F.count("*") / 100.0, 4).alias("avg_qty"),
+            F.round(F.sum(price_c) / F.count("*") / 100.0, 4).alias("avg_price"),
+            F.round(F.sum(disc_h) / F.count("*") / 100.0, 6).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
     )
 
 
-Q11_SQL = """
+Q11_SQL = f"""
 SELECT l_returnflag, l_linestatus,
-       round(CAST(SUM(l_quantity) AS DOUBLE), 2) AS sum_qty,
-       round(CAST(SUM(l_extendedprice) AS DOUBLE), 2) AS sum_base_price,
-       round(CAST(SUM(l_extendedprice * (1 - l_discount)) AS DOUBLE), 2) AS sum_disc_price,
-       round(CAST(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS DOUBLE), 2) AS sum_charge,
-       round(CAST(AVG(l_quantity) AS DOUBLE), 4) AS avg_qty,
-       round(CAST(AVG(l_extendedprice) AS DOUBLE), 4) AS avg_price,
-       round(CAST(AVG(l_discount) AS DOUBLE), 6) AS avg_disc,
+       SUM(CAST(round(l_quantity * 100) AS BIGINT)) / 100.0 AS sum_qty,
+       SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0 AS sum_base_price,
+       SUM({_REV_UNITS_SQL}) / 10000.0 AS sum_disc_price,
+       SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100) AS BIGINT))
+           * (100 + CAST(round(l_tax * 100) AS BIGINT))) / 1000000.0 AS sum_charge,
+       round(SUM(CAST(round(l_quantity * 100) AS BIGINT)) / count(*) / 100.0, 4) AS avg_qty,
+       round(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) / count(*) / 100.0, 4) AS avg_price,
+       round(SUM(CAST(round(l_discount * 100) AS BIGINT)) / count(*) / 100.0, 6) AS avg_disc,
        CAST(count(*) AS BIGINT) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -426,8 +457,8 @@ GROUP BY l_returnflag, l_linestatus
 def q12_top_revenue_orders(spark, sf_dir):
     """TPC-H Q3-shaped: dimension-filtered 3-way join + top-10 by
     revenue. The customer dim is broadcast (no shuffle of the fact
-    side on that join); ordering key includes l_orderkey so the cut
-    is total and engine-independent."""
+    side on that join); ordering key is (exact integer revenue units,
+    l_orderkey) so the cut is total and engine-independent."""
     cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1998-01-01")
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1996-01-01")
@@ -436,15 +467,17 @@ def q12_top_revenue_orders(spark, sf_dir):
                 li.l_orderkey == F.col("o_orderkey"))
         .groupBy("l_orderkey", F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
                  "o_orderpriority")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
-        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .agg(F.sum(_rev_units()).alias("units"))
+        .orderBy(F.desc("units"), F.asc("l_orderkey"))
         .limit(10)
+        .select("l_orderkey", "orderdate", "o_orderpriority",
+                (F.col("units") / 10000.0).alias("revenue"))
     )
 
 
-Q12_SQL = """
+Q12_SQL = f"""
 SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate, o_orderpriority,
-       round(CAST(SUM(l_extendedprice * (1 - l_discount)) AS DOUBLE), 2) AS revenue
+       SUM({_REV_UNITS_SQL}) / 10000.0 AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -452,7 +485,7 @@ WHERE c_mktsegment = 'BUILDING'
   AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
   AND l_shipdate > TIMESTAMP '1996-01-01 00:00:00'
 GROUP BY 1, 2, 3
-ORDER BY revenue DESC, l_orderkey ASC
+ORDER BY SUM({_REV_UNITS_SQL}) DESC, l_orderkey ASC
 LIMIT 10
 """
 
@@ -477,13 +510,13 @@ def q13_regional_revenue(spark, sf_dir):
         .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("n_name")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .agg((F.sum(_rev_units()) / 10000.0).alias("revenue"))
     )
 
 
-Q13_SQL = """
+Q13_SQL = f"""
 SELECT n_name,
-       round(CAST(SUM(l_extendedprice * (1 - l_discount)) AS DOUBLE), 2) AS revenue
+       SUM({_REV_UNITS_SQL}) / 10000.0 AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -786,34 +819,39 @@ REGISTRY: dict[str, QuerySpec] = {
 # ------------------------------------------------ analytic-pattern queries
 def q22_topk_per_group(spark, sf_dir):
     """Top-3 parts by revenue per brand: the canonical top-k-per-group
-    pattern (Window.partitionBy + row_number), ranking on rounded
-    revenue + partkey so the cut is total and engine-independent.
-    The part dimension broadcasts; lineitem never shuffles for the join."""
+    pattern (Window.partitionBy + row_number), ranking on exact
+    integer revenue units + partkey so the cut is total and
+    engine-independent. The part dimension broadcasts; lineitem never
+    shuffles for the join."""
     li = _t(spark, sf_dir, "lineitem")
     part = _t(spark, sf_dir, "part")
     rev = (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .groupBy("p_brand", "p_partkey")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .agg(F.sum(_rev_units()).alias("units"))
     )
-    w = Window.partitionBy("p_brand").orderBy(F.desc("revenue"), F.asc("p_partkey"))
+    w = Window.partitionBy("p_brand").orderBy(F.desc("units"), F.asc("p_partkey"))
     return (
         rev.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= 3)
-        .select("p_brand", "p_partkey", "revenue", F.col("rnk").cast("int").alias("rnk"))
+        .select(
+            "p_brand",
+            "p_partkey",
+            (F.col("units") / 10000.0).alias("revenue"),
+            F.col("rnk").cast("int").alias("rnk"),
+        )
     )
 
 
-Q22_SQL = """
+Q22_SQL = f"""
 WITH rev AS (
-  SELECT p_brand, p_partkey,
-         round(CAST(SUM(l_extendedprice * (1 - l_discount)) AS DOUBLE), 2) AS revenue
+  SELECT p_brand, p_partkey, SUM({_REV_UNITS_SQL}) AS units
   FROM lineitem JOIN part ON l_partkey = p_partkey
   GROUP BY 1, 2
 )
-SELECT p_brand, p_partkey, revenue, CAST(rnk AS INT) AS rnk
+SELECT p_brand, p_partkey, units / 10000.0 AS revenue, CAST(rnk AS INT) AS rnk
 FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY p_brand
-                                   ORDER BY revenue DESC, p_partkey) AS rnk
+                                   ORDER BY units DESC, p_partkey) AS rnk
       FROM rev)
 WHERE rnk <= 3
 """
@@ -936,7 +974,10 @@ def q27_sql_api(spark, sf_dir):
         """
         SELECT n_name,
                CAST(count(*) AS BIGINT) AS n_orders,
-               round(SUM(o_totalprice), 2) AS total_price
+               -- CAST the divisor: Spark SQL parses a bare 100.0 as
+               -- DECIMAL and returns a DECIMAL sum, unlike the
+               -- DataFrame API's double literal
+               SUM(CAST(round(o_totalprice * 100) AS BIGINT)) / CAST(100 AS DOUBLE) AS total_price
         FROM orders
         JOIN customer ON o_custkey = c_custkey
         JOIN nation ON c_nationkey = n_nationkey
@@ -949,7 +990,7 @@ def q27_sql_api(spark, sf_dir):
 Q27_SQL = """
 SELECT n_name,
        CAST(count(*) AS BIGINT) AS n_orders,
-       round(CAST(SUM(o_totalprice) AS DOUBLE), 2) AS total_price
+       SUM(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS total_price
 FROM orders
 JOIN customer ON o_custkey = c_custkey
 JOIN nation ON c_nationkey = n_nationkey
@@ -1447,7 +1488,7 @@ def q41_rollup_orders(spark, sf_dir):
         .rollup("o_orderpriority", "o_orderstatus")
         .agg(
             F.count("*").alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+            (F.sum(F.round(F.col("o_totalprice") * 100).cast("long")) / 100.0).alias("total_price"),
             F.grouping_id().cast("int").alias("gid"),
         )
     )
@@ -1456,7 +1497,7 @@ def q41_rollup_orders(spark, sf_dir):
 Q41_SQL = """
 SELECT o_orderpriority, o_orderstatus,
        CAST(count(*) AS BIGINT) AS n_orders,
-       round(CAST(SUM(o_totalprice) AS DOUBLE), 2) AS total_price,
+       SUM(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS total_price,
        CAST(GROUPING(o_orderpriority, o_orderstatus) AS INT) AS gid
 FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
 """
@@ -1541,16 +1582,16 @@ def q44_nation_year_revenue(spark, sf_dir):
         .join(o, li.l_orderkey == o.o_orderkey)
         .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").cast("int").alias("o_year"))
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            (F.sum(_rev_units()) / 10000.0).alias("revenue"),
             F.count("*").alias("n_items"),
         )
     )
 
 
-Q44_SQL = """
+Q44_SQL = f"""
 SELECT n_name AS nation,
        CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
-       round(CAST(SUM(l_extendedprice * (1 - l_discount)) AS DOUBLE), 2) AS revenue,
+       SUM({_REV_UNITS_SQL}) / 10000.0 AS revenue,
        CAST(count(*) AS BIGINT) AS n_items
 FROM lineitem
 JOIN part ON l_partkey = p_partkey AND p_type = 'PROMO'
@@ -2120,17 +2161,15 @@ def q56_bucketed_join(spark, sf_dir):
         li.join(o, li.l_orderkey == o.o_orderkey)
         .groupBy("o_orderpriority")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
-            ),
+            (F.sum(_rev_units()) / 10000.0).alias("revenue"),
             F.count("*").alias("n_items"),
         )
     )
 
 
-Q56_SQL = """
+Q56_SQL = f"""
 SELECT o_orderpriority,
-       round(CAST(SUM(l_extendedprice * (1 - l_discount)) AS DOUBLE), 2) AS revenue,
+       SUM({_REV_UNITS_SQL}) / 10000.0 AS revenue,
        CAST(count(*) AS BIGINT) AS n_items
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY o_orderpriority
@@ -3795,26 +3834,6 @@ REGISTRY.update({"q88_substring_dedup": QuerySpec(q88_substring_dedup, Q88_SQL)}
 
 
 # ------------- remaining classic TPC-H shapes (Q10 / Q19 / Q7)
-def _rev_units():
-    """Discounted line revenue in EXACT integer 10^-4-dollar units:
-    cents(l_extendedprice) × (100 − hundredths(l_discount)). Both
-    factors are exact 2-decimal quantities, so the per-line product
-    and any sum of them are exact BIGINTs — fold-order-independent,
-    unlike a raw double sum whose round(·, 2) can land a half-cent
-    apart between engines (bit us at sf0.01 on q91). Emitting
-    units / 10000.0 is one deterministic IEEE division per row,
-    identical in Spark and DuckDB."""
-    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
-    disc_h = F.round(F.col("l_discount") * 100).cast("long")
-    return cents * (100 - disc_h)
-
-
-_REV_UNITS_SQL = (
-    "CAST(round(l_extendedprice * 100) AS BIGINT)"
-    " * (100 - CAST(round(l_discount * 100) AS BIGINT))"
-)
-
-
 def q89_returned_item_revenue(spark, sf_dir):
     """TPC-H Q10-shaped: lost-revenue report over returned items —
     fact-side filters (returnflag, one order-date quarter) reach both
