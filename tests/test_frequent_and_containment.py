@@ -5,6 +5,8 @@ from __future__ import annotations
 
 from collections import Counter
 
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from flink_assignment_spark.operators.dedup import containment_pairs, ngram_jaccard_pairs
@@ -52,6 +54,29 @@ def test_heavy_hitters_boundary_is_strict(spark):
     df2 = spark.createDataFrame(docs, "doc_id long, text string")
     got = {r["token"]: r["cnt"] for r in heavy_hitters(df2, phi_inv=10).collect()}
     assert got == {"edge": 11}
+
+
+@settings(
+    max_examples=15, deadline=None, suppress_health_check=[HealthCheck.too_slow]
+)
+@given(
+    corpus=st.lists(
+        st.lists(st.integers(0, 20), min_size=1, max_size=12),
+        min_size=1,
+        max_size=30,
+    ),
+    phi_inv=st.sampled_from([3, 5, 10]),
+)
+def test_heavy_hitters_property_matches_counter(spark, corpus, phi_inv):
+    """For arbitrary small-vocab corpora (heavy skew by construction)
+    the distributed MG + recount output equals a plain Counter's
+    strict-threshold heavy set exactly."""
+    docs = [(i, " ".join(f"w{t}" for t in toks)) for i, toks in enumerate(corpus)]
+    df = spark.createDataFrame(docs, "doc_id long, text string").repartition(5)
+    got = {r["token"]: r["cnt"] for r in heavy_hitters(df, phi_inv=phi_inv).collect()}
+    brute = Counter(t for _, text in docs for t in text.split())
+    n = sum(brute.values())
+    assert got == {t: c for t, c in brute.items() if c * phi_inv > n}
 
 
 def test_containment_catches_quote_jaccard_misses(spark):
