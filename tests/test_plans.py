@@ -244,3 +244,52 @@ def test_date_partitioned_write_prunes_partitions(spark, tmp_path):
     got = one_day.count()
     want = ev.filter(F.col("d") == "2024-01-05").count()
     assert got == want and n_days > 1
+
+
+def test_q89_fact_filters_pushed_and_dims_broadcast(spark):
+    """Q10 shape: the returnflag predicate must reach the lineitem
+    scan and the date window the orders scan; customer/nation join as
+    broadcasts (never shuffling the fact side for a dim)."""
+    df = REGISTRY["q89_returned_item_revenue"].spark(spark, SF_DIR)
+    plan = physical_plan(df)
+    assert any("l_returnflag" in f for f in pushed_filters(df)), pushed_filters(df)
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "NestedLoop" not in plan, plan
+
+
+def test_q90_bracket_predicate_plans_one_equi_join(spark):
+    """Q19 shape: the OR-of-ANDs bracket must ride the partkey
+    equi-join as a residual filter — broadcast hash joins only, no
+    nested-loop / cartesian cross product of the brackets and no
+    fact-side sort-merge."""
+    df = REGISTRY["q90_bracketed_revenue"].spark(spark, SF_DIR)
+    plan = physical_plan(df)
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("BroadcastHashJoin") >= 1, plan
+
+
+def test_q92_recount_join_broadcasts_candidates(spark):
+    """Heavy hitters: the exact-recount pass must broadcast the
+    bounded candidate set — the full token stream never shuffles on
+    the token key."""
+    df = REGISTRY["q92_heavy_hitters"].spark(spark, SF_DIR)
+    assert has_broadcast_hash_join(df), physical_plan(df)
+
+
+def test_q93_weighted_sample_is_take_ordered(spark):
+    """A-ES top-K must plan as distributed TakeOrdered (per-partition
+    top-K + K-row driver merge) — zero exchanges, no global sort."""
+    df = REGISTRY["q93_weighted_sample"].spark(spark, SF_DIR)
+    plan = physical_plan(df)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert count_exchanges(df) == 0, plan
+
+
+def test_q94_containment_no_nested_loop(spark):
+    """Containment rides the same capped inverted-index equi-join as
+    q15 — never a cross product, hot-shingle cap via broadcast
+    anti-join."""
+    df = REGISTRY["q94_containment_neardup"].spark(spark, SF_DIR)
+    plan = physical_plan(df)
+    assert "NestedLoop" not in plan, plan
