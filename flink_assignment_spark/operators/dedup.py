@@ -630,6 +630,52 @@ def dup_token_coverage(positions: Column, k: int) -> Column:
     return F.when(n == 0, F.lit(0)).otherwise(covered)
 
 
+def substring_scrub(
+    docs: DataFrame,
+    k: int = CHUNK_TOKENS,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The APPLY step of full exact-substring dedup (Lee et al. 2022
+    don't just audit — they REMOVE the repeated spans): rebuild every
+    document with the tokens covered by its duplicated (``rn > 1``)
+    windows cut out, keeping the corpus-wide first occurrence intact.
+
+    Two stages: the same near-uniform hash window as
+    :func:`substring_occurrences` marks duplicated window positions;
+    one per-doc aggregation collects them (sorted, doc-length-bounded);
+    then a NARROW map filters each doc's token array by interval
+    membership (token i is cut iff some collected position p has
+    ``p ≤ i < p+k``) and reassembles the text. Returns ``(doc_id,
+    n_tokens, n_kept, scrubbed_hash)`` — the md5 of the scrubbed text
+    is what the oracle compares, so the reconstruction itself is
+    checked, not just the counts."""
+    occ = substring_occurrences(docs, k, text_col, id_col)
+    dup_pos = (
+        occ.filter(F.col("rn") > 1)
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("pos")).alias("ps"))
+    )
+    base = (
+        docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("__text"))
+        .join(dup_pos, "doc_id", "left")
+        .withColumn("ps", F.coalesce("ps", F.array().cast("array<int>")))
+        .select("doc_id", "ps", tokens(F.col("__text")).alias("tk"))
+    )
+    kept = F.filter(
+        F.col("tk"),
+        lambda x, i: ~F.exists(
+            F.col("ps"), lambda p: (p <= i) & (i < p + F.lit(k))
+        ),
+    )
+    return base.select(
+        "doc_id",
+        F.size("tk").alias("n_tokens"),
+        F.size(kept).alias("n_kept"),
+        F.md5(F.concat_ws(" ", kept)).alias("scrubbed_hash"),
+    )
+
+
 def chunk_occurrences(
     docs: DataFrame,
     chunk_tokens: int = CHUNK_TOKENS,

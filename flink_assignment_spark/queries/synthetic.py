@@ -4091,6 +4091,59 @@ REGISTRY.update(
 )
 
 
+def q95_substring_scrub(spark, sf_dir):
+    """The APPLY step of full exact-substring dedup: every document
+    rebuilt with its duplicated ≥16-token spans (q88's rn>1 window
+    coverage) cut out, corpus-wide first occurrences kept. The oracle
+    compares the md5 of each reconstructed text, so the scrub itself
+    is value-checked, not just counts (operators/dedup.py
+    substring_scrub)."""
+    from ..operators.dedup import CHUNK_TOKENS, substring_scrub
+
+    assert CHUNK_TOKENS == 16  # oracle constant
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return substring_scrub(docs)
+
+
+Q95_SQL = """
+WITH tk AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '') AS tk
+  FROM documents
+), wins AS (
+  SELECT doc_id, CAST(i AS INT) AS pos,
+         CAST('0x' || substring(md5(array_to_string(
+             tk[(CAST(i AS INT) + 1):(CAST(i AS INT) + 16)], ' ')), 1, 15) AS BIGINT) AS h
+  FROM tk, UNNEST(range(len(tk) - 15)) AS t(i)
+  WHERE len(tk) >= 16
+), occ AS (
+  SELECT doc_id, pos,
+         row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+  FROM wins
+), dup AS (
+  SELECT doc_id, list_sort(list(pos)) AS ps FROM occ WHERE rn > 1 GROUP BY doc_id
+), base AS (
+  SELECT t.doc_id, t.tk, COALESCE(d.ps, []) AS ps
+  FROM tk t LEFT JOIN dup d ON t.doc_id = d.doc_id
+), kept AS (
+  SELECT doc_id, len(tk) AS n_tokens,
+         list_filter(tk, (x, i) ->
+             len(list_filter(ps, p -> p <= i - 1 AND i - 1 < p + 16)) = 0) AS ks
+  FROM base
+)
+SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
+       CAST(len(ks) AS INT) AS n_kept,
+       -- COALESCE: DuckDB's array_to_string([]) is NULL where Spark's
+       -- concat_ws is '' — fully-scrubbed docs must hash the empty
+       -- string in both engines
+       md5(COALESCE(array_to_string(ks, ' '), '')) AS scrubbed_hash
+FROM kept
+"""
+
+
+REGISTRY.update({"q95_substring_scrub": QuerySpec(q95_substring_scrub, Q95_SQL)})
+
+
 # ------------------------------------------------------------------------
 # Registry ordering contract: the driver's correctness harness records at
 # most 50 entries per round (CORRECTNESS_r02 stopped at exactly 50 while
@@ -4100,7 +4153,7 @@ REGISTRY.update(
 #   [0, 50)  the first 50 oracle-bearing queries, original order
 #            (q01..q54)
 #   next     every other oracle-bearing query in insertion order
-#            (q56..q63, q65-q78, q80, q86, q87, q83, q88-q94 — file
+#            (q56..q63, q65-q78, q80, q86, q87, q83, q88-q95 — file
 #            insertion order), then q55 — beyond
 #            the driver cap, but tests/test_synthetic_queries.py runs
 #            the SAME compare on every one of them each CI pass

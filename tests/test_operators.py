@@ -484,6 +484,33 @@ def test_substring_windows_catch_chunk_boundary_spanning_dup(spark):
     occ.unpersist()
 
 
+def test_substring_scrub_removes_exactly_the_copied_span(spark):
+    """Apply step: the boundary-spanning copy from the detection test
+    is cut from the LATER doc only, and the reconstruction equals the
+    hand-built expectation token-for-token (via md5)."""
+    import hashlib
+
+    from flink_assignment_spark.operators.dedup import substring_scrub
+
+    a_toks = [f"a{i}" for i in range(40)]
+    b_toks = [f"b{i}" for i in range(8)] + a_toks[4:28]
+    docs = spark.createDataFrame(
+        [(1, " ".join(a_toks)), (2, " ".join(b_toks))], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r for r in substring_scrub(docs).collect()}
+    # doc 1 is canonical: untouched
+    assert rows[1]["n_kept"] == 40
+    assert rows[1]["scrubbed_hash"] == hashlib.md5(
+        " ".join(a_toks).encode()
+    ).hexdigest()
+    # doc 2: dup windows at pos 8..16 cover tokens [8, 32) → 24 cut
+    want_kept = b_toks[:8]
+    assert rows[2]["n_kept"] == 8
+    assert rows[2]["scrubbed_hash"] == hashlib.md5(
+        " ".join(want_kept).encode()
+    ).hexdigest()
+
+
 def test_dup_token_coverage_interval_union(spark):
     """Gap-sum edge cases: empty → 0, single window → k, overlapping
     windows merge, disjoint windows add."""
