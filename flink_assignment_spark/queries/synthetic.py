@@ -4144,6 +4144,152 @@ FROM kept
 REGISTRY.update({"q95_substring_scrub": QuerySpec(q95_substring_scrub, Q95_SQL)})
 
 
+def q96_embedding_quantization(spark, sf_dir):
+    """Int8 scalar quantization audit for the embedding corpus — the
+    memory/accuracy tradeoff check before building a vector index
+    (float32 → int8 is 4× smaller): symmetric codes with one GLOBAL
+    scale (corpus max |x|, a bounded scalar folded as a literal),
+    per-vector max/sum reconstruction error. Error accumulates in
+    exact integer NANO-units (round(|x − recon|·1e9) summed as
+    BIGINT), so the per-vector rollup is fold-order-independent and
+    oracle-exact; the per-element float ops are written in the same
+    left-assoc order in both engines. Narrow map + one scalar agg —
+    no shuffle of vectors."""
+    emb = _t(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda v: v.cast("double")).alias("x"),
+    )
+    scale = float(
+        base.agg(F.max(F.array_max(F.transform("x", F.abs)))).collect()[0][0]
+    )
+    codes = F.transform("x", lambda v: F.round(v / scale * 127).cast("int"))
+    staged = base.select("vec_id", "label", "x", codes.alias("c"))
+    err = F.zip_with(
+        "x",
+        "c",
+        lambda v, cc: F.round(
+            F.abs(v - cc.cast("double") * scale / 127) * 1e9
+        ).cast("long"),
+    )
+    return staged.select(
+        "vec_id",
+        "label",
+        F.array_min("c").alias("min_code"),
+        F.array_max("c").alias("max_code"),
+        F.array_max(err).alias("max_err_nano"),
+        F.aggregate(err, F.lit(0).cast("long"), lambda a, v: a + v).alias(
+            "sum_err_nano"
+        ),
+    )
+
+
+Q96_SQL = """
+WITH sc AS (
+  SELECT MAX(list_aggregate(list_transform(embedding,
+             v -> abs(CAST(v AS DOUBLE))), 'max')) AS s
+  FROM embeddings
+), q AS (
+  SELECT vec_id, label,
+         list_transform(embedding, v -> CAST(v AS DOUBLE)) AS x,
+         list_transform(embedding,
+             v -> CAST(round(CAST(v AS DOUBLE) / sc.s * 127) AS INT)) AS c,
+         sc.s AS s
+  FROM embeddings, sc
+), e AS (
+  SELECT vec_id, label, c,
+         list_transform(range(1, len(x) + 1),
+             i -> CAST(round(abs(x[i] - CAST(c[i] AS DOUBLE) * s / 127) * 1e9)
+                  AS BIGINT)) AS err
+  FROM q
+)
+SELECT vec_id, label,
+       list_aggregate(c, 'min') AS min_code,
+       list_aggregate(c, 'max') AS max_code,
+       list_aggregate(err, 'max') AS max_err_nano,
+       CAST(list_aggregate(err, 'sum') AS BIGINT) AS sum_err_nano
+FROM e
+"""
+
+
+def q97_split_leakage(spark, sf_dir):
+    """Cross-split contamination audit: after the deterministic
+    train/val/test assignment (q35's hash split), which 16-token chunk
+    contents appear in MORE THAN ONE split? Near-duplicate documents
+    landing on opposite sides of the split boundary leak training
+    text into eval — the exact failure eval decontamination exists to
+    catch. One chunk-hash aggregation (near-uniform key) rolled up
+    per split combination."""
+    from ..operators.dedup import CHUNK_TOKENS, chunk_index
+    from ..operators.sampling import assign_split
+
+    assert CHUNK_TOKENS == 16  # oracle constant
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    labeled = assign_split(docs, key="doc_id", boundaries=SPLIT_BOUNDS)
+    ch = chunk_index(labeled)
+    per_hash = ch.groupBy("h").agg(
+        F.sort_array(F.collect_set("split")).alias("splits"),
+        F.count("*").alias("n_occ"),
+        F.count_distinct("doc_id").alias("n_docs"),
+    )
+    return (
+        per_hash.filter(F.size("splits") >= 2)
+        .groupBy(F.concat_ws("+", "splits").alias("split_combo"))
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum("n_occ").alias("n_occurrences"),
+            F.sum("n_docs").alias("n_doc_slots"),
+        )
+    )
+
+
+def _q97_oracle() -> str:
+    u = (
+        "CAST(CAST('0x' || substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15)"
+        " AS BIGINT) AS DOUBLE) / 1152921504606846976.0"
+    )
+    return f"""
+WITH labeled AS (
+  SELECT doc_id, text,
+         CASE WHEN {u} < 0.8 THEN 'train'
+              WHEN {u} < 0.9 THEN 'val' ELSE 'test' END AS split
+  FROM documents
+), tk AS (
+  SELECT doc_id, split,
+         list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '') AS tk
+  FROM labeled
+), chunks AS (
+  SELECT doc_id, split,
+         CAST('0x' || substring(md5(array_to_string(
+             tk[(CAST(i AS INT) * 16 + 1):(CAST(i AS INT) * 16 + 16)], ' ')), 1, 15)
+             AS BIGINT) AS h
+  FROM tk, UNNEST(range(CAST(ceil(len(tk) / 16.0) AS BIGINT))) AS t(i)
+  WHERE len(tk) > 0
+), per AS (
+  SELECT h, list_sort(list(DISTINCT split)) AS splits,
+         count(*) AS n_occ, count(DISTINCT doc_id) AS n_docs
+  FROM chunks GROUP BY h
+)
+SELECT array_to_string(splits, '+') AS split_combo,
+       CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(SUM(n_occ) AS BIGINT) AS n_occurrences,
+       CAST(SUM(n_docs) AS BIGINT) AS n_doc_slots
+FROM per WHERE len(splits) >= 2
+GROUP BY 1
+"""
+
+
+REGISTRY.update(
+    {
+        "q96_embedding_quantization": QuerySpec(
+            q96_embedding_quantization, Q96_SQL
+        ),
+        "q97_split_leakage": QuerySpec(q97_split_leakage, _q97_oracle()),
+    }
+)
+
+
 # ------------------------------------------------------------------------
 # Registry ordering contract: the driver's correctness harness records at
 # most 50 entries per round (CORRECTNESS_r02 stopped at exactly 50 while
@@ -4153,7 +4299,7 @@ REGISTRY.update({"q95_substring_scrub": QuerySpec(q95_substring_scrub, Q95_SQL)}
 #   [0, 50)  the first 50 oracle-bearing queries, original order
 #            (q01..q54)
 #   next     every other oracle-bearing query in insertion order
-#            (q56..q63, q65-q78, q80, q86, q87, q83, q88-q95 — file
+#            (q56..q63, q65-q78, q80, q86, q87, q83, q88-q97 — file
 #            insertion order), then q55 — beyond
 #            the driver cap, but tests/test_synthetic_queries.py runs
 #            the SAME compare on every one of them each CI pass
