@@ -77,6 +77,37 @@ def register_views(spark: SparkSession, sf_dir: str, names=ALL_TABLES) -> None:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
 
 
+def read_format(
+    spark: SparkSession,
+    path: str,
+    fmt: str,
+    schema=None,
+    **options: str,
+):
+    """Generic batch source matching ``sinks.write_format``: parquet /
+    orc / json / csv. For the self-describing formats (parquet, orc)
+    ``schema`` is optional; for csv/json pass the schema back to get
+    the exact types out (csv/json carry no type metadata — inference
+    would widen ints and re-parse timestamps through session
+    settings). CSV reads with ``header`` on and the same zone-stable
+    timestamp format the sink writes."""
+    defaults = {
+        "csv": {
+            "header": "true",
+            "timestampFormat": "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX",
+        },
+        "json": {"timestampFormat": "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"},
+        "orc": {},
+        "parquet": {},
+    }
+    if fmt not in defaults:
+        raise ValueError(f"unsupported format {fmt!r}; one of {sorted(defaults)}")
+    r = spark.read.format(fmt).options(**{**defaults[fmt], **options})
+    if schema is not None:
+        r = r.schema(schema)
+    return r.load(path)
+
+
 def read_commits_json(spark: SparkSession, path: str) -> DataFrame:
     """Line-delimited JSON of GitHub commit events → typed DataFrame.
 

@@ -25,6 +25,42 @@ def write_parquet(
     w.parquet(path)
 
 
+# value-preserving defaults per format: CSV needs a header (else the
+# reader invents _c0 names) and a zone-stable timestamp format (the
+# default round-trips through the session timezone); JSON likewise
+# for timestamps. ORC/parquet are self-describing.
+_FORMAT_WRITE_OPTS: dict[str, dict[str, str]] = {
+    "csv": {
+        "header": "true",
+        "timestampFormat": "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX",
+    },
+    "json": {"timestampFormat": "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"},
+    "orc": {},
+    "parquet": {},
+}
+
+
+def write_format(
+    df: DataFrame,
+    path: str,
+    fmt: str,
+    partition_by: list[str] | None = None,
+    mode: str = "overwrite",
+    **options: str,
+) -> None:
+    """Generic batch sink over Spark's built-in columnar/text formats
+    (``parquet`` / ``orc`` / ``json`` / ``csv``) with value-preserving
+    defaults — one engine, many storage formats, same plan. CSV/JSON
+    carry no type metadata, so readers should pass the schema back
+    (see ``loaders.read_format``)."""
+    if fmt not in _FORMAT_WRITE_OPTS:
+        raise ValueError(f"unsupported format {fmt!r}; one of {sorted(_FORMAT_WRITE_OPTS)}")
+    w = df.write.mode(mode).format(fmt).options(**{**_FORMAT_WRITE_OPTS[fmt], **options})
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.save(path)
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,
