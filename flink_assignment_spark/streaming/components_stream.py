@@ -1,0 +1,153 @@
+"""Incremental connected components — streaming duplicate-cluster
+maintenance.
+
+Closes the last batch-only stage of the dedup lifecycle: the LSH
+stream emits near-dup PAIRS incrementally, but turning pairs into
+CLUSTERS (q29) was a batch recomputation over all pairs ever seen.
+This sink maintains the (node → component-min) mapping itself under
+``foreachBatch``:
+
+1. find the components AFFECTED by the batch: mapping rows whose node
+   appears in a new pair, then every row sharing those components —
+   two semi-join-shaped passes over the state, volume bounded by
+   affected-component size, not corpus size;
+2. solve the LOCAL graph — new pairs ∪ the affected components' star
+   edges (node → component) — with the same
+   ``operators.components.connected_components`` the batch query
+   uses (driver union-find below its size threshold, distributed star
+   contraction above);
+3. rewrite only the node-hash partitions holding relabeled nodes
+   (``streaming._state.swap_partitions``).
+
+Correctness: a component's stored label is its min node id, so the
+local graph contains every node of every component any new edge can
+merge, and the local minimum IS the global minimum of the merged
+component. Nodes in untouched components are never read twice nor
+rewritten. Replay: the ``_applied_batch`` marker makes redelivery a
+no-op; the fold itself is idempotent (same pairs → same labels).
+
+100 TB argument: per-batch cost is O(batch pairs + affected
+component volume). Near-dup clusters are small by nature (and
+upstream caps bound degenerate ones), so affected volume tracks batch
+size; the full mapping is only ever touched through partition-pruned
+reads and bounded partition swaps. Worst case — a batch whose edges
+chain every cluster together — degrades to the batch job, not to
+wrongness. The q29 parity test replays exactly such a cross-batch
+merge.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.components import connected_components
+from ._state import applied_batch, commit_marker, swap_partitions
+
+N_PT = 64
+
+
+def _mapping_path(state_dir: str) -> str:
+    return os.path.join(state_dir, "mapping")
+
+
+def _pt(col):
+    return F.pmod(F.crc32(col.cast("string")), F.lit(N_PT)).cast("int")
+
+
+def merge_components_batch(
+    pairs_df: DataFrame,
+    batch_id: int,
+    state_dir: str,
+    src_col: str = "doc_a",
+    dst_col: str = "doc_b",
+) -> None:
+    """Fold one micro-batch of near-dup pairs into the cluster state."""
+    if batch_id <= applied_batch(state_dir):
+        return
+    spark = pairs_df.sparkSession
+    os.makedirs(state_dir, exist_ok=True)
+    mpath = _mapping_path(state_dir)
+
+    new_edges = pairs_df.select(
+        F.col(src_col).alias("a"), F.col(dst_col).alias("b")
+    ).distinct()
+    if new_edges.rdd.isEmpty():
+        commit_marker(state_dir, batch_id)
+        return
+    batch_nodes = (
+        new_edges.select(F.col("a").alias("node"))
+        .union(new_edges.select(F.col("b").alias("node")))
+        .distinct()
+    )
+
+    have_state = os.path.exists(os.path.join(mpath, "_SUCCESS"))
+    if have_state:
+        m = spark.read.option("basePath", mpath).parquet(mpath)
+        touched_comps = (
+            m.join(batch_nodes, "node").select("component").distinct()
+        )
+        affected = m.join(F.broadcast(touched_comps), "component").select(
+            "node", "component"
+        ).cache()
+        graph = new_edges.unionByName(
+            affected.select(
+                F.col("node").alias("a"), F.col("component").alias("b")
+            )
+        )
+    else:
+        m = None
+        affected = None
+        graph = new_edges
+
+    relabeled = connected_components(graph, "a", "b").cache()
+    touched = [
+        int(r["pt"])
+        for r in relabeled.select(_pt(F.col("node")).alias("pt")).distinct().collect()
+    ]
+    out = relabeled
+    if m is not None:
+        # a touched partition is replaced wholesale: carry its
+        # unchanged rows (nodes of components the batch did not reach)
+        carried = (
+            m.withColumn("pt", _pt(F.col("node")))
+            .filter(F.col("pt").isin(touched))
+            .join(relabeled.select("node"), "node", "left_anti")
+            .select("node", "component")
+        )
+        out = relabeled.unionByName(carried)
+    swap_partitions(
+        out.select("node", "component", _pt(F.col("node")).alias("pt")),
+        mpath,
+        "pt",
+        touched,
+    )
+    relabeled.unpersist()
+    if affected is not None:
+        affected.unpersist()
+    commit_marker(state_dir, batch_id)
+
+
+def incremental_components(
+    pairs: DataFrame,
+    state_dir: str,
+    src_col: str = "doc_a",
+    dst_col: str = "doc_b",
+):
+    """Start the cluster-maintenance query; returns the StreamingQuery."""
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        merge_components_batch(batch_df, batch_id, state_dir, src_col, dst_col)
+
+    return pairs.writeStream.outputMode("append").foreachBatch(_sink).start()
+
+
+def read_components(spark: SparkSession, state_dir: str) -> DataFrame:
+    """The maintained (node, component) mapping; empty typed frame
+    before any pair has arrived."""
+    mpath = _mapping_path(state_dir)
+    if not os.path.exists(os.path.join(mpath, "_SUCCESS")):
+        return spark.createDataFrame([], "node long, component long")
+    return spark.read.parquet(mpath).select("node", "component")
