@@ -1,0 +1,124 @@
+"""Reorder buffer: out-of-order events are released in event-time
+order as the watermark advances, quiet keys flush via event-time
+timeout, and events later than the declared bound are dropped."""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta, timezone
+
+from pyspark.sql import functions as F
+
+from flink_assignment_spark.streaming.reorder import reorder_buffer
+
+BASE = datetime(2024, 3, 1, tzinfo=timezone.utc)
+SCHEMA = "user_id long, event_id long, ts timestamp, value double"
+
+
+def _rows(specs):
+    """specs: (user_id, event_id, minutes, value)"""
+    return [(u, e, BASE + timedelta(minutes=m), v) for u, e, m, v in specs]
+
+
+def test_reorder_buffer_full_contract(spark, tmp_path):
+    d = tmp_path / "ev"
+    d.mkdir()
+    batches = [
+        # b1: key 1 out of order within the batch (10, then 7)
+        _rows([(1, 100, 10, 1.0), (1, 101, 7, 2.0)]),
+        # b2: an even earlier event (3 — still >= watermark 0) and a
+        # later one (20); watermark after b2 = 20 - 10 = 10
+        _rows([(1, 102, 3, 3.0), (1, 103, 20, 4.0)]),
+        # b3: a tick advances the watermark to 30; key 1 is NOT in
+        # this batch — its buffered 3/7/10 flush via timeout. Also a
+        # too-late key-1 event (5 < watermark 10) that must drop.
+        _rows([(9, 900, 40, 0.0), (1, 104, 5, 9.9)]),
+        # b4: tick to watermark 40 — drains key 1's minute-20 event
+        _rows([(9, 901, 50, 0.0)]),
+    ]
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, SCHEMA).coalesce(1).write.parquet(
+            str(d / f"b{i}")
+        )
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d) + "/*")
+    )
+    captured = []
+
+    def sink(batch_df, batch_id):
+        captured.extend((batch_id, tuple(r)) for r in batch_df.collect())
+
+    q = (
+        reorder_buffer(stream, "user_id", "ts", "10 minutes")
+        .writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    by_key: dict = {}
+    for bid, row in captured:
+        by_key.setdefault(row[0], []).append((bid, row))
+    # the dropped-late event never surfaces
+    assert all(r[1][1] != 104 for r in captured)
+    # key 1: all four in-bound events emitted (set-complete)
+    k1 = by_key[1]
+    assert {r[1][1] for r in k1} == {100, 101, 102, 103}
+    # emission spans >= 2 micro-batches (the minute-20 event can only
+    # drain in a later batch, via the event-time timeout)
+    bids = {bid for bid, _ in k1}
+    assert len(bids) >= 2
+    late_bid = max(bid for bid, r in k1 if r[1] == 103)
+    assert all(bid < late_bid for bid, r in k1 if r[1] != 103)
+    # within each emitted frame rows are ts-sorted (captured order),
+    # and across batches a later batch never emits an earlier event
+    for bid in bids:
+        seq = [r[2] for b, r in k1 if b == bid]
+        assert seq == sorted(seq), (bid, seq)
+    for (b1, r1) in k1:
+        for (b2, r2) in k1:
+            if b1 < b2:
+                assert r1[2] <= r2[2]
+
+
+def test_reorder_feeds_the_in_order_asof_contract(spark, tmp_path):
+    """Compose: out-of-order views/purchases → reorder buffer →
+    (captured per batch, i.e. the order a downstream keyed stream
+    would see) equals the event-time order the as-of stream requires."""
+    d = tmp_path / "ev2"
+    d.mkdir()
+    b0 = _rows([(5, 500, 12, 1.0), (5, 501, 4, 2.0)])
+    b1 = _rows([(5, 502, 30, 3.0)])
+    b2 = _rows([(9, 900, 60, 0.0)])  # drain tick
+    b3 = _rows([(9, 901, 80, 0.0)])
+    for i, rows in enumerate([b0, b1, b2, b3]):
+        spark.createDataFrame(rows, SCHEMA).coalesce(1).write.parquet(
+            str(d / f"b{i}")
+        )
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d) + "/*")
+    )
+    seen = []
+
+    def sink(batch_df, batch_id):
+        seen.extend(
+            tuple(r) for r in batch_df.filter(F.col("user_id") == 5).collect()
+        )
+
+    q = (
+        reorder_buffer(stream, "user_id", "ts", "10 minutes")
+        .writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert [r[1] for r in seen] == [501, 500, 502]  # strict ts order
