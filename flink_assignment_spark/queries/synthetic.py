@@ -4290,6 +4290,89 @@ REGISTRY.update(
 )
 
 
+def q98_forecast_revenue_change(spark, sf_dir):
+    """TPC-H Q6-shaped: the canonical pure-scan aggregate — potential
+    revenue change from dropping small-quantity discounts. Every
+    predicate (ship-year window, discount band, quantity cap) must
+    reach the parquet scan; the whole query is one partial+final
+    aggregation with zero joins. Revenue = Σ extendedprice·discount in
+    exact integer 1e-4-dollar units (cents × discount-hundredths)."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01")
+        & (F.col("l_shipdate") < "1998-01-01")
+        & (F.col("l_discount").between(0.02, 0.06))
+        & (F.col("l_quantity") < 24)
+    )
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc_h = F.round(F.col("l_discount") * 100).cast("long")
+    return li.agg(
+        F.count("*").alias("n_lines"),
+        (F.sum(cents * disc_h) / 10000.0).alias("revenue"),
+    )
+
+
+Q98_SQL = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+       SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+           * CAST(round(l_discount * 100) AS BIGINT)) / 10000.0 AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND l_discount BETWEEN 0.02 AND 0.06
+  AND l_quantity < 24
+"""
+
+
+def q99_top_supplier(spark, sf_dir):
+    """TPC-H Q15-shaped: the supplier(s) with maximum revenue in one
+    ship-quarter. TPC-H phrases it as a correlated max-against-a-view;
+    here the per-supplier aggregate (supplier-cardinality frame) is
+    computed once and the global max folds in as a literal (the
+    mixture_rates pattern — a bounded scalar, no single-row cross
+    join, no second fact scan), with ties kept deterministically."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1997-04-01")
+    )
+    per_supp = (
+        li.groupBy("l_suppkey").agg(F.sum(_rev_units()).alias("units")).cache()
+    )
+    top = per_supp.agg(F.max("units")).collect()[0][0]
+    supp = _t(spark, sf_dir, "supplier")
+    return (
+        per_supp.filter(F.col("units") == top)
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .select(
+            F.col("s_suppkey"),
+            "s_name",
+            (F.col("units") / 10000.0).alias("total_revenue"),
+        )
+    )
+
+
+Q99_SQL = f"""
+WITH rev AS (
+  SELECT l_suppkey, SUM({_REV_UNITS_SQL}) AS units
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, units / 10000.0 AS total_revenue
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE units = (SELECT MAX(units) FROM rev)
+"""
+
+
+REGISTRY.update(
+    {
+        "q98_forecast_revenue_change": QuerySpec(
+            q98_forecast_revenue_change, Q98_SQL
+        ),
+        "q99_top_supplier": QuerySpec(q99_top_supplier, Q99_SQL),
+    }
+)
+
+
 # ------------------------------------------------------------------------
 # Registry ordering contract: the driver's correctness harness records at
 # most 50 entries per round (CORRECTNESS_r02 stopped at exactly 50 while
@@ -4299,7 +4382,7 @@ REGISTRY.update(
 #   [0, 50)  the first 50 oracle-bearing queries, original order
 #            (q01..q54)
 #   next     every other oracle-bearing query in insertion order
-#            (q56..q63, q65-q78, q80, q86, q87, q83, q88-q97 — file
+#            (q56..q63, q65-q78, q80, q86, q87, q83, q88-q99 — file
 #            insertion order), then q55 — beyond
 #            the driver cap, but tests/test_synthetic_queries.py runs
 #            the SAME compare on every one of them each CI pass

@@ -24,7 +24,7 @@ ACROSS micro-batches (within a batch they are sorted here) — the same
 in-order replay contract as the funnel/CEP/LSH streams, matching the
 reference's ascending-timestamp assumption. An out-of-order view
 would retroactively re-attribute already-emitted purchases, which an
-append-mode stream cannot do; buffer-and-sort on the watermark
+append-mode stream cannot do; compose ``streaming.reorder.reorder_buffer``
 upstream for out-of-order sources.
 """
 

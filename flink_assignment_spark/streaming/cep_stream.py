@@ -15,7 +15,7 @@ Input-order contract: events must arrive in event-time order ACROSS
 micro-batches per key (within a batch they are sorted). This mirrors
 the reference's explicit in-order assumption
 (``AscendingTimestampExtractor``, reference README.md:114); for
-out-of-order sources, buffer-and-sort on the watermark upstream.
+out-of-order sources, compose ``streaming.reorder.reorder_buffer`` upstream.
 """
 
 from __future__ import annotations

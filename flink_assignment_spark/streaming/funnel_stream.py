@@ -23,7 +23,7 @@ so a restart would emit rows batch never produces.
 
 Input-order contract: events must arrive in event-time order per key
 ACROSS micro-batches (within a batch they are sorted here). For
-out-of-order sources, buffer-and-sort on the watermark upstream.
+out-of-order sources, compose ``streaming.reorder.reorder_buffer`` upstream.
 """
 
 from __future__ import annotations
