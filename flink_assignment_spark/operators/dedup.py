@@ -420,6 +420,37 @@ def simhash_fingerprints(
     return summed.select("doc_id", fp.alias("simhash"))
 
 
+def blocked_fingerprints(
+    fps: DataFrame,
+    id_col: str,
+    fp_col: str,
+    bits: int,
+    max_hamming: int,
+) -> DataFrame:
+    """Pigeonhole block rows for a fingerprint frame: one row per
+    (doc_id, fp, blk, val) — the ``max_hamming+1`` bit-blocks whose
+    equality blocks the Hamming join. Shared by :func:`hamming_pairs`
+    and the streaming SimHash detector (identical keys by
+    construction)."""
+    n_blocks = max_hamming + 1
+    block_w = bits // n_blocks
+    blocks = []
+    for i in range(n_blocks):
+        lo = i * block_w
+        width = block_w if i < n_blocks - 1 else bits - lo
+        # width == 64 (bits=64, max_hamming=0): the full-width mask
+        # exceeds a signed long literal; the identity slice needs none
+        shifted = F.shiftright(F.col(fp_col), lo)
+        val = shifted if width >= 64 else shifted.bitwiseAND(F.lit((1 << width) - 1))
+        blocks.append(F.struct(F.lit(i).alias("blk"), val.alias("val")))
+    return fps.select(
+        F.col(id_col).alias("doc_id"), F.col(fp_col).alias("fp"),
+        F.explode(F.array(*blocks)).alias("b"),
+    ).select(
+        "doc_id", "fp", F.col("b.blk").alias("blk"), F.col("b.val").alias("val")
+    )
+
+
 def hamming_pairs(
     fps: DataFrame,
     id_col: str,
@@ -444,26 +475,10 @@ def hamming_pairs(
     fingerprint shared by k inputs otherwise forms a k² join clique on
     one key. ``None`` (the q17 path, whose DuckDB oracle mirrors the
     uncapped join) keeps exact recall."""
-    n_blocks = max_hamming + 1
-    block_w = bits // n_blocks
-    blocks = []
-    for i in range(n_blocks):
-        lo = i * block_w
-        width = block_w if i < n_blocks - 1 else bits - lo
-        # width == 64 (bits=64, max_hamming=0): the full-width mask
-        # exceeds a signed long literal; the identity slice needs none
-        shifted = F.shiftright(F.col(fp_col), lo)
-        val = shifted if width >= 64 else shifted.bitwiseAND(F.lit((1 << width) - 1))
-        blocks.append(F.struct(F.lit(i).alias("blk"), val.alias("val")))
     # cache: the self-join below references this subtree twice, and
     # Spark re-executes the upstream fingerprint pipeline once per
     # side without it
-    blocked = fps.select(
-        F.col(id_col).alias("doc_id"), F.col(fp_col).alias("fp"),
-        F.explode(F.array(*blocks)).alias("b"),
-    ).select(
-        "doc_id", "fp", F.col("b.blk").alias("blk"), F.col("b.val").alias("val")
-    ).cache()
+    blocked = blocked_fingerprints(fps, id_col, fp_col, bits, max_hamming).cache()
     if max_block_bucket is not None:
         # the over-cap cell list is bounded by N/cap rows (each holds
         # > cap members) — broadcastable at any corpus size, unlike
