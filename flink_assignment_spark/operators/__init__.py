@@ -2,15 +2,29 @@ from .asof import asof_join
 from .cep import followed_by
 from .components import connected_components, dedup_clusters
 from .dedup import (
+    chunk_occurrences,
+    containment_pairs,
     exact_dedup,
     minhash_lsh_pairs,
     minhash_signatures,
     ngram_jaccard_pairs,
     simhash_fingerprints,
     simhash_pairs,
+    substring_occurrences,
+    substring_scrub,
 )
+from .frequent import heavy_hitters
+from .gates import compression_stats, contaminated_counts, pii_stats, repetition_stats
 from .interval_join import bucketed_interval_join, interval_join
-from .sampling import assign_split, stratified_sample, uniform_from_key
+from .lm import bigram_lm_scores, export_lm, score_with_broadcast_lm
+from .packing import pack_stats
+from .sampling import (
+    assign_split,
+    mixture_rates,
+    mixture_rebalance,
+    stratified_sample,
+    uniform_from_key,
+)
 from .sessionize import session_stats, sessionize
 from .similarity import cosine_neardup_pairs, cosine_topk, ivf_topk, lsh_topk
 from .skew import salted_agg, salted_join
@@ -18,25 +32,40 @@ from .skew import salted_agg, salted_join
 __all__ = [
     "asof_join",
     "assign_split",
-    "stratified_sample",
-    "uniform_from_key",
-    "followed_by",
-    "connected_components",
-    "dedup_clusters",
-    "exact_dedup",
-    "minhash_lsh_pairs",
-    "minhash_signatures",
-    "ngram_jaccard_pairs",
-    "simhash_fingerprints",
-    "simhash_pairs",
-    "interval_join",
+    "bigram_lm_scores",
     "bucketed_interval_join",
-    "session_stats",
-    "sessionize",
+    "chunk_occurrences",
+    "compression_stats",
+    "connected_components",
+    "containment_pairs",
+    "contaminated_counts",
     "cosine_neardup_pairs",
     "cosine_topk",
+    "dedup_clusters",
+    "exact_dedup",
+    "export_lm",
+    "followed_by",
+    "heavy_hitters",
+    "interval_join",
     "ivf_topk",
     "lsh_topk",
+    "minhash_lsh_pairs",
+    "minhash_signatures",
+    "mixture_rates",
+    "mixture_rebalance",
+    "ngram_jaccard_pairs",
+    "pack_stats",
+    "pii_stats",
+    "repetition_stats",
     "salted_agg",
     "salted_join",
+    "score_with_broadcast_lm",
+    "session_stats",
+    "sessionize",
+    "simhash_fingerprints",
+    "simhash_pairs",
+    "stratified_sample",
+    "substring_occurrences",
+    "substring_scrub",
+    "uniform_from_key",
 ]
