@@ -1,0 +1,155 @@
+"""Fluent corpus-pipeline builder — the user-facing front door.
+
+The registry proves each operator individually and q83 proves they
+compose; this module is the API a pipeline author actually writes:
+
+    from flink_assignment_spark.pipeline import CorpusPipeline
+
+    kept = (
+        CorpusPipeline(docs)
+        .normalize()
+        .gate_repetition()
+        .decontaminate(probe_docs)
+        .dedup_exact()
+        .sample_mixture({"en": 0.5, "de": 0.5})
+        .df
+    )
+
+Every stage is a THIN wrapper over the proven operators/gates and
+returns a new immutable pipeline around a transformed DataFrame — so
+the whole chain stays ONE lazy Catalyst DAG (narrow gates fuse into
+the scan; only the operators' documented wide steps shuffle), exactly
+like the hand-written q83. Nothing executes until the caller acts on
+``.df``. ``lineage`` records the applied stages for audit output.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .functions.text import tokens, word_shingles
+from .operators.gates import compression_stats, shingle_hash_array
+
+
+def normalize_text(col: Column) -> Column:
+    """Canonical cleaning (the q74 transform): lowercase → strip
+    non-alphanumerics → collapse whitespace runs → trim."""
+    return F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(col), r"[^a-z0-9\s]", ""), r"\s+", " "
+        )
+    )
+
+
+class CorpusPipeline:
+    """Immutable fluent wrapper: each stage returns a NEW pipeline."""
+
+    def __init__(
+        self,
+        docs: DataFrame,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        lineage: tuple[str, ...] = (),
+    ):
+        self._df = docs
+        self.text_col = text_col
+        self.id_col = id_col
+        self.lineage = lineage
+
+    # ------------------------------------------------------------ core
+    @property
+    def df(self) -> DataFrame:
+        return self._df
+
+    def _next(self, df: DataFrame, stage: str) -> "CorpusPipeline":
+        return CorpusPipeline(
+            df, self.text_col, self.id_col, self.lineage + (stage,)
+        )
+
+    # ---------------------------------------------------- text shaping
+    def normalize(self) -> "CorpusPipeline":
+        """Replace the text column with its canonical form (q74)."""
+        out = self._df.withColumn(self.text_col, normalize_text(F.col(self.text_col)))
+        return self._next(out, "normalize")
+
+    # ----------------------------------------------------------- gates
+    def gate_repetition(self, max_ratio_x5: int = 1) -> "CorpusPipeline":
+        """Gopher repetition gate in exact integer math: keep docs with
+        ``(total − distinct)·5 ≤ total·max_ratio_x5`` — the default is
+        the q61/q83 ratio ≤ 0.2 rule, float-boundary-free."""
+        tk = tokens(F.col(self.text_col))
+        total = F.greatest(F.size(tk) - 2, F.lit(0))
+        distinct = F.size(word_shingles(tk, 3))
+        out = self._df.filter((total - distinct) * 5 <= total * max_ratio_x5)
+        return self._next(out, "gate_repetition")
+
+    def gate_compression(self) -> "CorpusPipeline":
+        """Keep docs whose zlib ratio bands 'ok' (q79's thresholds —
+        drops boilerplate/looped spam and base64/noise)."""
+        stats = compression_stats(self._df, self.text_col, self.id_col).select(
+            self.id_col, "band"
+        )
+        out = self._df.join(
+            stats.filter(F.col("band") == "ok").drop("band"), self.id_col, "left_semi"
+        )
+        return self._next(out, "gate_compression")
+
+    def decontaminate(self, probe_docs: DataFrame) -> "CorpusPipeline":
+        """Drop every doc sharing a word-3-gram with ``probe_docs``
+        (same text column name) — the q60/q83 broadcast probe rule."""
+        probe = (
+            probe_docs.select(
+                F.explode(shingle_hash_array(F.col(self.text_col))).alias("h")
+            )
+            .distinct()
+        )
+        sh = self._df.select(
+            self.id_col,
+            F.explode_outer(shingle_hash_array(F.col(self.text_col))).alias("h"),
+        ).filter(F.col("h").isNotNull())
+        dirty = sh.join(F.broadcast(probe), "h").select(self.id_col).distinct()
+        out = self._df.join(dirty, self.id_col, "left_anti")
+        return self._next(out, "decontaminate")
+
+    # ----------------------------------------------------------- dedup
+    def dedup_exact(self) -> "CorpusPipeline":
+        """Keep each exact-duplicate group's min-id doc (q62 apply):
+        one keep-first window on the near-uniform md5 key."""
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(F.md5(F.col(self.text_col))).orderBy(self.id_col)
+        out = (
+            self._df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        return self._next(out, "dedup_exact")
+
+    # -------------------------------------------------------- sampling
+    def sample_mixture(
+        self, weights: dict[str, float], group_col: str = "lang", salt: str = "mix"
+    ) -> "CorpusPipeline":
+        """Rebalance to target group weights (q67)."""
+        from .operators.sampling import mixture_rebalance
+
+        out = mixture_rebalance(self._df, self.id_col, group_col, weights, salt)
+        return self._next(out, "sample_mixture")
+
+    def sample_stratified(
+        self, rates: dict[str, float], stratum: str = "lang", salt: str = "sample"
+    ) -> "CorpusPipeline":
+        """Deterministic per-stratum downsampling (q35)."""
+        from .operators.sampling import stratified_sample
+
+        out = stratified_sample(self._df, self.id_col, stratum, rates, salt)
+        return self._next(out, "sample_stratified")
+
+    # ----------------------------------------------------------- audit
+    def yield_summary(self, group_col: str = "source") -> DataFrame:
+        """Survivor counts per group plus the pipeline lineage — the
+        q83-style audit frame."""
+        return self._df.groupBy(group_col).agg(
+            F.count("*").alias("n_docs"),
+            F.lit(" > ".join(self.lineage) or "(identity)").alias("pipeline"),
+        )

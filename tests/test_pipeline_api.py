@@ -1,0 +1,81 @@
+"""The fluent CorpusPipeline reproduces the hand-written q83 pipeline
+stage-for-stage, stays a single lazy plan, and its extra gates behave
+per their operator contracts."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from flink_assignment_spark.pipeline import CorpusPipeline
+from flink_assignment_spark.queries.synthetic import REGISTRY
+from flink_assignment_spark.sources.loaders import load_table
+
+from .conftest import SF_DIR
+
+
+def test_pipeline_matches_q83_survivors(spark):
+    docs = load_table(spark, SF_DIR, "documents")
+    corpus = docs.filter(F.col("doc_id") >= 20).select("doc_id", "text", "source")
+    probe = (
+        CorpusPipeline(docs.filter(F.col("doc_id") < 20).select("doc_id", "text"))
+        .normalize()
+        .df
+    )
+    p = (
+        CorpusPipeline(corpus)
+        .normalize()
+        .gate_repetition()
+        .decontaminate(probe)
+        .dedup_exact()
+    )
+    assert p.lineage == (
+        "normalize",
+        "gate_repetition",
+        "decontaminate",
+        "dedup_exact",
+    )
+    got = {
+        r["source"]: r["n_docs"] for r in p.yield_summary("source").collect()
+    }
+    want = {
+        r["source"]: r["n_kept"]
+        for r in REGISTRY["q83_pipeline_e2e"].spark(spark, SF_DIR).collect()
+    }
+    assert got == want and len(want) > 0
+
+
+def test_pipeline_is_one_lazy_plan(spark):
+    """No stage materializes anything: building the full chain must
+    not trigger a Spark job (mixture/compression stages excepted —
+    they fold bounded scalars by contract)."""
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text", "source")
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup() or [])
+    p = (
+        CorpusPipeline(docs)
+        .normalize()
+        .gate_repetition()
+        .dedup_exact()
+    )
+    after = len(tracker.getJobIdsForGroup() or [])
+    assert after == before, "pipeline building must stay lazy"
+    assert p.df.count() > 0  # executes only now
+
+
+def test_pipeline_compression_and_stratified_gates(spark):
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "doc_id", "text", "lang", "source"
+    )
+    p = CorpusPipeline(docs).gate_compression()
+    n_ok = p.df.count()
+    from flink_assignment_spark.operators.gates import compression_stats
+
+    want_ok = compression_stats(docs).filter("band = 'ok'").count()
+    assert n_ok == want_ok > 0
+    p2 = p.sample_stratified({"en": 0.3, "fr": 0.8})
+    kept = p2.df
+    assert kept.count() < n_ok
+    assert set(
+        r["lang"] for r in kept.select("lang").distinct().collect()
+    ) <= {"en", "fr"}
+    assert p2.lineage == ("gate_compression", "sample_stratified")
