@@ -142,7 +142,7 @@ def test_state_bucket_saturation_valve(spark, tmp_path):
     analogue of batch max_bucket."""
     import os
 
-    from flink_assignment_spark.streaming.lsh_stream import _buckets_path
+    from flink_assignment_spark.streaming._detector import buckets_path as _buckets_path
 
     cap = 4
     in_dir = tmp_path / "in"
