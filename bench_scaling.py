@@ -158,6 +158,100 @@ def stream_lsh_sweep(
     return out
 
 
+def stream_simhash_sweep(
+    spark, scales: list[int], n_batches: int = 10, max_state_bucket: int = 50
+) -> dict:
+    """Per-batch latency of the incremental SimHash detector (same
+    protocol as the LSH sweep — the two share the bucketed-detector
+    engine, so this isolates the cost of the cheaper signature)."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from flink_assignment_spark.streaming.simhash_stream import merge_simhash_batch
+
+    out = {}
+    for n in scales:
+        base = f"/tmp/fas_docscale_{n}"
+        ensure_documents(spark, n, os.path.join(base, "documents.parquet"))
+        docs = spark.read.parquet(os.path.join(base, "documents.parquet"))
+        state_dir = f"/tmp/fas_simhash_stream_{n}"
+        if os.path.exists(state_dir):
+            shutil.rmtree(state_dir)
+        os.makedirs(state_dir)
+        bsz = n // n_batches
+        per_batch = []
+        for b in range(n_batches):
+            batch = docs.filter(
+                (F.col("doc_id") >= b * bsz) & (F.col("doc_id") < (b + 1) * bsz)
+            )
+            t0 = time.monotonic()
+            merge_simhash_batch(batch, b, state_dir, max_state_bucket=max_state_bucket)
+            per_batch.append(round(time.monotonic() - t0, 2))
+        from flink_assignment_spark.streaming.simhash_stream import read_verified_pairs
+
+        out[str(n)] = {
+            "per_batch_sec": per_batch,
+            "batch_rows": bsz,
+            "verified_pairs": read_verified_pairs(spark, state_dir).count(),
+        }
+        shutil.rmtree(state_dir)
+    return out
+
+
+def stream_cc_sweep(spark, scales: list[int], n_batches: int = 10) -> dict:
+    """Per-batch latency of incremental connected components as the
+    mapping state grows. Pairs come straight from the doc generator's
+    known group structure (groups of 3 near-dups → 3 pairs per group,
+    O(n) true pairs), id-ordered — so per-batch affected-component
+    volume stays constant while total state grows 10×; flat per-batch
+    cost is the claim under test."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from flink_assignment_spark.streaming.components_stream import (
+        merge_components_batch,
+        read_components,
+    )
+
+    out = {}
+    for n in scales:
+        g = (F.col("id") / 3).cast("long") * 3
+        pairs = (
+            spark.range(n)
+            .select(
+                F.when(F.col("id") % 3 == 0, g)
+                .when(F.col("id") % 3 == 1, g)
+                .otherwise(g + 1)
+                .alias("doc_a"),
+                F.when(F.col("id") % 3 == 0, g + 1)
+                .when(F.col("id") % 3 == 1, g + 2)
+                .otherwise(g + 2)
+                .alias("doc_b"),
+            )
+        )
+        state_dir = f"/tmp/fas_cc_stream_{n}"
+        if os.path.exists(state_dir):
+            shutil.rmtree(state_dir)
+        bsz = n // n_batches
+        per_batch = []
+        for b in range(n_batches):
+            batch = pairs.filter(
+                (F.col("doc_a") >= b * bsz) & (F.col("doc_a") < (b + 1) * bsz)
+            )
+            t0 = time.monotonic()
+            merge_components_batch(batch, b, state_dir)
+            per_batch.append(round(time.monotonic() - t0, 2))
+        out[str(n)] = {
+            "per_batch_sec": per_batch,
+            "batch_pairs": bsz,
+            "mapping_rows": read_components(spark, state_dir).count(),
+        }
+        shutil.rmtree(state_dir)
+    return out
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument(
@@ -192,6 +286,17 @@ def main() -> None:
         help="run ONLY the streaming-LSH per-batch latency sweep "
         "(10 micro-batches per scale, scales from --doc-scales)",
     )
+    ap.add_argument(
+        "--stream-simhash",
+        action="store_true",
+        help="run ONLY the streaming-SimHash per-batch latency sweep",
+    )
+    ap.add_argument(
+        "--stream-cc",
+        action="store_true",
+        help="run ONLY the incremental connected-components sweep "
+        "(pair counts from --doc-scales)",
+    )
     args = ap.parse_args()
 
     from flink_assignment_spark.queries.synthetic import REGISTRY  # noqa: F401
@@ -205,6 +310,26 @@ def main() -> None:
                 {
                     "metric": "streaming-LSH per-batch latency vs corpus state",
                     "stream_lsh": stream_lsh_sweep(spark, args.doc_scales),
+                }
+            )
+        )
+        return
+    if args.stream_simhash:
+        print(
+            json.dumps(
+                {
+                    "metric": "streaming-SimHash per-batch latency vs corpus state",
+                    "stream_simhash": stream_simhash_sweep(spark, args.doc_scales),
+                }
+            )
+        )
+        return
+    if args.stream_cc:
+        print(
+            json.dumps(
+                {
+                    "metric": "incremental-CC per-batch latency vs mapping state",
+                    "stream_cc": stream_cc_sweep(spark, args.doc_scales),
                 }
             )
         )
