@@ -29,7 +29,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .functions.text import tokens, word_shingles
-from .operators.gates import compression_stats, shingle_hash_array
+from .operators.gates import shingle_hash_array
 
 
 def normalize_text(col: Column) -> Column:
@@ -86,24 +86,61 @@ class CorpusPipeline:
 
     def gate_compression(self) -> "CorpusPipeline":
         """Keep docs whose zlib ratio bands 'ok' (q79's thresholds —
-        drops boilerplate/looped spam and base64/noise)."""
-        stats = compression_stats(self._df, self.text_col, self.id_col).select(
-            self.id_col, "band"
-        )
-        out = self._df.join(
-            stats.filter(F.col("band") == "ok").drop("band"), self.id_col, "left_semi"
+        drops boilerplate/looped spam and base64/noise). A NARROW
+        filter (one Arrow UDF + ratio compare inline), so it applies
+        unchanged to a streaming frame — no join, no state."""
+        from .functions._pandas_udfs import make_zlib_len_udf
+        from .operators.gates import COMPRESS_RANDOM, COMPRESS_REPETITIVE, ZLIB_LEVEL
+
+        zl = make_zlib_len_udf(ZLIB_LEVEL)
+        raw = F.length(F.encode(F.col(self.text_col), "utf-8"))
+        # round(·, 4) before banding — compression_stats' exact rule,
+        # so this filter admits precisely its 'ok' band
+        ratio = F.round(zl(F.col(self.text_col)) / raw, 4)
+        out = self._df.filter(
+            (F.coalesce(raw, F.lit(0)) > 0)
+            & ratio.between(COMPRESS_REPETITIVE, COMPRESS_RANDOM)
         )
         return self._next(out, "gate_compression")
 
     def decontaminate(self, probe_docs: DataFrame) -> "CorpusPipeline":
         """Drop every doc sharing a word-3-gram with ``probe_docs``
-        (same text column name) — the q60/q83 broadcast probe rule."""
+        (same text column name; probe sets are eval-suite-bounded by
+        contract). Batch plans the q60/q83 broadcast probe anti-join
+        (JVM-side); a streaming frame can't anti-join against a set
+        derived from itself, so it takes the ``gates_stream`` shape
+        instead — the probe SET broadcast into one Arrow UDF, a
+        stateless narrow filter. Same kept set either way."""
         probe = (
             probe_docs.select(
                 F.explode(shingle_hash_array(F.col(self.text_col))).alias("h")
             )
             .distinct()
         )
+        if self._df.isStreaming:
+            import pandas as pd  # noqa: F401
+
+            bc = self._df.sparkSession.sparkContext.broadcast(
+                frozenset(r["h"] for r in probe.collect())
+            )
+
+            # NOTE: no type hints — this module uses postponed
+            # annotations, which pandas_udf cannot resolve (the
+            # operators/gates.py pitfall); the explicit returnType +
+            # functionType carry the signature instead
+            from pyspark.sql.functions import PandasUDFType
+
+            @F.pandas_udf("boolean", PandasUDFType.SCALAR)
+            def _clean(sh_arrays):
+                ph = bc.value
+                return sh_arrays.apply(
+                    lambda arr: arr is None or all(h not in ph for h in arr)
+                )
+
+            out = self._df.filter(
+                _clean(shingle_hash_array(F.col(self.text_col)))
+            )
+            return self._next(out, "decontaminate")
         sh = self._df.select(
             self.id_col,
             F.explode_outer(shingle_hash_array(F.col(self.text_col))).alias("h"),
@@ -115,9 +152,16 @@ class CorpusPipeline:
     # ----------------------------------------------------------- dedup
     def dedup_exact(self) -> "CorpusPipeline":
         """Keep each exact-duplicate group's min-id doc (q62 apply):
-        one keep-first window on the near-uniform md5 key."""
+        one keep-first window on the near-uniform md5 key. Batch-only
+        (corpus-global window); for streams use
+        ``streaming.dedup_stream`` / ``dedup_apply``."""
         from pyspark.sql import Window
 
+        if self._df.isStreaming:
+            raise TypeError(
+                "dedup_exact is batch-only — use streaming.dedup_stream "
+                "(detection) or streaming.dedup_apply (kept-corpus upsert)"
+            )
         w = Window.partitionBy(F.md5(F.col(self.text_col))).orderBy(self.id_col)
         out = (
             self._df.withColumn("__rn", F.row_number().over(w))
@@ -130,9 +174,16 @@ class CorpusPipeline:
     def sample_mixture(
         self, weights: dict[str, float], group_col: str = "lang", salt: str = "mix"
     ) -> "CorpusPipeline":
-        """Rebalance to target group weights (q67)."""
+        """Rebalance to target group weights (q67). Batch-only (the
+        rates are corpus-global scalars); for streams use
+        ``streaming.mixture_stream``."""
         from .operators.sampling import mixture_rebalance
 
+        if self._df.isStreaming:
+            raise TypeError(
+                "sample_mixture is batch-only — use "
+                "streaming.mixture_stream.incremental_mixture_rebalance"
+            )
         out = mixture_rebalance(self._df, self.id_col, group_col, weights, salt)
         return self._next(out, "sample_mixture")
 

@@ -62,6 +62,57 @@ def test_pipeline_is_one_lazy_plan(spark):
     assert p.df.count() > 0  # executes only now
 
 
+def test_pipeline_narrow_stages_run_on_a_stream(spark, tmp_path):
+    """normalize / gate_repetition / gate_compression / decontaminate
+    / sample_stratified are narrow (or stream-static joins) and must
+    apply unchanged to a streaming frame; the batch-only stages raise
+    a pointed TypeError instead of failing deep inside Spark."""
+    import pytest
+
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "doc_id", "text", "lang", "source"
+    )
+    d = str(tmp_path / "docs")
+    docs.write.parquet(d)
+    stream = spark.readStream.schema(docs.schema).parquet(d)
+    probe = docs.filter(F.col("doc_id") < 20).select("doc_id", "text")
+    p = (
+        CorpusPipeline(stream)
+        .normalize()
+        .gate_repetition()
+        .gate_compression()
+        .decontaminate(probe)
+        .sample_stratified({"en": 0.3, "fr": 0.8})
+    )
+    assert p.df.isStreaming
+    q = (
+        p.df.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("pipe_stream")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.sql("SELECT count(*) AS n FROM pipe_stream").collect()[0]["n"]
+    # identical batch pipeline agrees row-for-row
+    want = (
+        CorpusPipeline(docs)
+        .normalize()
+        .gate_repetition()
+        .gate_compression()
+        .decontaminate(probe)
+        .sample_stratified({"en": 0.3, "fr": 0.8})
+        .df.count()
+    )
+    assert got == want > 0
+    with pytest.raises(TypeError, match="batch-only"):
+        CorpusPipeline(stream).dedup_exact()
+    with pytest.raises(TypeError, match="batch-only"):
+        CorpusPipeline(stream).sample_mixture({"en": 1.0})
+
+
 def test_pipeline_compression_and_stratified_gates(spark):
     docs = load_table(spark, SF_DIR, "documents").select(
         "doc_id", "text", "lang", "source"
