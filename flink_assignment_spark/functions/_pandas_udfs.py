@@ -187,3 +187,18 @@ def make_zlib_len_udf(level=6):
         ).astype("Int64")
 
     return zlib_len
+
+def make_probe_clean_udf(bc_probe):
+    """True iff NONE of the row's shingle hashes is in the broadcast
+    probe set — the streaming decontamination filter (the batch form
+    is a broadcast anti-join; a stream cannot anti-join a set derived
+    from itself)."""
+
+    @pandas_udf("boolean")
+    def probe_clean(sh_arrays: pd.Series) -> pd.Series:
+        ph = bc_probe.value
+        return sh_arrays.apply(
+            lambda arr: arr is None or all(h not in ph for h in arr)
+        )
+
+    return probe_clean

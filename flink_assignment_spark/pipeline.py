@@ -118,27 +118,16 @@ class CorpusPipeline:
             .distinct()
         )
         if self._df.isStreaming:
-            import pandas as pd  # noqa: F401
+            # UDF lives in _pandas_udfs (a module without postponed
+            # annotations — pandas_udf cannot resolve stringized hints)
+            from .functions._pandas_udfs import make_probe_clean_udf
 
             bc = self._df.sparkSession.sparkContext.broadcast(
                 frozenset(r["h"] for r in probe.collect())
             )
-
-            # NOTE: no type hints — this module uses postponed
-            # annotations, which pandas_udf cannot resolve (the
-            # operators/gates.py pitfall); the explicit returnType +
-            # functionType carry the signature instead
-            from pyspark.sql.functions import PandasUDFType
-
-            @F.pandas_udf("boolean", PandasUDFType.SCALAR)
-            def _clean(sh_arrays):
-                ph = bc.value
-                return sh_arrays.apply(
-                    lambda arr: arr is None or all(h not in ph for h in arr)
-                )
-
+            clean = make_probe_clean_udf(bc)
             out = self._df.filter(
-                _clean(shingle_hash_array(F.col(self.text_col)))
+                clean(shingle_hash_array(F.col(self.text_col)))
             )
             return self._next(out, "decontaminate")
         sh = self._df.select(
