@@ -46,7 +46,7 @@ from pyspark.sql import functions as F
 from ..operators.components import connected_components
 from ._state import applied_batch, commit_marker, swap_partitions
 
-N_PT = 64
+PT_RANGE = 1 << 20  # node ids per mapping partition
 
 
 def _mapping_path(state_dir: str) -> str:
@@ -54,7 +54,18 @@ def _mapping_path(state_dir: str) -> str:
 
 
 def _pt(col):
-    return F.pmod(F.crc32(col.cast("string")), F.lit(N_PT)).cast("int")
+    # RANGE partitioning on the node id, not hash partitioning: doc
+    # ids are crawl-assigned and ascending, so a micro-batch's new
+    # nodes cluster in one or two id ranges — the rewrite then touches
+    # those partitions plus the (few) ranges holding merged older
+    # components, instead of every partition every batch. Hash
+    # partitioning spread each batch across all partitions, which
+    # degraded the bounded-rewrite guarantee to a full-state rewrite
+    # (measured: per-batch cost grew ~linearly with state; range
+    # partitioning holds it flat — SCALING.md round-6). Partition
+    # count grows with corpus/PT_RANGE, which plain parquet
+    # directories handle fine.
+    return F.floor(col / F.lit(PT_RANGE)).cast("long")
 
 
 def merge_components_batch(
@@ -86,8 +97,21 @@ def merge_components_batch(
     have_state = os.path.exists(os.path.join(mpath, "_SUCCESS"))
     if have_state:
         m = spark.read.option("basePath", mpath).parquet(mpath)
+        # the batch's nodes can only live in their own id-range
+        # partitions — prune the first lookup pass to those (the
+        # affected-rows pass below still scans, as a component's
+        # members may sit in any range)
+        node_pts = [
+            int(r["p"])
+            for r in batch_nodes.select(_pt(F.col("node")).alias("p"))
+            .distinct()
+            .collect()
+        ]
         touched_comps = (
-            m.join(batch_nodes, "node").select("component").distinct()
+            m.filter(F.col("pt").isin(node_pts))
+            .join(batch_nodes, "node")
+            .select("component")
+            .distinct()
         )
         affected = m.join(F.broadcast(touched_comps), "component").select(
             "node", "component"
