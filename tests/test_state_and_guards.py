@@ -93,6 +93,39 @@ def test_dedup_apply_two_rename_swap_recovery(spark, tmp_path):
     assert _kept_rows(spark, table) == {(1, 3), (3, 1)}
 
 
+def test_detector_refold_without_marker_converges(spark, tmp_path):
+    """Crash BEFORE the marker commit: the batch is redelivered and
+    fully refolded. The bucket upsert is a set union and pairs are
+    distinct'd at read, so state and results must converge to the
+    single-delivery outcome — the at-least-once contract of the
+    shared detector engine."""
+    from flink_assignment_spark.streaming.simhash_stream import (
+        merge_simhash_batch,
+        read_verified_pairs,
+    )
+
+    state = str(tmp_path / "det")
+    docs = spark.createDataFrame(
+        [(i, f"doc body {i % 3} shared words here") for i in range(12)],
+        "doc_id long, text string",
+    )
+    merge_simhash_batch(docs, 0, state)
+    rows1 = {
+        tuple(r)
+        for r in spark.read.parquet(os.path.join(state, "buckets")).collect()
+    }
+    pairs1 = {tuple(r) for r in read_verified_pairs(spark, state).collect()}
+    assert pairs1  # the 3 repeated bodies collide
+    os.remove(os.path.join(state, "_applied_batch"))  # crash window
+    merge_simhash_batch(docs, 0, state)  # redelivery refolds everything
+    rows2 = {
+        tuple(r)
+        for r in spark.read.parquet(os.path.join(state, "buckets")).collect()
+    }
+    pairs2 = {tuple(r) for r in read_verified_pairs(spark, state).collect()}
+    assert rows1 == rows2 and pairs1 == pairs2
+
+
 def test_compression_band_expr_null_safe(spark):
     """NULL-text rows must not reach the ratio when()s as NULLs that
     fall through to 'ok' (ADVICE r5); covered end-to-end in
