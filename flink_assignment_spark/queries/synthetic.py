@@ -4373,6 +4373,158 @@ REGISTRY.update(
 )
 
 
+GROUP_BUDGET_K = 40
+
+
+def q100_group_budget_sample(spark, sf_dir):
+    """Per-group fixed-budget sampling: exactly min(K, |group|) docs
+    per language, chosen by the deterministic salted hash — the
+    per-language cap a data-mixing pipeline applies when a corpus is
+    lopsided (q72's fixed global budget, made per-stratum). One
+    row_number window per group over the hash order; the budget is
+    exact, repartition-invariant, and the same K docs survive every
+    re-run."""
+    from ..operators.sampling import uniform_from_key
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    w = Window.partitionBy("lang").orderBy(
+        uniform_from_key(F.col("doc_id"), "budget"), F.col("doc_id")
+    )
+    return (
+        docs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= GROUP_BUDGET_K)
+        .select("doc_id", "lang", F.col("rk").cast("int").alias("rk"))
+    )
+
+
+def _q100_oracle() -> str:
+    u = (
+        "CAST(CAST('0x' || substring(md5('budget:' || CAST(doc_id AS VARCHAR)), 1, 15)"
+        " AS BIGINT) AS DOUBLE) / 1152921504606846976.0"
+    )
+    return f"""
+SELECT doc_id, lang, CAST(rk AS INT) AS rk
+FROM (SELECT doc_id, lang,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY {u}, doc_id) AS rk
+      FROM documents)
+WHERE rk <= {GROUP_BUDGET_K}
+"""
+
+
+def q101_market_share(spark, sf_dir):
+    """TPC-H Q8-shaped: one nation's market share within a region —
+    the share of revenue supplied by NATION_1 suppliers among orders
+    placed by customers of region ASIA, per order year. Conditional
+    sum over one fact shuffle; every dimension (supplier+nation,
+    customer+nation+region) broadcasts. Exact integer revenue units;
+    the share is one rounded division per year row."""
+    nat = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust_asia = (
+        _t(spark, sf_dir, "customer")
+        .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("c_custkey")
+    )
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .join(F.broadcast(cust_asia), F.col("o_custkey") == F.col("c_custkey"))
+        .select("o_orderkey", "o_orderdate")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    units = _rev_units()
+    target = F.when(F.col("supp_nation") == "NATION_1", units).otherwise(F.lit(0))
+    return (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            F.sum(target).alias("nation_units"),
+            F.sum(units).alias("total_units"),
+        )
+        .select(
+            "o_year",
+            (F.col("nation_units") / 10000.0).alias("nation_revenue"),
+            (F.col("total_units") / 10000.0).alias("total_revenue"),
+            F.round(F.col("nation_units") / F.col("total_units"), 6).alias(
+                "mkt_share"
+            ),
+        )
+    )
+
+
+Q101_SQL = f"""
+WITH asia_orders AS (
+  SELECT o_orderkey, o_orderdate
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'ASIA'
+)
+SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       SUM(CASE WHEN sn.n_name = 'NATION_1' THEN {_REV_UNITS_SQL} ELSE 0 END)
+           / 10000.0 AS nation_revenue,
+       SUM({_REV_UNITS_SQL}) / 10000.0 AS total_revenue,
+       round(CAST(SUM(CASE WHEN sn.n_name = 'NATION_1' THEN {_REV_UNITS_SQL} ELSE 0 END) AS DOUBLE)
+             / SUM({_REV_UNITS_SQL}), 6) AS mkt_share
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+JOIN asia_orders ON l_orderkey = o_orderkey
+GROUP BY 1
+"""
+
+
+def q102_customer_order_distribution(spark, sf_dir):
+    """TPC-H Q13-shaped: the distribution of customers by order count
+    INCLUDING zero-order customers — the left join that a naive
+    orders-side groupBy silently drops. One orders aggregation
+    (customer-cardinality) + a broadcast-friendly left join + the
+    tiny histogram rollup."""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    per_cust = _t(spark, sf_dir, "orders").groupBy("o_custkey").agg(
+        F.count("*").alias("c_count")
+    )
+    return (
+        cust.join(per_cust, cust.c_custkey == per_cust.o_custkey, "left")
+        .select(F.coalesce("c_count", F.lit(0)).alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+    )
+
+
+Q102_SQL = """
+SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+FROM (
+  SELECT c_custkey, COALESCE(cnt, 0) AS c_count
+  FROM customer
+  LEFT JOIN (SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS cnt
+             FROM orders GROUP BY o_custkey) o
+    ON c_custkey = o_custkey
+)
+GROUP BY c_count
+"""
+
+
+REGISTRY.update(
+    {
+        "q100_group_budget_sample": QuerySpec(
+            q100_group_budget_sample, _q100_oracle()
+        ),
+        "q101_market_share": QuerySpec(q101_market_share, Q101_SQL),
+        "q102_customer_order_distribution": QuerySpec(
+            q102_customer_order_distribution, Q102_SQL
+        ),
+    }
+)
+
+
 # ------------------------------------------------------------------------
 # Registry ordering contract: the driver's correctness harness records at
 # most 50 entries per round (CORRECTNESS_r02 stopped at exactly 50 while
@@ -4382,7 +4534,7 @@ REGISTRY.update(
 #   [0, 50)  the first 50 oracle-bearing queries, original order
 #            (q01..q54)
 #   next     every other oracle-bearing query in insertion order
-#            (q56..q63, q65-q78, q80, q86, q87, q83, q88-q99 — file
+#            (q56..q63, q65-q78, q80, q86, q87, q83, q88-q102 — file
 #            insertion order), then q55 — beyond
 #            the driver cap, but tests/test_synthetic_queries.py runs
 #            the SAME compare on every one of them each CI pass
