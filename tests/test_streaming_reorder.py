@@ -85,6 +85,95 @@ def test_reorder_buffer_full_contract(spark, tmp_path):
                 assert r1[2] <= r2[2]
 
 
+def test_reorder_then_funnel_matches_batch_on_out_of_order_events(spark, tmp_path):
+    """The production topology end-to-end: out-of-order events →
+    reorder buffer → (per-batch hand-off, the files/Kafka stage
+    between two stateful queries) → streaming funnel. The funnel's
+    in-order contract is MANUFACTURED by the buffer, and the result
+    equals the batch funnel over the in-bound events."""
+    from flink_assignment_spark.operators.funnel import funnel
+    from flink_assignment_spark.streaming.funnel_stream import funnel_stream
+
+    SCHEMA_F = "user_id long, event_id long, event_type string, ts timestamp, value double"
+
+    def _ev(specs):
+        return [
+            (u, e, t, BASE + timedelta(minutes=m), 0.0) for u, e, t, m in specs
+        ]
+
+    d = tmp_path / "raw"
+    d.mkdir()
+    batches = [
+        # u1's signup arrives AFTER its click (out of order in one
+        # batch); u2's click arrives a batch before its signup
+        _ev([(1, 1, "click", 5, ), (1, 0, "signup", 0), (2, 10, "click", 8)]),
+        _ev([(2, 9, "signup", 2), (1, 2, "purchase", 9), (2, 11, "purchase", 12)]),
+        _ev([(9, 90, "tick", 60)]),   # watermark drains
+        _ev([(9, 91, "tick", 80)]),
+    ]
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, SCHEMA_F).coalesce(1).write.parquet(
+            str(d / f"b{i}")
+        )
+    stream = (
+        spark.readStream.schema(SCHEMA_F)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d) + "/*")
+    )
+    handoff = tmp_path / "ordered"
+    handoff.mkdir()
+
+    def sink(batch_df, batch_id):
+        rows = batch_df.collect()
+        if rows:
+            spark.createDataFrame(rows, batch_df.schema).coalesce(1).write.parquet(
+                str(handoff / f"o{batch_id}")
+            )
+
+    q = (
+        reorder_buffer(stream, "user_id", "ts", "10 minutes")
+        .writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    stream2 = (
+        spark.readStream.schema(SCHEMA_F)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(handoff) + "/*")
+    )
+    out = funnel_stream(
+        stream2, "user_id", "ts", "event_type", ["signup", "click", "purchase"], 600.0
+    )
+    q2 = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("reordered_funnel")
+        .start()
+    )
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    got = {
+        tuple(r) for r in spark.sql("SELECT * FROM reordered_funnel").collect()
+    }
+    all_events = spark.createDataFrame(sum(batches, []), SCHEMA_F)
+    want = {
+        (r["user_id"],)
+        + tuple(int(t.timestamp() * 1_000_000) for t in r[1:])
+        for r in funnel(
+            all_events, "user_id", "ts", "event_type",
+            ["signup", "click", "purchase"], 600.0,
+        ).collect()
+    }
+    assert got == want and len(want) == 2  # u1 and u2 both complete
+
+
 def test_reorder_feeds_the_in_order_asof_contract(spark, tmp_path):
     """Compose: out-of-order views/purchases → reorder buffer →
     (captured per batch, i.e. the order a downstream keyed stream
