@@ -231,10 +231,10 @@ AUDIO_FEATURES = (
 
 def audio_features(media: DataFrame) -> DataFrame:
     """Per-clip audio features via ``mapInPandas`` — same stage shape
-    as :func:`image_features`: decode (STUB: payload bytes as int8
-    PCM samples) → vectorized waveform stats (RMS, zero-crossing
-    count, peak) → skinny row out. A real decoder (soundfile/librosa,
-    absent from this container) replaces only ``_decode_audio_impl``.
+    as :func:`image_features`: tiered decode (soundfile when
+    installed, stdlib WAV always, int8 byte-surface fallback — see
+    ``_decode_audio_impl``) → vectorized waveform stats (RMS,
+    zero-crossing count, peak) → skinny row out.
     """
 
     def compute(batches):
