@@ -4525,6 +4525,64 @@ REGISTRY.update(
 )
 
 
+def q103_small_quantity_revenue(spark, sf_dir):
+    """TPC-H Q17-shaped: yearly revenue lost if small-quantity orders
+    (below 20% of the part's average quantity) moved to bulk. The
+    correlated per-part average decorrelates into ONE window average
+    over the l_partkey partition (single shuffle, no self-join
+    re-scan — the q45 pattern), and the 20%-of-average test runs in
+    EXACT integer math: with quantities in 2-decimal cents,
+    ``qty < 0.2·(Σqty/n)  ⇔  qty_c·5·n < Σqty_c`` — no float
+    boundary to straddle between engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    qty_c = F.round(F.col("l_quantity") * 100).cast("long")
+    w = Window.partitionBy("l_partkey")
+    staged = li.select(
+        "l_partkey",
+        qty_c.alias("qc"),
+        _rev_units().alias("units"),
+    ).select(
+        "l_partkey",
+        "qc",
+        "units",
+        F.sum("qc").over(w).alias("sum_qc"),
+        F.count("*").over(w).alias("n_part"),
+    )
+    return (
+        staged.filter(F.col("qc") * 5 * F.col("n_part") < F.col("sum_qc"))
+        .agg(
+            F.count("*").alias("n_lines"),
+            (F.sum("units") / 10000.0 / 7.0).alias("avg_yearly"),
+        )
+    )
+
+
+Q103_SQL = f"""
+WITH staged AS (
+  SELECT l_partkey,
+         CAST(round(l_quantity * 100) AS BIGINT) AS qc,
+         {_REV_UNITS_SQL} AS units,
+         SUM(CAST(round(l_quantity * 100) AS BIGINT))
+             OVER (PARTITION BY l_partkey) AS sum_qc,
+         COUNT(*) OVER (PARTITION BY l_partkey) AS n_part
+  FROM lineitem
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+       SUM(units) / 10000.0 / 7.0 AS avg_yearly
+FROM staged
+WHERE qc * 5 * n_part < sum_qc
+"""
+
+
+REGISTRY.update(
+    {
+        "q103_small_quantity_revenue": QuerySpec(
+            q103_small_quantity_revenue, Q103_SQL
+        ),
+    }
+)
+
+
 # ------------------------------------------------------------------------
 # Registry ordering contract: the driver's correctness harness records at
 # most 50 entries per round (CORRECTNESS_r02 stopped at exactly 50 while
@@ -4534,7 +4592,7 @@ REGISTRY.update(
 #   [0, 50)  the first 50 oracle-bearing queries, original order
 #            (q01..q54)
 #   next     every other oracle-bearing query in insertion order
-#            (q56..q63, q65-q78, q80, q86, q87, q83, q88-q102 — file
+#            (q56..q63, q65-q78, q80, q86, q87, q83, q88-q103 — file
 #            insertion order), then q55 — beyond
 #            the driver cap, but tests/test_synthetic_queries.py runs
 #            the SAME compare on every one of them each CI pass
