@@ -41,6 +41,37 @@ from ..functions.text import tokens
 DEFAULT_PHI_INV = 200  # heavy = more than 0.5% of all tokens
 
 
+def mg_merge_compact(counters: dict, items, phi_inv: int) -> int:
+    """One weighted Misra-Gries step, shared by the batch kernel and
+    the streaming per-partition kernel: fold ``items`` — an iterable of
+    ``(token, weight)`` pairs (a pandas ``value_counts`` in practice,
+    itself an exact zero-error summary of the Arrow batch) — into
+    ``counters`` by summing, then compact with the mergeable-summaries
+    rule (Agarwal et al. 2012): subtract the ``(k+1)``-th largest
+    counter value from all and keep only positive remainders. At most
+    ``phi_inv`` counters survive (only values strictly above the
+    (k+1)-th largest can remain), and the mass argument is unchanged —
+    each compaction removes ≥ ``(k+1) × dec`` total mass, so the summed
+    decrements over a partition's stream stay ≤ ``n_p / (phi_inv+1)``,
+    the classic MG error bound.
+
+    Returns this step's decrement ``dec`` (0 when no compaction fired)
+    so callers that report count BOUNDS can account for it — a
+    partition-local decrement is invisible in the merged counters but
+    still widens ``true - counter``, so it MUST be surfaced, not
+    swallowed (the round-6 advisory finding on ``frequent_stream``).
+    """
+    for tok, w in items:
+        counters[tok] = counters.get(tok, 0) + int(w)
+    if len(counters) <= phi_inv:
+        return 0
+    dec = sorted(counters.values(), reverse=True)[phi_inv]
+    survivors = {t: c - dec for t, c in counters.items() if c > dec}
+    counters.clear()
+    counters.update(survivors)
+    return int(dec)
+
+
 def _token_stream(docs: DataFrame, text_col: str) -> DataFrame:
     n = docs.sparkSession.sparkContext.defaultParallelism
     return (
@@ -59,23 +90,16 @@ def heavy_hitters(
     def mg_kernel(batches):
         import pandas as pd
 
+        # vectorized: pandas pre-aggregates each Arrow batch to
+        # (token, count) pairs, so the Python-side MG fold runs over
+        # the batch's DISTINCT tokens (small on Zipfian text), not one
+        # dict operation per token occurrence
         counters: dict[str, int] = {}
         n_local = 0
         for pdf in batches:
-            for tok in pdf["token"]:
-                n_local += 1
-                if tok in counters:
-                    counters[tok] += 1
-                elif len(counters) < phi_inv:
-                    counters[tok] = 1
-                else:  # decrement-all step (dict-size bounded by phi_inv)
-                    dead = []
-                    for t in counters:
-                        counters[t] -= 1
-                        if counters[t] == 0:
-                            dead.append(t)
-                    for t in dead:
-                        del counters[t]
+            vc = pdf["token"].value_counts()
+            n_local += int(vc.sum())
+            mg_merge_compact(counters, vc.items(), phi_inv)
         rows = [(t, int(c)) for t, c in counters.items()]
         rows.append((None, n_local))  # per-partition total marker
         yield pd.DataFrame(rows, columns=["token", "cnt"])

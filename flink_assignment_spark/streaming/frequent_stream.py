@@ -14,9 +14,12 @@ the incremental form principled, not a heuristic:
   the driver-side global summary, which is then compacted back to
   ``phi_inv`` counters;
 - state is ONE json file of ≤ ``phi_inv`` counters plus two scalars
-  (cumulative token count ``n_total``, cumulative compaction debt
-  ``dec_total``), written atomically via tmp+rename with the applied
-  batch id INSIDE the file — replay-idempotent by construction.
+  (cumulative token count ``n_total``, cumulative decrement debt
+  ``dec_total`` — the sum of PER-PARTITION kernel decrements, which
+  each partition reports through its marker row, and driver-side
+  compaction decrements), written atomically via tmp+rename with the
+  applied batch id INSIDE the file — replay-idempotent by
+  construction.
 
 Error contract carried in the state: for every tracked token,
 ``counter ≤ true_freq ≤ counter + dec_total``, and any token with
@@ -36,7 +39,7 @@ import os
 
 from pyspark.sql import DataFrame
 
-from ..operators.frequent import DEFAULT_PHI_INV, _token_stream
+from ..operators.frequent import DEFAULT_PHI_INV, _token_stream, mg_merge_compact
 
 
 def _state_file(state_dir: str) -> str:
@@ -53,41 +56,40 @@ def _load(state_dir: str) -> dict:
 
 def _batch_partition_summaries(batch_df: DataFrame, phi_inv: int, text_col: str):
     """Distributed per-partition MG over one micro-batch; returns
-    (list[(token, cnt)], batch_token_count). Bounded collect:
-    ≤ phi_inv counters + 1 marker per partition."""
+    (list[(token, cnt)], batch_token_count, batch_decrements). Bounded
+    collect: ≤ phi_inv counters + 1 marker per partition. The marker
+    row carries BOTH per-partition scalars — the token total and the
+    partition's summed MG decrements. The decrements must reach the
+    driver: a token decremented away inside a partition never shows in
+    that partition's counters, yet its true corpus count is higher
+    than the merged counter by exactly those decrements — dropping
+    them breaks the ``counter ≤ true ≤ counter + dec_total`` bracket
+    and the superset rule (round-6 advisory, pinned in
+    tests/test_streaming_frequent.py)."""
 
     def mg_kernel(batches):
         import pandas as pd
 
         counters: dict[str, int] = {}
         n_local = 0
+        dec_local = 0
         for pdf in batches:
-            for tok in pdf["token"]:
-                n_local += 1
-                if tok in counters:
-                    counters[tok] += 1
-                elif len(counters) < phi_inv:
-                    counters[tok] = 1
-                else:
-                    dead = []
-                    for t in counters:
-                        counters[t] -= 1
-                        if counters[t] == 0:
-                            dead.append(t)
-                    for t in dead:
-                        del counters[t]
-        rows = [(t, int(c)) for t, c in counters.items()]
-        rows.append((None, n_local))
-        yield pd.DataFrame(rows, columns=["token", "cnt"])
+            vc = pdf["token"].value_counts()
+            n_local += int(vc.sum())
+            dec_local += mg_merge_compact(counters, vc.items(), phi_inv)
+        rows = [(t, int(c), 0) for t, c in counters.items()]
+        rows.append((None, n_local, dec_local))
+        yield pd.DataFrame(rows, columns=["token", "cnt", "dec"])
 
     rows = (
         _token_stream(batch_df, text_col)
-        .mapInPandas(mg_kernel, "token string, cnt long")
+        .mapInPandas(mg_kernel, "token string, cnt long, dec long")
         .collect()
     )
     summaries = [(r["token"], r["cnt"]) for r in rows if r["token"] is not None]
     batch_n = sum(r["cnt"] for r in rows if r["token"] is None)
-    return summaries, batch_n
+    batch_dec = sum(r["dec"] for r in rows if r["token"] is None)
+    return summaries, batch_n, batch_dec
 
 
 def merge_frequent_batch(
@@ -102,20 +104,22 @@ def merge_frequent_batch(
     state = _load(state_dir)
     if batch_id <= state["applied_batch"]:
         return
-    summaries, batch_n = _batch_partition_summaries(batch_df, phi_inv, text_col)
+    summaries, batch_n, batch_dec = _batch_partition_summaries(
+        batch_df, phi_inv, text_col
+    )
 
     counters = {t: int(c) for t, c in state["counters"].items()}
-    for tok, cnt in summaries:  # mergeable-summaries sum step
-        counters[tok] = counters.get(tok, 0) + int(cnt)
-    dec = 0
-    if len(counters) > phi_inv:  # compaction: subtract (k+1)-th largest
-        dec = sorted(counters.values(), reverse=True)[phi_inv]
-        counters = {t: c - dec for t, c in counters.items() if c - dec > 0}
+    # mergeable-summaries sum step + compaction (subtract the (k+1)-th
+    # largest) — the same weighted MG step the partition kernel runs
+    dec = mg_merge_compact(counters, summaries, phi_inv)
 
     out = {
         "applied_batch": int(batch_id),
         "n_total": int(state["n_total"]) + int(batch_n),
-        "dec_total": int(state["dec_total"]) + int(dec),
+        # total decrement debt = partition-local decrements (invisible
+        # in the merged counters but real undercount) + driver-side
+        # compaction — together they bound true - counter
+        "dec_total": int(state["dec_total"]) + int(batch_dec) + int(dec),
         "counters": counters,
     }
     tmp = _state_file(state_dir) + ".tmp"

@@ -59,6 +59,41 @@ def test_streamed_mg_supersets_exact_and_bounds_hold(spark, tmp_path):
         assert lo <= true_counts[tok] <= hi, (tok, lo, true_counts[tok], hi)
 
 
+def test_partition_decrements_tracked_in_bounds(spark):
+    """Adversarial shape for the bound bookkeeping: phi_inv=3 with a
+    flood of near-unique fillers forces every partition's MG kernel to
+    decrement the genuinely-frequent token. Those partition-local
+    decrements are invisible in the merged counters, so unless the
+    kernel surfaces them into dec_total the reported upper bound falls
+    BELOW the true count (the round-6 advisory bug: with the old
+    driver-only dec_total this corpus yields upper(hh) < freq(hh))."""
+    import tempfile
+
+    from flink_assignment_spark.streaming.frequent_stream import _load
+
+    docs = []
+    for i in range(120):
+        toks = [f"x{i}a{j}" for j in range(8)]
+        if i % 3 == 0:
+            toks.append("hh")
+        docs.append((i, " ".join(toks)))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    true_counts = Counter(t for _, text in docs for t in text.split())
+    with tempfile.TemporaryDirectory() as state:
+        merge_frequent_batch(df, 0, state, phi_inv=3)
+        st = _load(state)
+        assert st["dec_total"] > 0  # decrements actually fired
+        for tok, c in st["counters"].items():
+            assert c <= true_counts[tok] <= c + st["dec_total"], (
+                tok,
+                c,
+                true_counts[tok],
+                st["dec_total"],
+            )
+        # the heavy token is tracked and its bracket contains 40
+        assert "hh" in st["counters"]
+
+
 def test_replayed_batch_is_noop(spark):
     import tempfile
 
