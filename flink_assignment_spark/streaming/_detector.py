@@ -5,32 +5,71 @@ each micro-batch arrives as bucket rows — ``(key cols…, doc_id,
 payload)`` — and the engine joins them against the corpus-so-far's
 bucket state (new×old), within the batch (new×new), scores each
 colliding pair from the two payloads, appends the scored pairs, and
-folds the batch's rows into bucket-partitioned state with the sticky
-saturation valve. The detectors differ ONLY in how rows are built
-(band signatures vs pigeonhole bit-blocks), the payload type, and the
-pair score (signature-agreement estimate vs exact popcount) — those
-arrive as parameters; every state/crash/replay behavior lives here
-once, so a fix cannot drift between detectors.
+folds the batch's rows into bucket-partitioned state. The detectors
+differ ONLY in how rows are built (band signatures vs pigeonhole
+bit-blocks), the payload type, and the pair score (signature-agreement
+estimate vs exact popcount) — those arrive as parameters; every
+state/crash/replay behavior lives here once, so a fix cannot drift
+between detectors.
+
+State layout (all under ``state_dir``):
+
+- ``buckets/`` — live bucket rows, hash-partitioned on the bucket key
+  into ``n_pt`` partitions. Folded by DELTA APPEND: each batch appends
+  only its own (deduped) rows as new files — an O(batch) write. The
+  previous design rewrote every touched partition wholesale
+  (set-union + distinct + full write), which degenerates to an
+  O(state) rewrite per batch as soon as a batch's band keys touch all
+  partitions — the round-6 measured scale flaw (SCALING.md: per-batch
+  cost doubled across 10× state growth; the incremental-CC stream had
+  the same disease until its range-partition fix). Band/block keys
+  are hash-uniform by construction, so unlike CC there is no locality
+  to exploit — the fix is to stop rewriting, not to re-partition.
+- ``tombs/`` — saturated bucket keys (the sticky valve). Tiny by
+  definition (only degenerate buckets saturate), read wholesale and
+  broadcast. A bucket's key lands here when its live size would cross
+  ``max_state_bucket``; from then on its members are dropped on
+  arrival and its remaining physical rows are masked at read.
+- ``pairs/`` — appended scored pairs, distinct'd at read.
+- ``meta.json`` — pins ``n_pt`` at first fold; later folds reuse the
+  pinned value, so a caller changing the parameter cannot silently
+  split state across two partitionings.
 
 Contract (shared by both wrappers, pinned by their test suites):
 
 - candidate completeness is order-independent — a pair meets in state
   (new×old) or in one batch (new×new), exactly once either way;
-- ``max_state_bucket`` sticky saturation: an over-cap bucket collapses
-  to a tombstone, stops emitting, stops growing;
+- ``max_state_bucket`` sticky saturation: an over-cap bucket stops
+  emitting and stops growing (physical rows bounded by the cap);
 - replay: ``_applied_batch`` marker; pair appends may duplicate and
-  are distinct'd at read.
+  are distinct'd at read; bucket appends are pre-anti-joined against
+  existing state, so a replayed fold converges instead of growing.
+
+Sizing ``n_pt``: the fold no longer depends on it (append is
+O(batch)); it only governs read pruning — a batch's candidate join
+reads ``min(batch keys, n_pt)/n_pt`` of the state. Small
+steady-state batches over a big corpus want n_pt ≫ batch key count
+(2^10–2^14); bulk replays where every batch touches everything gain
+nothing from more partitions. ``compact_state`` merges delta files,
+drops masked rows, and dedupes — run it out-of-band the way a lakehouse
+schedules OPTIMIZE.
 """
 
 from __future__ import annotations
 
+import json
 import os
 from typing import Callable
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ._state import applied_batch, commit_marker, swap_partitions
+from ._state import (
+    DEFAULT_BACKEND,
+    ParquetStateBackend,
+    applied_batch,
+    commit_marker,
+)
 
 N_PT = 64
 
@@ -43,11 +82,46 @@ def buckets_path(state_dir: str) -> str:
     return os.path.join(state_dir, "buckets")
 
 
-def with_pt(rows: DataFrame, key_cols: list[str]) -> DataFrame:
+def tombs_path(state_dir: str) -> str:
+    return os.path.join(state_dir, "tombs")
+
+
+def _resolve_n_pt(state_dir: str, requested: int | None) -> int:
+    """Pin n_pt at first fold; reuse the pinned value afterwards."""
+    meta = os.path.join(state_dir, "meta.json")
+    if os.path.exists(meta):
+        with open(meta) as f:
+            return int(json.load(f)["n_pt"])
+    n_pt = int(requested) if requested else N_PT
+    os.makedirs(state_dir, exist_ok=True)
+    tmp = meta + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"n_pt": n_pt}, f)
+    os.replace(tmp, meta)
+    return n_pt
+
+
+def with_pt(rows: DataFrame, key_cols: list[str], n_pt: int = N_PT) -> DataFrame:
     """Attach the state-partition id derived from the bucket key."""
     return rows.withColumn(
-        "pt", F.pmod(F.crc32(F.concat_ws("|", *key_cols)), F.lit(N_PT)).cast("int")
+        "pt", F.pmod(F.crc32(F.concat_ws("|", *key_cols)), F.lit(n_pt)).cast("int")
     )
+
+
+def _key_eq(left: str, right: str, key_cols: list[str]) -> Column:
+    cond = F.col(f"{left}.{key_cols[0]}") == F.col(f"{right}.{key_cols[0]}")
+    for k in key_cols[1:]:
+        cond = cond & (F.col(f"{left}.{k}") == F.col(f"{right}.{k}"))
+    return cond
+
+
+def _read_tombs(
+    spark: SparkSession, state_dir: str, key_cols: list[str]
+) -> DataFrame | None:
+    path = tombs_path(state_dir)
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        return None
+    return spark.read.parquet(path).select(*key_cols).distinct()
 
 
 def merge_detector_batch(
@@ -61,43 +135,62 @@ def merge_detector_batch(
     score_name: str,
     score_keep: Callable[[Column], Column] | None = None,
     max_state_bucket: int | None = None,
+    n_pt: int | None = None,
+    backend: ParquetStateBackend | None = None,
 ) -> None:
-    """Fold one micro-batch of bucket ``rows`` (must already carry
-    ``pt`` via :func:`with_pt`) into the detector state, appending the
-    scored pairs ``(doc_a, doc_b, <score_name>)``. ``score_keep``
-    optionally filters pairs on the score column (e.g. hamming ≤ k);
-    ``None`` keeps every colliding pair (the LSH estimate form)."""
+    """Fold one micro-batch of bucket ``rows`` — ``(key cols…, doc_id,
+    <payload>)``, no partition column needed — into the detector
+    state, appending the scored pairs ``(doc_a, doc_b, <score_name>)``.
+    ``score_keep`` optionally filters pairs on the score column (e.g.
+    hamming ≤ k); ``None`` keeps every colliding pair (the LSH
+    estimate form)."""
     if batch_id <= applied_batch(state_dir):
         return
+    backend = backend or DEFAULT_BACKEND
     spark = rows.sparkSession
     bpath = buckets_path(state_dir)
-    rows = rows.cache()
+    rows = with_pt(
+        rows.select(*key_cols, "doc_id", payload_col),
+        key_cols,
+        _resolve_n_pt(state_dir, n_pt),
+    ).cache()
     touched = [int(r.pt) for r in rows.select("pt").distinct().collect()]
     if not touched:
         rows.unpersist()
         commit_marker(state_dir, batch_id)
         return
 
-    on_keys = [
-        F.col(f"n.{k}") == F.col(f"o.{k}") for k in key_cols
-    ]
+    tombs = _read_tombs(spark, state_dir, key_cols)
+    if tombs is not None:
+        # members landing in an already-saturated bucket emit nothing
+        # and are never stored
+        rows_live = rows.join(F.broadcast(tombs), key_cols, "left_anti").cache()
+    else:
+        rows_live = rows
+
     have_state = os.path.exists(os.path.join(bpath, "_SUCCESS"))
     if have_state:
-        # one cached read of the touched partitions feeds BOTH the
-        # candidate join and the state fold
+        # one cached read of the touched partitions feeds the candidate
+        # join, the replay dedupe, and the saturation count
         state = (
             spark.read.option("basePath", bpath)
             .parquet(bpath)
             .filter(F.col("pt").isin(touched))
             .cache()
         )
-        live = state.filter(F.col("doc_id").isNotNull())  # skip tombstones
-        cond = on_keys[0]
-        for c in on_keys[1:]:
-            cond = cond & c
+        # physical rows of buckets tombstoned in a LATER batch stay on
+        # disk until compaction — mask them here
+        live = (
+            state.join(F.broadcast(tombs), key_cols, "left_anti")
+            if tombs is not None
+            else state
+        )
         new_old = (
-            rows.alias("n")
-            .join(live.alias("o"), cond & (F.col("n.doc_id") != F.col("o.doc_id")))
+            rows_live.alias("n")
+            .join(
+                live.alias("o"),
+                _key_eq("n", "o", key_cols) & (F.col("n.doc_id") != F.col("o.doc_id")),
+            )
             .select(
                 F.least("n.doc_id", "o.doc_id").alias("doc_a"),
                 F.greatest("n.doc_id", "o.doc_id").alias("doc_b"),
@@ -106,19 +199,16 @@ def merge_detector_batch(
                 ),
             )
         )
-        # members landing in an already-saturated bucket emit nothing
-        tombstoned = state.filter(F.col("doc_id").isNull()).select(*key_cols)
-        new_new_src = rows.join(F.broadcast(tombstoned), key_cols, "left_anti")
     else:
         state = None
+        live = None
         new_old = None
-        new_new_src = rows
-    cond2 = F.col(f"a.{key_cols[0]}") == F.col(f"b.{key_cols[0]}")
-    for k in key_cols[1:]:
-        cond2 = cond2 & (F.col(f"a.{k}") == F.col(f"b.{k}"))
     new_new = (
-        new_new_src.alias("a")
-        .join(new_new_src.alias("b"), cond2 & (F.col("a.doc_id") < F.col("b.doc_id")))
+        rows_live.alias("a")
+        .join(
+            rows_live.alias("b"),
+            _key_eq("a", "b", key_cols) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
@@ -132,47 +222,110 @@ def merge_detector_batch(
         pairs = pairs.filter(score_keep(F.col(score_name)))
     pairs = pairs.distinct().cache()
     if pairs.count():
-        pairs.write.mode("append").parquet(pairs_path(state_dir))
+        backend.append(pairs, pairs_path(state_dir), None)
     pairs.unpersist()
 
-    # fold the batch's bucket rows into the touched pt partitions;
-    # buckets crossing max_state_bucket collapse to a tombstone row
-    out = rows.select("pt", *key_cols, "doc_id", payload_col)
+    # fold = DELTA APPEND of the batch's rows only (O(batch), never
+    # O(state)): dedupe within the batch, then against existing state
+    # so a crash-replay converges instead of re-appending
+    fold_rows = rows_live.select("pt", *key_cols, "doc_id", payload_col).distinct()
     if state is not None:
-        out = state.select("pt", *key_cols, "doc_id", payload_col).unionByName(out)
-    out = out.distinct()
+        fold_rows = fold_rows.alias("n").join(
+            state.alias("o"),
+            _key_eq("n", "o", key_cols) & (F.col("n.doc_id") == F.col("o.doc_id")),
+            "left_anti",
+        )
+    fold_rows = fold_rows.cache()
+    fold_out = fold_rows
+
     if max_state_bucket is not None:
-        # saturation is STICKY: a bucket already tombstoned keeps only
-        # its tombstone (new arrivals are dropped), and a live bucket
-        # crossing the cap this batch collapses to a fresh tombstone
-        keys = ["pt", *key_cols]
-        as_tomb = lambda df: df.select(  # noqa: E731
-            *keys,
-            F.lit(None).cast("long").alias("doc_id"),
-            F.lit(None).cast(payload_type).alias(payload_col),
-        )
-        old_tombs = out.filter(F.col("doc_id").isNull()).select(*keys).distinct()
-        live = out.filter(F.col("doc_id").isNotNull()).join(
-            F.broadcast(old_tombs), keys, "left_anti"
-        )
-        hot = (
-            live.groupBy(*keys)
-            .agg(F.count("*").alias("__n"))
-            .filter(F.col("__n") > max_state_bucket)
-            .select(*keys)
-        )
-        out = (
-            live.join(F.broadcast(hot), keys, "left_anti")
-            .unionByName(as_tomb(old_tombs))
-            .unionByName(as_tomb(hot))
-        )
-    swap_partitions(
-        out.select(*key_cols, "doc_id", payload_col, "pt"), bpath, "pt", touched
-    )
+        # saturation is STICKY: a bucket whose live size would cross
+        # the cap this batch gets its key tombstoned; its existing
+        # physical rows stay (masked at read, purged by compaction)
+        # and none of the batch's rows for it are stored. Both counts
+        # partial-aggregate map-side over frames already cached for
+        # the candidate join.
+        new_counts = fold_rows.groupBy(*key_cols).agg(F.count("*").alias("n_new"))
+        if live is not None:
+            old_counts = live.groupBy(*key_cols).agg(F.count("*").alias("n_old"))
+            totals = new_counts.join(old_counts, key_cols, "full_outer").select(
+                *key_cols,
+                (
+                    F.coalesce(F.col("n_new"), F.lit(0))
+                    + F.coalesce(F.col("n_old"), F.lit(0))
+                ).alias("n"),
+            )
+        else:
+            totals = new_counts.select(*key_cols, F.col("n_new").alias("n"))
+        hot = totals.filter(F.col("n") > max_state_bucket).select(*key_cols).cache()
+        if hot.count():
+            backend.append(hot, tombs_path(state_dir), None)
+            fold_out = fold_rows.join(F.broadcast(hot), key_cols, "left_anti")
+        hot.unpersist()
+
+    # never create a bare-_SUCCESS buckets dir (unreadable as parquet)
+    if fold_out.limit(1).count():
+        backend.append(fold_out, bpath, "pt")
+    fold_rows.unpersist()
     if state is not None:
         state.unpersist()
+    if rows_live is not rows:
+        rows_live.unpersist()
     rows.unpersist()
     commit_marker(state_dir, batch_id)
+
+
+def read_bucket_state(
+    spark: SparkSession, state_dir: str, key_cols: list[str]
+) -> DataFrame:
+    """The LIVE bucket state — physical rows minus rows of saturated
+    buckets (which remain on disk until :func:`compact_state`)."""
+    bpath = buckets_path(state_dir)
+    if not os.path.exists(os.path.join(bpath, "_SUCCESS")):
+        schema = ", ".join(f"{k} string" for k in key_cols)
+        return spark.createDataFrame([], f"{schema}, doc_id long")
+    state = spark.read.option("basePath", bpath).parquet(bpath)
+    tombs = _read_tombs(spark, state_dir, key_cols)
+    return state if tombs is None else state.join(
+        F.broadcast(tombs), key_cols, "left_anti"
+    )
+
+
+def compact_state(
+    spark: SparkSession,
+    state_dir: str,
+    key_cols: list[str],
+    payload_col: str,
+    backend: ParquetStateBackend | None = None,
+) -> None:
+    """Out-of-band maintenance (the lakehouse OPTIMIZE analogue):
+    rewrite every bucket partition once — merging per-batch delta
+    files, dropping rows masked by tombstones, and deduping replay
+    leftovers. Amortized over the batches since the last compaction;
+    never on the ingest path."""
+    from ._state import fold_state
+
+    bpath = buckets_path(state_dir)
+    if not os.path.exists(os.path.join(bpath, "_SUCCESS")):
+        return
+    live = read_bucket_state(spark, state_dir, key_cols).select(
+        *key_cols, "doc_id", payload_col, "pt"
+    ).distinct()
+    all_pts = [
+        int(r.pt)
+        for r in spark.read.option("basePath", bpath)
+        .parquet(bpath)
+        .select("pt")
+        .distinct()
+        .collect()
+    ]
+    fold_state(live, bpath, "pt", all_pts, backend)
+    # everything was masked → drop the now-empty (unreadable) table;
+    # tombs stay, so saturation remains sticky
+    if not any(e.startswith("pt=") for e in os.listdir(bpath)):
+        import shutil
+
+        shutil.rmtree(bpath)
 
 
 def read_pairs(

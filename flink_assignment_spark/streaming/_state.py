@@ -1,10 +1,34 @@
 """Shared plain-parquet state protocol for foreachBatch sinks.
 
-One copy of the two mechanisms every incremental sink here needs
-(novelty, LSH near-dup): the at-least-once replay marker and the
-staging-write → per-partition-swap fold. A fix to either crash
+One copy of the mechanisms every incremental sink here needs: the
+at-least-once replay marker, the staging-write → per-partition-swap
+fold, the bounded delta append, and the backend seam that lets a
+transactional table format replace all of it. A fix to any crash
 contract lands in every sink at once instead of drifting across
 verbatim copies.
+
+Backend seam (the MERGE contract)
+---------------------------------
+
+Every sink folds state exclusively through a :class:`StateBackend`,
+so a deployment backed by a transactional table format (Delta Lake /
+Apache Iceberg) swaps one object instead of touching detector / CC /
+novelty logic. A replacement backend must guarantee, for each method:
+
+- ``fold(out, table, part_col, touched)`` — REPLACE the contents of
+  the ``touched`` partitions with ``out``'s rows (a partition absent
+  from ``out`` becomes empty). Equivalent MERGE: delete-where
+  ``part_col IN touched`` + insert, in ONE atomic commit. Atomicity
+  may be per-partition at minimum (this parquet stand-in's level):
+  callers' folds are SET UNIONS, so a replay over a partially-applied
+  fold must converge — the backend must never expose a partition in a
+  half-written state (readers see old or new, nothing else).
+- ``append(out, table, part_col)`` — INSERT ``out``'s rows. Replays
+  may re-append; callers either dedupe at read or pre-anti-join, so
+  duplicate rows must be tolerated, not deduped by the backend.
+- Reads through the engine's normal table scan must see only
+  committed data (read isolation); `_SUCCESS`-style visibility
+  markers are this stand-in's approximation of a table snapshot.
 """
 
 from __future__ import annotations
@@ -63,3 +87,56 @@ def swap_partitions(
     shutil.rmtree(staging)
     if wrote_any or os.listdir(table_path):
         open(os.path.join(table_path, "_SUCCESS"), "a").close()
+
+
+def append_rows(out: DataFrame, table_path: str, part_col: str | None) -> None:
+    """Append ``out`` as new files (partition-pruned when ``part_col``
+    is given) — the O(batch) fold for grow-only state, where the swap's
+    full-partition rewrite would degenerate to O(state) once a batch
+    touches every partition (the round-6 streaming-LSH finding).
+    Production equivalent: a plain transactional INSERT. Duplicate
+    rows from replays are the CALLER's contract (pre-anti-join or
+    dedupe at read)."""
+    w = out.write.mode("append")
+    if part_col is not None:
+        w = w.partitionBy(part_col)
+    w.parquet(table_path)
+
+
+class ParquetStateBackend:
+    """Default backend: plain-parquet directories with `_SUCCESS`
+    visibility markers — the local stand-in for a transactional table.
+    See the module docstring for the contract a MERGE-capable
+    replacement must honor."""
+
+    def fold(
+        self, out: DataFrame, table_path: str, part_col: str, touched: list[int]
+    ) -> None:
+        swap_partitions(out, table_path, part_col, touched)
+
+    def append(self, out: DataFrame, table_path: str, part_col: str | None) -> None:
+        append_rows(out, table_path, part_col)
+
+
+DEFAULT_BACKEND = ParquetStateBackend()
+
+
+def fold_state(
+    out: DataFrame,
+    table_path: str,
+    part_col: str,
+    touched: list[int],
+    backend: ParquetStateBackend | None = None,
+) -> None:
+    """Fold through the backend seam (partition replace semantics)."""
+    (backend or DEFAULT_BACKEND).fold(out, table_path, part_col, touched)
+
+
+def append_state(
+    out: DataFrame,
+    table_path: str,
+    part_col: str | None = None,
+    backend: ParquetStateBackend | None = None,
+) -> None:
+    """Append through the backend seam (insert semantics)."""
+    (backend or DEFAULT_BACKEND).append(out, table_path, part_col)

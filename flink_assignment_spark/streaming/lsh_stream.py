@@ -36,18 +36,18 @@ from pyspark.sql import functions as F
 
 from ..functions.text import MINHASH_PERMS
 from ..operators.dedup import band_keys, doc_shingles, minhash_signatures
-from ._detector import merge_detector_batch, read_pairs, with_pt
+from ._detector import merge_detector_batch, read_pairs
 
 N_PERMS = len(MINHASH_PERMS)
 _KEYS = ["band", "key"]
 
 
 def _banded_sigs(batch_df: DataFrame, text_col: str, id_col: str, rows_per_band: int):
-    """(doc_id, sig, band, key, pt) — one row per band per doc."""
+    """(doc_id, sig, band, key) — one row per band per doc."""
     sh = doc_shingles(batch_df, text_col, id_col)
     sigs = minhash_signatures(batch_df, text_col, id_col, shingles=sh)
     sig = F.array(*[F.col(f"mh{i}") for i in range(N_PERMS)])
-    return with_pt(band_keys(sigs.withColumn("sig", sig), rows_per_band), _KEYS)
+    return band_keys(sigs.withColumn("sig", sig), rows_per_band)
 
 
 def _est_jaccard(sig_a, sig_b):
@@ -67,11 +67,14 @@ def merge_lsh_batch(
     id_col: str = "doc_id",
     rows_per_band: int = 2,
     max_state_bucket: int | None = None,
+    n_pt: int | None = None,
 ) -> None:
     """Detect the batch's candidate near-dup pairs against state +
-    within the batch, append them, and fold the batch into state."""
+    within the batch, append them, and fold the batch into state.
+    ``n_pt`` sizes the state partitioning (pinned at first fold — see
+    ``_detector``'s sizing note)."""
     rows = _banded_sigs(batch_df, text_col, id_col, rows_per_band).select(
-        *_KEYS, "doc_id", F.col("sig"), "pt"
+        *_KEYS, "doc_id", F.col("sig")
     )
     merge_detector_batch(
         rows,
@@ -84,6 +87,7 @@ def merge_lsh_batch(
         score_name="est_jaccard",
         score_keep=None,  # estimates: every colliding pair is a candidate
         max_state_bucket=max_state_bucket,
+        n_pt=n_pt,
     )
 
 
@@ -94,6 +98,7 @@ def incremental_lsh_neardup(
     id_col: str = "doc_id",
     rows_per_band: int = 2,
     max_state_bucket: int | None = None,
+    n_pt: int | None = None,
 ):
     """Start the streaming near-dup query; returns the StreamingQuery."""
 
@@ -106,6 +111,7 @@ def incremental_lsh_neardup(
             id_col,
             rows_per_band,
             max_state_bucket,
+            n_pt,
         )
 
     return docs.writeStream.outputMode("append").foreachBatch(_sink).start()

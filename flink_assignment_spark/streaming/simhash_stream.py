@@ -30,7 +30,7 @@ from ..operators.dedup import (
     blocked_fingerprints,
     simhash_fingerprints,
 )
-from ._detector import merge_detector_batch, read_pairs, with_pt
+from ._detector import merge_detector_batch, read_pairs
 
 _KEYS = ["blk", "val"]
 
@@ -43,14 +43,12 @@ def merge_simhash_batch(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_state_bucket: int | None = None,
+    n_pt: int | None = None,
 ) -> None:
     """Detect the batch's verified near-dup pairs against state +
     within the batch, append them, and fold the batch into state."""
     fps = simhash_fingerprints(batch_df, text_col, id_col)
-    rows = with_pt(
-        blocked_fingerprints(fps, "doc_id", "simhash", SIMHASH_BITS, max_hamming),
-        _KEYS,
-    )
+    rows = blocked_fingerprints(fps, "doc_id", "simhash", SIMHASH_BITS, max_hamming)
     merge_detector_batch(
         rows,
         batch_id,
@@ -62,6 +60,7 @@ def merge_simhash_batch(
         score_name="hamming",
         score_keep=lambda h: h <= max_hamming,
         max_state_bucket=max_state_bucket,
+        n_pt=n_pt,
     )
 
 
@@ -72,6 +71,7 @@ def incremental_simhash_neardup(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_state_bucket: int | None = None,
+    n_pt: int | None = None,
 ):
     """Start the streaming near-dup query; returns the StreamingQuery."""
 
@@ -84,6 +84,7 @@ def incremental_simhash_neardup(
             text_col,
             id_col,
             max_state_bucket,
+            n_pt,
         )
 
     return docs.writeStream.outputMode("append").foreachBatch(_sink).start()

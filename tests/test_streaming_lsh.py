@@ -137,12 +137,19 @@ def test_verify_candidates_closes_the_loop(spark, tmp_path):
 
 def test_state_bucket_saturation_valve(spark, tmp_path):
     """With max_state_bucket set, a degenerate bucket (many identical
-    docs) saturates: state collapses to one tombstone row, later
-    members emit no pairs, and state stops growing — the streaming
-    analogue of batch max_bucket."""
-    import os
-
-    from flink_assignment_spark.streaming._detector import buckets_path as _buckets_path
+    docs) saturates: its key is tombstoned, later members emit no
+    pairs, physical state stops growing (bounded by the cap), and
+    compaction purges the masked rows WITHOUT losing stickiness — the
+    streaming analogue of batch max_bucket."""
+    from flink_assignment_spark.streaming._detector import (
+        buckets_path as _buckets_path,
+    )
+    from flink_assignment_spark.streaming._detector import (
+        compact_state,
+        read_bucket_state,
+        tombs_path,
+    )
+    from flink_assignment_spark.streaming.lsh_stream import merge_lsh_batch
 
     cap = 4
     in_dir = tmp_path / "in"
@@ -168,16 +175,35 @@ def test_state_bucket_saturation_valve(spark, tmp_path):
         q.processAllAvailable()
     finally:
         q.stop()
-    state = spark.read.parquet(_buckets_path(state_dir))
-    # every bucket is saturated: only tombstones remain, one per bucket
-    assert state.filter(F.col("doc_id").isNotNull()).count() == 0
-    n_buckets = state.select("band", "key").distinct().count()
-    assert state.count() == n_buckets > 0
-    # wave 1 pairs were emitted (bucket under cap); wave-3 docs
-    # (ids 8-11) never appear — they arrived saturated
+    # every bucket is saturated: tombstoned (one key each), zero LIVE
+    # rows, and the physical leftovers are wave-1's rows only — the
+    # over-cap waves were never appended
+    assert read_bucket_state(spark, state_dir, ["band", "key"]).count() == 0
+    physical = spark.read.parquet(_buckets_path(state_dir))
+    n_buckets = physical.select("band", "key").distinct().count()
+    assert physical.count() == n_buckets * cap > 0
+    tombs = spark.read.parquet(tombs_path(state_dir))
+    assert tombs.select("band", "key").distinct().count() == n_buckets
+    # wave 1+2 pairs were emitted (cap crossed DURING wave 2, which
+    # still scores before the fold); wave-3 docs (ids 8-11) never
+    # appear — they arrived saturated
     got = {
         (r.doc_a, r.doc_b)
         for r in read_candidate_pairs(spark, state_dir).collect()
     }
     assert (0, 1) in got
     assert all(a < 8 and b < 8 for a, b in got), got
+
+    # compaction purges the masked rows; stickiness survives — a
+    # post-compaction member of the saturated bucket still emits
+    # nothing and stores nothing
+    compact_state(spark, state_dir, ["band", "key"], "sig")
+    assert read_bucket_state(spark, state_dir, ["band", "key"]).count() == 0
+    b3 = spark.createDataFrame([(20, text, "en", "s", 8)], DOCS_SCHEMA)
+    merge_lsh_batch(b3, 3, state_dir, rows_per_band=ROWS_PER_BAND, max_state_bucket=cap)
+    after = {
+        (r.doc_a, r.doc_b)
+        for r in read_candidate_pairs(spark, state_dir).collect()
+    }
+    assert after == got
+    assert read_bucket_state(spark, state_dir, ["band", "key"]).count() == 0
