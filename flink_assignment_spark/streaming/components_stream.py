@@ -26,6 +26,20 @@ component. Nodes in untouched components are never read twice nor
 rewritten. Replay: the ``_applied_batch`` marker makes redelivery a
 no-op; the fold itself is idempotent (same pairs → same labels).
 
+Crash-replay healing: the partition swap is atomic per partition, so
+a crash mid-swap can leave a merged component HALF-relabeled — e.g.
+node 9's own row already updated to the new label while some member
+in an unswapped partition still carries label 9. A replay that only
+looked up the batch nodes' (already-updated) labels would never reach
+that stale member, stranding a label that is no longer a root (the
+round-6 advisory finding). Fix: before swapping, the fold writes a
+tiny MERGE-INTENT file — the batch's (old label → new label) pairs,
+tmp+rename-atomic — and a replay of the same uncommitted batch folds
+those old labels back into the affected-component lookup, so every
+row of every half-merged component is pulled into the local graph and
+relabeled. The marker commit supersedes the intent; an intent for an
+already-committed batch is ignored.
+
 100 TB argument: per-batch cost is O(batch pairs + affected
 component volume). Near-dup clusters are small by nature (and
 upstream caps bound degenerate ones), so affected volume tracks batch
@@ -38,19 +52,39 @@ merge.
 
 from __future__ import annotations
 
+import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.components import connected_components
-from ._state import applied_batch, commit_marker, swap_partitions
+from ._state import applied_batch, commit_marker, fold_state
 
 PT_RANGE = 1 << 20  # node ids per mapping partition
 
 
 def _mapping_path(state_dir: str) -> str:
     return os.path.join(state_dir, "mapping")
+
+
+def _intent_path(state_dir: str) -> str:
+    return os.path.join(state_dir, "_merge_intent.json")
+
+
+def _heal_labels(state_dir: str, batch_id: int) -> list[int]:
+    """Old+new labels from an UNCOMMITTED prior attempt of this batch
+    (crash between a partial partition swap and the marker commit) —
+    fold them into the affected-component lookup so half-relabeled
+    components are fully pulled in and re-merged."""
+    path = _intent_path(state_dir)
+    if not os.path.exists(path):
+        return []
+    with open(path) as f:
+        intent = json.load(f)
+    if int(intent.get("batch_id", -1)) != batch_id:
+        return []
+    return [int(x) for pair in intent["merges"] for x in pair]
 
 
 def _pt(col):
@@ -113,6 +147,11 @@ def merge_components_batch(
             .select("component")
             .distinct()
         )
+        heal = _heal_labels(state_dir, batch_id)
+        if heal:
+            touched_comps = touched_comps.union(
+                spark.createDataFrame([(x,) for x in heal], "component long")
+            ).distinct()
         affected = m.join(F.broadcast(touched_comps), "component").select(
             "node", "component"
         ).cache()
@@ -142,7 +181,25 @@ def merge_components_batch(
             .select("node", "component")
         )
         out = relabeled.unionByName(carried)
-    swap_partitions(
+        # merge-intent WAL before any partition swap: the (old, new)
+        # label pairs this fold is about to apply — bounded by the
+        # batch's merged components, a driver-side handful
+        merges = [
+            (int(r["old"]), int(r["new"]))
+            for r in affected.alias("o")
+            .join(relabeled.alias("n"), "node")
+            .filter(F.col("o.component") != F.col("n.component"))
+            .select(
+                F.col("o.component").alias("old"), F.col("n.component").alias("new")
+            )
+            .distinct()
+            .collect()
+        ]
+        tmp = _intent_path(state_dir) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"batch_id": int(batch_id), "merges": merges}, f)
+        os.replace(tmp, _intent_path(state_dir))
+    fold_state(
         out.select("node", "component", _pt(F.col("node")).alias("pt")),
         mpath,
         "pt",
@@ -152,6 +209,8 @@ def merge_components_batch(
     if affected is not None:
         affected.unpersist()
     commit_marker(state_dir, batch_id)
+    if os.path.exists(_intent_path(state_dir)):
+        os.remove(_intent_path(state_dir))
 
 
 def incremental_components(

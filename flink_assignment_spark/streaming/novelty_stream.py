@@ -7,10 +7,12 @@ module maintains two tables under a ``foreachBatch`` sink:
 - ``seen/`` — every distinct shingle hash observed so far,
   HASH-BUCKET-PARTITIONED (``bucket = h % n_buckets`` directories).
   Per micro-batch only the buckets that actually receive new shingles
-  are rewritten, via the shared staging-write + per-partition
-  directory swap in ``streaming._state.swap_partitions`` — a real
-  incremental upsert shape on plain parquet (the production form is
-  the same pattern through Delta/Iceberg ``MERGE INTO``; the bucket
+  are rewritten, through the shared backend seam
+  ``streaming._state.fold_state`` (default: staging-write +
+  per-partition directory swap) — a real incremental upsert shape on
+  plain parquet (the production form is the same call against a
+  Delta/Iceberg ``MERGE INTO`` backend — see the seam contract in
+  ``_state``'s module docstring; the bucket
   count is the knob that bounds per-batch rewrite volume at corpus
   scale). Single-writer assumption: one query owns ``state_dir``.
 - ``stats/`` — one appended row per micro-batch:
@@ -44,7 +46,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.gates import shingle_hash_array
-from ._state import applied_batch, commit_marker, swap_partitions
+from ._state import applied_batch, commit_marker, fold_state
 
 N_BUCKETS = 64
 
@@ -107,7 +109,7 @@ def merge_novelty_batch(
         # staging write + per-bucket swap via the shared _state helper
         # (writing into seen_path while `existing` still reads from it
         # would be a silent read-under-overwrite race)
-        swap_partitions(out.select("h", "bucket"), seen_path, "bucket", touched)
+        fold_state(out.select("h", "bucket"), seen_path, "bucket", touched)
     new.unpersist()
 
     # stats AFTER the state update, marker last (module docstring)

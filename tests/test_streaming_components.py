@@ -73,3 +73,43 @@ def test_streamed_components_match_batch_on_real_pairs(spark, tmp_path):
     }
     assert got == want and len(want) > 0
     pairs.unpersist()
+
+
+def test_crash_mid_swap_heals_stale_labels(spark, tmp_path, monkeypatch):
+    """Round-6 advisory (medium): a crash between partition swaps can
+    leave a merged component half-relabeled — here node 5M's own row
+    is already updated to the new label 1 while 9M (a different
+    id-range partition) still carries the stale label 5M, which is no
+    longer a root. A replay that only looks up the batch nodes'
+    labels never reaches 9M; the merge-intent WAL written before the
+    swap must pull the old label's rows back in and re-merge them."""
+    import flink_assignment_spark.streaming.components_stream as cs
+
+    m = 5_000_000  # pt 4
+    n = 9_000_000  # pt 8 — a different PT_RANGE partition
+    state = str(tmp_path / "cc")
+    merge_components_batch(
+        spark.createDataFrame([(m, n)], PAIRS_SCHEMA), 0, state
+    )
+    assert _mapping(spark, state) == {m: m, n: m}
+
+    stale_pt = n // cs.PT_RANGE
+    real_fold = cs.fold_state
+
+    def partial_fold(out, path, part_col, touched, backend=None):
+        real_fold(out, path, part_col, [p for p in touched if p != stale_pt], backend)
+        raise RuntimeError("simulated crash mid-swap")
+
+    monkeypatch.setattr(cs, "fold_state", partial_fold)
+    b1 = spark.createDataFrame([(1, m)], PAIRS_SCHEMA)
+    try:
+        merge_components_batch(b1, 1, state)
+        raise AssertionError("crash did not fire")
+    except RuntimeError:
+        pass
+    monkeypatch.setattr(cs, "fold_state", real_fold)
+    # the half-applied state: 1 and m relabeled, n stranded on label m
+    assert _mapping(spark, state) == {1: 1, m: 1, n: m}
+
+    merge_components_batch(b1, 1, state)  # redelivery
+    assert _mapping(spark, state) == {1: 1, m: 1, n: 1}
