@@ -151,13 +151,23 @@ def incremental_mixture_rebalance(
 
 
 def read_kept_mixture(
-    spark: SparkSession, state_dir: str, key_col: str = "doc_id"
+    spark: SparkSession,
+    state_dir: str,
+    key_col: str = "doc_id",
+    group_col: str = "lang",
+    key_type: str = "long",
+    group_type: str = "string",
 ) -> DataFrame:
     """The accumulated kept corpus (replay duplicates dropped by key).
-    Empty-typed frame when nothing was ever kept."""
+    The before-any-data frame is built from the SAME column names and
+    types the caller gave ``merge_mixture_batch`` (round-6 advisory:
+    it was hardcoded to ``doc_id long, lang string``, mismatching
+    non-default streams)."""
     path = _kept_path(state_dir)
     if not os.path.exists(path):
-        return spark.createDataFrame([], f"{key_col} long, lang string")
+        return spark.createDataFrame(
+            [], f"{key_col} {key_type}, {group_col} {group_type}"
+        )
     return spark.read.parquet(path).dropDuplicates([key_col])
 
 

@@ -39,9 +39,32 @@ import json
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
-from pyspark.sql.types import StringType, StructField, StructType, TimestampType
+from pyspark.sql.types import (
+    BooleanType,
+    ByteType,
+    IntegerType,
+    LongType,
+    ShortType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
 
 _STATE_SCHEMA = StructType([StructField("buf", StringType())])
+
+# pandas NULLABLE dtypes per integral/boolean Spark type: a plain
+# pd.DataFrame over JSON dicts silently promotes an int column holding
+# None to float64/NaN, which breaks the Arrow conversion back to the
+# declared LongType/IntegerType output schema (round-6 advisory) —
+# materialize those columns with the extension dtypes instead
+_NULLABLE_DTYPES = {
+    LongType: "Int64",
+    IntegerType: "Int32",
+    ShortType: "Int16",
+    ByteType: "Int8",
+    BooleanType: "boolean",
+}
 
 
 def reorder_buffer(
@@ -58,6 +81,11 @@ def reorder_buffer(
     ts_cols = [
         f.name for f in out_schema.fields if isinstance(f.dataType, TimestampType)
     ]
+    nullable_dtypes = {
+        f.name: _NULLABLE_DTYPES[type(f.dataType)]
+        for f in out_schema.fields
+        if type(f.dataType) in _NULLABLE_DTYPES
+    }
     with_wm = events.withWatermark(ts_col, delay)
 
     def proc(key, pdf_iter, state: GroupState):
@@ -93,6 +121,8 @@ def reorder_buffer(
             pdf = pd.DataFrame(emit, columns=cols)
             for c in ts_cols:
                 pdf[c] = pd.to_datetime(pdf[c], unit="us")
+            for c, dt in nullable_dtypes.items():
+                pdf[c] = pdf[c].astype(dt)
             yield pdf
         else:
             yield pd.DataFrame(columns=cols)

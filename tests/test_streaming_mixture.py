@@ -130,3 +130,25 @@ def test_replayed_batch_is_noop(spark, tmp_path):
     kept2 = {tuple(r) for r in read_kept_mixture(spark, state).collect()}
     assert counts1 == counts2 and kept1 == kept2
     docs.unpersist()
+
+
+def test_empty_state_schema_follows_parameters(spark, tmp_path):
+    """read_kept_mixture's before-any-data frame must carry the
+    caller's column names/types, not the doc_id/lang defaults
+    (round-6 advisory)."""
+    from flink_assignment_spark.streaming.mixture_stream import read_kept_mixture
+
+    df = read_kept_mixture(
+        spark,
+        str(tmp_path / "nope"),
+        key_col="item",
+        group_col="domain",
+        key_type="string",
+        group_type="string",
+    )
+    assert df.columns == ["item", "domain"]
+    assert [f.dataType.simpleString() for f in df.schema.fields] == [
+        "string",
+        "string",
+    ]
+    assert df.count() == 0

@@ -211,3 +211,45 @@ def test_reorder_feeds_the_in_order_asof_contract(spark, tmp_path):
     finally:
         q.stop()
     assert [r[1] for r in seen] == [501, 500, 502]  # strict ts order
+
+
+def test_nullable_int_columns_pass_through(spark, tmp_path):
+    """A NULL in an integer payload column must survive the JSON
+    round-trip as a true NULL, not a float64 NaN that breaks the Arrow
+    conversion back to LongType (round-6 advisory): the emitted rows
+    must be byte-exact, nulls included."""
+    d = tmp_path / "ev"
+    d.mkdir()
+    schema = "user_id long, ts timestamp, cnt long, flag boolean"
+    rows = [
+        (1, BASE + timedelta(minutes=5), None, None),
+        (1, BASE + timedelta(minutes=2), 7, True),
+    ]
+    tick = [(9, BASE + timedelta(minutes=60), 1, False)]
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(str(d / "b0"))
+    spark.createDataFrame(tick, schema).coalesce(1).write.parquet(str(d / "b1"))
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d) + "/*")
+    )
+    captured = []
+
+    def sink(batch_df, batch_id):
+        captured.extend(tuple(r) for r in batch_df.collect())
+
+    q = (
+        reorder_buffer(stream, "user_id", "ts", "1 minute")
+        .writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    key1 = [c for c in captured if c[0] == 1]
+    assert key1 == [
+        (1, BASE.replace(tzinfo=None) + timedelta(minutes=2), 7, True),
+        (1, BASE.replace(tzinfo=None) + timedelta(minutes=5), None, None),
+    ]
