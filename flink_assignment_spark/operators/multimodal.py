@@ -31,6 +31,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
 from pyspark.sql.types import (
     BinaryType,
     IntegerType,
@@ -39,6 +40,8 @@ from pyspark.sql.types import (
     StructField,
     StructType,
 )
+
+from .spread import spread as _spread
 
 MEDIA_META = StructType(
     [
@@ -75,13 +78,14 @@ except ImportError:  # pragma: no cover - environment-dependent
 _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 
 
-def _decode_png(payload: bytes):
+def _decode_png_dims(payload: bytes):
     """Minimal real PNG decoder (stdlib only): non-interlaced, 8-bit
     depth, grayscale (color type 0) or RGB (2). zlib-inflates the
     IDAT stream and applies the five standard scanline filters
-    (None/Sub/Up/Average/Paeth). Returns the pixel bytes flattened
-    uint8 (all channels), identical to PIL's array for these modes.
-    Raises ValueError on anything it does not support."""
+    (None/Sub/Up/Average/Paeth). Returns ``(flat_pixels, width,
+    height, bpp)`` with pixels as flattened uint8 (all channels),
+    identical to PIL's array for these modes. Raises ValueError on
+    anything it does not support."""
     import struct
     import zlib
 
@@ -138,7 +142,82 @@ def _decode_png(payload: bytes):
             recon[i] = (cur[i] + pred) & 0xFF
         out[y] = recon
         prior = recon
-    return out.reshape(-1)
+    return out.reshape(-1), width, height, bpp
+
+
+def _decode_png(payload: bytes):
+    """Flat-pixel form of :func:`_decode_png_dims` (the feature
+    kernels don't need the dimensions)."""
+    return _decode_png_dims(payload)[0]
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data))
+    )
+
+
+def encode_png(pixels, filters: list[int] | None = None) -> bytes:
+    """Minimal real PNG encoder (stdlib only), the inverse of
+    :func:`_decode_png_dims`: 8-bit grayscale for a 2-D array, RGB for
+    a 3-D ``(h, w, 3)`` array, one of the five standard filter types
+    per scanline (default None-filter — zlib still compresses; the
+    per-line predictor choice is an encoder optimization, not a
+    format requirement). Round-trips byte-exactly through the
+    decoder; pinned against PIL where installed."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    pixels = np.asarray(pixels, dtype=np.uint8)
+    if pixels.ndim == 2:
+        h, w, bpp, color = *pixels.shape, 1, 0
+        flat = pixels
+    else:
+        h, w, _ = pixels.shape
+        bpp, color = 3, 2
+        flat = pixels.reshape(h, w * 3)
+    filters = filters or [0] * h
+    raw = bytearray()
+    prior = np.zeros(w * bpp, dtype=np.int32)
+    for y in range(h):
+        line = flat[y].astype(np.int32)
+        ft = filters[y]
+        enc = np.zeros(w * bpp, dtype=np.int32)
+        for i in range(w * bpp):
+            a = line[i - bpp] if i >= bpp else 0
+            b = prior[i]
+            c = prior[i - bpp] if i >= bpp else 0
+            if ft == 0:
+                pred = 0
+            elif ft == 1:
+                pred = a
+            elif ft == 2:
+                pred = b
+            elif ft == 3:
+                pred = (a + b) // 2
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            enc[i] = (line[i] - pred) & 0xFF
+        raw.append(ft)
+        raw.extend(enc.astype(np.uint8).tobytes())
+        prior = line
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (
+        _PNG_MAGIC
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
 
 
 def _decode_wav(payload: bytes):
@@ -220,7 +299,7 @@ def image_features(media: DataFrame, batch_size_hint: int = 1024) -> DataFrame:
                 rows, columns=["media_id", "n_bytes", "byte_mean", "byte_entropy", "phash"]
             )
 
-    spread = media.repartition(media.sparkSession.sparkContext.defaultParallelism)
+    spread = _spread(media)
     return spread.mapInPandas(compute, schema=IMAGE_FEATURES)
 
 
@@ -262,7 +341,7 @@ def audio_features(media: DataFrame) -> DataFrame:
                 rows, columns=["media_id", "n_samples", "rms", "zero_crossings", "peak"]
             )
 
-    spread = media.repartition(media.sparkSession.sparkContext.defaultParallelism)
+    spread = _spread(media)
     return spread.mapInPandas(compute, schema=AUDIO_FEATURES)
 
 
@@ -307,26 +386,75 @@ def frame_sample(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     )
 
 
+def _nn_indices(dst: int, src: int):
+    """Nearest-neighbor source index per destination index, PIL's
+    pixel-center convention: ``src_i = floor((dst_i + 0.5) * scale)``
+    — so the stdlib tier and the PIL tier produce the same pixels."""
+    import numpy as np
+
+    return np.minimum(
+        ((np.arange(dst) + 0.5) * (src / dst)).astype(np.int64), src - 1
+    )
+
+
+def _resize_image_impl(payload: bytes, width: int, height: int):
+    """Tiered REAL resize — returns ``(new_payload, resized)``:
+
+    1. PIL when installed: decode any supported format, NEAREST
+       resample, re-encode in the source format (PNG fallback).
+    2. stdlib for PNG payloads: :func:`_decode_png_dims` →
+       vectorized nearest-neighbor index gather (the same
+       pixel-center rule as PIL's NEAREST) → :func:`encode_png`.
+    3. anything neither tier decodes passes through unchanged with
+       ``resized=False`` (deterministic, never raises — the Arrow
+       stage must survive corrupt payloads)."""
+    if _PIL_Image is not None and payload:
+        import io
+
+        try:
+            with _PIL_Image.open(io.BytesIO(payload)) as im:
+                fmt = im.format or "PNG"
+                out = im.resize((width, height), _PIL_Image.NEAREST)
+                buf = io.BytesIO()
+                out.save(buf, format=fmt)
+                return buf.getvalue(), True
+        except Exception:
+            pass  # not decodable media → fall through
+    if payload.startswith(_PNG_MAGIC):
+        try:
+            flat, w0, h0, bpp = _decode_png_dims(payload)
+            arr = flat.reshape(h0, w0, bpp)
+            res = arr[_nn_indices(height, h0)][:, _nn_indices(width, w0)]
+            return encode_png(res if bpp == 3 else res[:, :, 0]), True
+        except ValueError:
+            pass  # unsupported PNG variant → pass through
+    return payload, False
+
+
 def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
-    """Resize plumbing: mapInPandas pass that would re-encode payloads
-    at (width, height). STUB kernel passes bytes through and rewrites
-    metadata — signature, batching, and schema are the real contract."""
+    """Resize every image payload to (width, height) in one
+    Arrow-batched ``mapInPandas`` pass — REAL re-encoded pixels via
+    the tiered kernel (:func:`_resize_image_impl`); payloads no tier
+    decodes pass through byte-identical. Metadata width/height are
+    rewritten only for rows actually resized, so downstream consumers
+    can trust the meta to describe the payload."""
 
     out_schema = MEDIA_SCHEMA
 
     def resize(batches):
-        import pandas as pd
-
         for pdf in batches:
-            metas = []
-            for m in pdf["meta"]:
+            payloads, metas = [], []
+            for payload, m in zip(pdf["payload"], pdf["meta"]):
+                raw = b"" if payload is None else bytes(payload)
+                new_payload, resized = _resize_image_impl(raw, width, height)
+                payloads.append(new_payload if payload is not None else None)
                 m = dict(m) if m is not None else {}
-                m["width"], m["height"] = width, height
+                if resized:
+                    m["width"], m["height"] = width, height
                 metas.append(m)
-            pdf = pdf.assign(meta=metas)
-            yield pdf
+            yield pdf.assign(payload=payloads, meta=metas)
 
-    spread = media.repartition(media.sparkSession.sparkContext.defaultParallelism)
+    spread = _spread(media)
     return spread.mapInPandas(resize, schema=out_schema)
 
 

@@ -5,9 +5,6 @@ the lib is absent), and the deterministic byte-surface fallback."""
 
 from __future__ import annotations
 
-import struct
-import zlib
-
 import numpy as np
 import pytest
 
@@ -17,6 +14,7 @@ from flink_assignment_spark.operators.multimodal import (
     _decode_image_impl,
     _decode_png,
     _decode_wav,
+    encode_png,
     frame_sample,
     image_features,
     resize_images,
@@ -24,60 +22,9 @@ from flink_assignment_spark.operators.multimodal import (
 
 from .conftest import SF_DIR
 
-
-def _png_chunk(ctype: bytes, data: bytes) -> bytes:
-    return (
-        struct.pack(">I", len(data))
-        + ctype
-        + data
-        + struct.pack(">I", zlib.crc32(ctype + data))
-    )
-
-
-def make_png(pixels: np.ndarray, filters: list[int] | None = None) -> bytes:
-    """Encode an 8-bit PNG (gray if 2-D, RGB if 3-D) with a chosen
-    filter type per scanline — lets tests exercise every defilter."""
-    if pixels.ndim == 2:
-        h, w, bpp, color = *pixels.shape, 1, 0
-        flat = pixels
-    else:
-        h, w, _ = pixels.shape
-        bpp, color = 3, 2
-        flat = pixels.reshape(h, w * 3)
-    filters = filters or [0] * h
-    raw = bytearray()
-    prior = np.zeros(w * bpp, dtype=np.int32)
-    for y in range(h):
-        line = flat[y].astype(np.int32)
-        ft = filters[y]
-        enc = np.zeros(w * bpp, dtype=np.int32)
-        for i in range(w * bpp):
-            a = line[i - bpp] if i >= bpp else 0
-            b = prior[i]
-            c = prior[i - bpp] if i >= bpp else 0
-            if ft == 0:
-                pred = 0
-            elif ft == 1:
-                pred = a
-            elif ft == 2:
-                pred = b
-            elif ft == 3:
-                pred = (a + b) // 2
-            else:
-                p = a + b - c
-                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-            enc[i] = (line[i] - pred) & 0xFF
-        raw.append(ft)
-        raw.extend(enc.astype(np.uint8).tobytes())
-        prior = line
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
-    return (
-        b"\x89PNG\r\n\x1a\n"
-        + _png_chunk(b"IHDR", ihdr)
-        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
-        + _png_chunk(b"IEND", b"")
-    )
+# the package's stdlib encoder (round 7 moved it out of this file so
+# resize_images can re-encode); filters kwarg exercises every defilter
+make_png = encode_png
 
 
 def make_wav(samples: np.ndarray, n_channels: int = 1, rate: int = 8000) -> bytes:
@@ -211,15 +158,84 @@ def test_frame_sample_counts(spark):
     assert {f.frame_ts_ms for f in frames} == {0, 1000, 2000}
 
 
-def test_resize_rewrites_meta_keeps_payload(spark):
+def test_resize_passthrough_for_undecodable_payloads(spark):
+    """Payloads no tier decodes pass through byte-identical AND keep
+    their original metadata dims — the meta must describe the payload,
+    never claim a resize that did not happen (the old stub's fake)."""
     df = _media_df(spark)
     out = {r.media_id: r for r in resize_images(df, 32, 32).collect()}
     orig = {r.media_id: r for r in df.collect()}
     assert out.keys() == orig.keys()
     for k in out:
         assert bytes(out[k].payload) == bytes(orig[k].payload)
-        assert (out[k].meta.width, out[k].meta.height) == (32, 32)
+        assert (out[k].meta.width, out[k].meta.height) == (64, 48)
         assert out[k].meta.media_type == orig[k].meta.media_type
+
+
+def _nn_reference(arr: np.ndarray, width: int, height: int) -> np.ndarray:
+    """Independent nearest-neighbor reference (PIL's pixel-center
+    rule), written directly from the definition."""
+    h0, w0 = arr.shape[:2]
+    rows = np.minimum(((np.arange(height) + 0.5) * h0 / height).astype(int), h0 - 1)
+    cols = np.minimum(((np.arange(width) + 0.5) * w0 / width).astype(int), w0 - 1)
+    return arr[rows][:, cols]
+
+
+def test_resize_png_real_pixels_gray_and_rgb(spark):
+    """The REAL kernel: a hand-crafted PNG resized through the
+    distributed stage decodes to exactly the nearest-neighbor
+    reference pixels — downscale (gray) and upscale (RGB) — and the
+    metadata is rewritten only because the resize happened."""
+    rng = np.random.RandomState(42)
+    gray = rng.randint(0, 256, size=(8, 6), dtype=np.uint8)
+    rgb = rng.randint(0, 256, size=(3, 4, 3), dtype=np.uint8)
+    rows = [
+        (1, bytearray(make_png(gray)),
+         {"media_type": "image", "format": "png", "width": 6, "height": 8,
+          "duration_ms": None}),
+        (2, bytearray(make_png(rgb)),
+         {"media_type": "image", "format": "png", "width": 4, "height": 3,
+          "duration_ms": None}),
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = {r.media_id: r for r in resize_images(df, 5, 4).collect()}
+    from flink_assignment_spark.operators.multimodal import _decode_png_dims
+
+    for mid, src, bpp in [(1, gray, 1), (2, rgb, 3)]:
+        flat, w, h, got_bpp = _decode_png_dims(bytes(out[mid].payload))
+        assert (w, h, got_bpp) == (5, 4, bpp)
+        want = _nn_reference(src, 5, 4)
+        assert np.array_equal(flat.reshape(4, 5, bpp).squeeze(), want.squeeze()), mid
+        assert (out[mid].meta.width, out[mid].meta.height) == (5, 4)
+
+
+def test_resize_matches_pil_nearest():
+    """Where PIL is installed, the stdlib tier's pixel-center rule
+    must agree with PIL NEAREST exactly (skip otherwise)."""
+    PIL = pytest.importorskip("PIL.Image")
+    import io
+
+    from flink_assignment_spark.operators.multimodal import (
+        _decode_png_dims,
+        _resize_image_impl,
+    )
+
+    rng = np.random.RandomState(5)
+    gray = rng.randint(0, 256, size=(7, 9), dtype=np.uint8)
+    png = make_png(gray)
+    with PIL.open(io.BytesIO(png)) as im:
+        via_pil = np.asarray(im.resize((4, 3), PIL.NEAREST)).astype(np.uint8)
+    # force the stdlib tier by going through the PNG branch directly
+    flat, w0, h0, bpp = _decode_png_dims(png)
+    from flink_assignment_spark.operators.multimodal import _nn_indices, encode_png
+
+    res = flat.reshape(h0, w0, 1)[_nn_indices(3, h0)][:, _nn_indices(4, w0)][:, :, 0]
+    assert np.array_equal(res, via_pil)
+    # and the full kernel (PIL tier active here) round-trips
+    out, resized = _resize_image_impl(png, 4, 3)
+    assert resized and np.array_equal(
+        _decode_png_dims(out)[0].reshape(3, 4), via_pil
+    )
 
 
 def test_audio_features_deterministic_and_matches_numpy(spark):
