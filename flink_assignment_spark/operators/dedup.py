@@ -24,6 +24,7 @@ from ..functions.text import (
     tokens,
     word_shingles,
 )
+from .spread import spread as _spread
 
 
 # Skew guards for the shingle inverted index and LSH buckets. A
@@ -51,15 +52,6 @@ def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     )
 
 
-def _spread(df: DataFrame) -> DataFrame:
-    """Round-robin repartition to the session's parallelism.
-
-    Compute-dense text/pair stages have tiny input bytes but heavy
-    per-row work; a single small parquet file would otherwise pin the
-    whole stage to one task. Results are partitioning-invariant (all
-    downstream aggs are over integers / per-row expressions)."""
-    n = df.sparkSession.sparkContext.defaultParallelism
-    return df.repartition(n)
 
 
 def cap_doc_freq(index: DataFrame, max_doc_freq: int) -> DataFrame:

@@ -37,6 +37,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text import tokens
+from .spread import spread
 
 DEFAULT_PHI_INV = 200  # heavy = more than 0.5% of all tokens
 
@@ -73,9 +74,8 @@ def mg_merge_compact(counters: dict, items, phi_inv: int) -> int:
 
 
 def _token_stream(docs: DataFrame, text_col: str) -> DataFrame:
-    n = docs.sparkSession.sparkContext.defaultParallelism
     return (
-        docs.repartition(n)
+        spread(docs)
         .select(F.explode_outer(tokens(F.col(text_col))).alias("token"))
         .filter(F.col("token").isNotNull())
     )

@@ -20,13 +20,9 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.vector import cosine, dot, dot_fixed, make_pair_dot_udf, norm
+from .spread import spread as _spread
 
 
-def _spread(df: DataFrame) -> DataFrame:
-    """Round-robin repartition to session parallelism — pairwise
-    similarity stages are compute-bound on tiny input bytes; without
-    this a single small parquet file pins them to one task."""
-    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
 
 def cosine_topk(

@@ -293,3 +293,31 @@ def test_q94_containment_no_nested_loop(spark):
     df = REGISTRY["q94_containment_neardup"].spark(spark, SF_DIR)
     plan = physical_plan(df)
     assert "NestedLoop" not in plan, plan
+
+
+def test_spread_is_conditional(spark):
+    """The compute-spread helper (round-6 advisory: unconditional
+    repartition blocked pushdown and costs a full shuffle at scale)
+    adds ZERO Exchange when the input already has >= parallelism
+    partitions, and still fans a single-partition input out to every
+    core."""
+    from flink_assignment_spark.operators.spread import spread
+
+    n = spark.sparkContext.defaultParallelism
+    wide = spark.range(0, 10_000, 1, n)
+    assert count_exchanges(spread(wide)) == 0
+    assert "Exchange" not in physical_plan(spread(wide))
+    thin = spark.range(0, 10_000, 1, 1)
+    out = spread(thin)
+    assert count_exchanges(out) == 1
+    assert out.rdd.getNumPartitions() == n
+    # pushdown survives the no-op path: filter on a wide scan through
+    # spread still reaches the parquet scan
+    from flink_assignment_spark.sources.loaders import load_table
+
+    import pyspark.sql.functions as F
+
+    docs = load_table(spark, SF_DIR, "documents")
+    if docs.rdd.getNumPartitions() >= n:
+        filtered = spread(docs).filter(F.col("doc_id") < 10)
+        assert any("doc_id" in f for f in pushed_filters(filtered))
