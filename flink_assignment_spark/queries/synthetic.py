@@ -4586,20 +4586,63 @@ REGISTRY.update(
 # ------------------------------------------------------------------------
 # Registry ordering contract: the driver's correctness harness records at
 # most 50 entries per round (CORRECTNESS_r02 stopped at exactly 50 while
-# 55 queries ran in BENCH). Order therefore matters: every query with a
-# DuckDB oracle must land in the first 50 slots so none of the
-# hash-checked rows is truncated away. Layout:
-#   [0, 50)  the first 50 oracle-bearing queries, original order
-#            (q01..q54)
-#   next     every other oracle-bearing query in insertion order
-#            (q56..q63, q65-q78, q80, q86, q87, q83, q88-q103 — file
-#            insertion order), then q55 — beyond
-#            the driver cap, but tests/test_synthetic_queries.py runs
-#            the SAME compare on every one of them each CI pass
+# 55 queries ran in BENCH). Order therefore matters — and rounds 1-6
+# always presented the SAME first 50 oracle queries (q01..q54), so the
+# other 43 oracle-backed queries never earned a driver-grade green row
+# (round-6 judge ask #4). Round 7 ROTATES: the window keeps the nine
+# reference questions (never rotated out — they are the reference-parity
+# signal) and fills the remaining 40 slots with oracle queries that have
+# no driver row in CORRECTNESS_r01..r06. Layout:
+#   [0, 10)  q01..q09 (both q03 forms), original order
+#   [10, 50) not-yet-driver-checked oracle queries, insertion order
+#            (q55..q100 — 40 of the 43; q101/q102/q103 queue for the
+#            next rotation)
+#   next     the remaining oracle queries (all held green driver rows
+#            in r1-r6; tests/test_synthetic_queries.py re-runs the
+#            SAME compare on every oracle query each CI pass, so
+#            nothing regresses silently while out of the window)
 #   tail     rows-only queries (q31/q37/q40/q43/q47/q64/q79/q81/q82/
 #            q84/q85 — each covered by its own pytest accuracy/
 #            determinism/recall harness instead)
-_ORACLE_FIRST = {n: s for n, s in REGISTRY.items() if s.oracle is not None and n != "q55_media_stats"}
-_ORACLE_FIRST["q55_media_stats"] = REGISTRY["q55_media_stats"]
+_DRIVER_CHECKED_R1_R6 = frozenset(
+    {
+        "q01_filter_project", "q02_explode_filter", "q03_keyed_count",
+        "q03_running_count", "q04_keyed_sum", "q05_tumbling_daily",
+        "q06_sliding_windows", "q07_daily_summary_having",
+        "q08_interval_join_weekly", "q09_followed_by", "q10_sessionize",
+        "q11_pricing_summary", "q12_top_revenue_orders",
+        "q13_regional_revenue", "q14_dedup_exact", "q15_dedup_ngram_jaccard",
+        "q16_dedup_minhash_lsh", "q17_dedup_simhash", "q18_embedding_neardup",
+        "q19_similarity_topk", "q20_text_stats", "q21_lang_id",
+        "q22_topk_per_group", "q23_distinct_daily", "q24_set_ops",
+        "q25_pivot_daily_types", "q26_cube_pricing", "q27_sql_api",
+        "q28_json_extract", "q29_dedup_clusters",
+        "q30_winnowing_fingerprints", "q32_text_quality", "q33_langid_ngram",
+        "q34_asof_attribution", "q35_stratified_sample", "q36_frame_sample",
+        "q38_percentiles", "q39_semi_anti", "q41_rollup_orders",
+        "q42_order_gaps", "q44_nation_year_revenue", "q45_above_avg_orders",
+        "q46_hierarchical_rollup", "q48_latest_per_key", "q49_data_profile",
+        "q50_salted_agg", "q51_sql_cte_pipeline", "q52_vocabulary",
+        "q53_bigram_counts", "q54_tfidf_top_terms",
+    }
+)
+_REFERENCE_WINDOW = [
+    "q01_filter_project", "q02_explode_filter", "q03_keyed_count",
+    "q03_running_count", "q04_keyed_sum", "q05_tumbling_daily",
+    "q06_sliding_windows", "q07_daily_summary_having",
+    "q08_interval_join_weekly", "q09_followed_by",
+]
+_never = [
+    n
+    for n, s in REGISTRY.items()
+    if s.oracle is not None and n not in _DRIVER_CHECKED_R1_R6
+]
+_rotated = _REFERENCE_WINDOW + _never[:40] + _never[40:] + [
+    n
+    for n, s in REGISTRY.items()
+    if s.oracle is not None
+    and n in _DRIVER_CHECKED_R1_R6
+    and n not in _REFERENCE_WINDOW
+]
 _ROWS_ONLY = {n: s for n, s in REGISTRY.items() if s.oracle is None}
-REGISTRY = {**_ORACLE_FIRST, **_ROWS_ONLY}
+REGISTRY = {**{n: REGISTRY[n] for n in _rotated}, **_ROWS_ONLY}
