@@ -637,6 +637,66 @@ def dup_token_coverage(positions: Column, k: int) -> Column:
     return F.when(n == 0, F.lit(0)).otherwise(covered)
 
 
+def dup_spans(positions: Column, k: int) -> Column:
+    """Maximal duplicated token intervals for a SORTED position array:
+    merge the ``[p, p+k)`` windows into maximal half-open ``[s, e)``
+    spans — Lee et al. 2022 report the actual duplicated SPANS, not
+    just coverage counts, and this is the span form of the same union
+    :func:`dup_token_coverage` measures (``sum(e - s)`` over these
+    spans equals it, pinned in tests). One pure array fold, no extra
+    shuffle: positions are sorted ascending and ``k`` is fixed, so the
+    new window's end ``p+k`` always ≥ the running end, and two windows
+    merge iff ``p ≤ prev_end`` (overlap or exact adjacency — half-open
+    intervals). Returns ``array<struct<s int, e int>>``."""
+    empty = F.array().cast("array<struct<s:int,e:int>>")
+
+    def step(acc, p):
+        last = F.element_at(acc, -1)
+        ext = F.array(
+            F.struct(
+                last["s"].alias("s"), (p + F.lit(k)).cast("int").alias("e")
+            )
+        )
+        new = F.array(
+            F.struct(
+                p.cast("int").alias("s"), (p + F.lit(k)).cast("int").alias("e")
+            )
+        )
+        return F.when(
+            (F.size(acc) > 0) & (p <= last["e"]),
+            F.concat(F.slice(acc, 1, F.size(acc) - 1), ext),
+        ).otherwise(F.concat(acc, new))
+
+    return F.aggregate(positions, empty, step)
+
+
+def substring_spans(
+    docs: DataFrame,
+    k: int = CHUNK_TOKENS,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document maximal duplicated spans: ``(doc_id, span_start,
+    span_len)``, one row per maximal ``[start, start+len)`` token
+    interval covered by duplicated (``rn > 1``) stride-1 windows.
+    Exactly q88's plan — the near-uniform hash window + one per-doc
+    aggregation — plus the :func:`dup_spans` array fold and an
+    explode; only documents containing copied text produce rows."""
+    occ = substring_occurrences(docs, k, text_col, id_col)
+    per_doc = (
+        occ.filter(F.col("rn") > 1)
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("pos")).alias("ps"))
+    )
+    return per_doc.select(
+        "doc_id", F.explode(dup_spans(F.col("ps"), k)).alias("sp")
+    ).select(
+        "doc_id",
+        F.col("sp.s").alias("span_start"),
+        (F.col("sp.e") - F.col("sp.s")).alias("span_len"),
+    )
+
+
 def substring_scrub(
     docs: DataFrame,
     k: int = CHUNK_TOKENS,

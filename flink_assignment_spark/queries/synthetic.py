@@ -4583,6 +4583,65 @@ REGISTRY.update(
 )
 
 
+def q104_substring_spans(spark, sf_dir):
+    """Maximal duplicated-span reporting for stride-1 exact-substring
+    dedup (round-6 judge ask #6): Lee et al. 2022 report the actual
+    duplicated spans, not just coverage stats. Emits (doc_id,
+    span_start, span_len) — one row per maximal token interval covered
+    by duplicated 16-token windows, merged from q88's sorted dup
+    positions by one pure array fold (operators.dedup.dup_spans); the
+    plan is q88's near-uniform hash window + per-doc agg + a narrow
+    explode. Oracle: the classic gaps-and-islands formulation over
+    the same window index."""
+    from ..operators.dedup import CHUNK_TOKENS, substring_spans
+
+    assert CHUNK_TOKENS == 16  # oracle constant
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return substring_spans(docs, CHUNK_TOKENS).select(
+        "doc_id",
+        F.col("span_start").cast("int").alias("span_start"),
+        F.col("span_len").cast("int").alias("span_len"),
+    )
+
+
+Q104_SQL = """
+WITH tk AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '') AS tk
+  FROM documents
+), wins AS (
+  SELECT doc_id, CAST(i AS INT) AS pos,
+         CAST('0x' || substring(md5(array_to_string(
+             tk[(CAST(i AS INT) + 1):(CAST(i AS INT) + 16)], ' ')), 1, 15) AS BIGINT) AS h
+  FROM tk, UNNEST(range(len(tk) - 15)) AS t(i)
+  WHERE len(tk) >= 16
+), occ AS (
+  SELECT doc_id, pos,
+         row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+  FROM wins
+), dup AS (
+  SELECT doc_id, pos FROM occ WHERE rn > 1
+), marks AS (
+  SELECT doc_id, pos,
+         CASE WHEN lag(pos) OVER w IS NULL
+                OR pos > lag(pos) OVER w + 16 THEN 1 ELSE 0 END AS new_island
+  FROM dup
+  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+), islands AS (
+  SELECT doc_id, pos,
+         SUM(new_island) OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+  FROM marks
+)
+SELECT doc_id,
+       CAST(MIN(pos) AS INT) AS span_start,
+       CAST(MAX(pos) + 16 - MIN(pos) AS INT) AS span_len
+FROM islands GROUP BY doc_id, isl
+"""
+
+
+REGISTRY.update({"q104_substring_spans": QuerySpec(q104_substring_spans, Q104_SQL)})
+
+
 # ------------------------------------------------------------------------
 # Registry ordering contract: the driver's correctness harness records at
 # most 50 entries per round (CORRECTNESS_r02 stopped at exactly 50 while
@@ -4594,9 +4653,9 @@ REGISTRY.update(
 # signal) and fills the remaining 40 slots with oracle queries that have
 # no driver row in CORRECTNESS_r01..r06. Layout:
 #   [0, 10)  q01..q09 (both q03 forms), original order
-#   [10, 50) not-yet-driver-checked oracle queries, insertion order
-#            (q55..q100 — 40 of the 43; q101/q102/q103 queue for the
-#            next rotation)
+#   [10, 50) not-yet-driver-checked oracle queries — the round's new
+#            q104 first, then insertion order (q55..q99);
+#            q100/q101/q102/q103 queue for the next rotation
 #   next     the remaining oracle queries (all held green driver rows
 #            in r1-r6; tests/test_synthetic_queries.py re-runs the
 #            SAME compare on every oracle query each CI pass, so
@@ -4637,6 +4696,9 @@ _never = [
     for n, s in REGISTRY.items()
     if s.oracle is not None and n not in _DRIVER_CHECKED_R1_R6
 ]
+# the round's NEW oracle query goes to the head of the rotation so it
+# earns a driver-grade row immediately
+_never.insert(0, _never.pop(_never.index("q104_substring_spans")))
 _rotated = _REFERENCE_WINDOW + _never[:40] + _never[40:] + [
     n
     for n, s in REGISTRY.items()

@@ -702,3 +702,50 @@ def test_theta_source_overlap_exact_in_sampling_free_regime(spark):
         # F.round is HALF_UP, Python round is half-even — compare with
         # a half-ulp-at-4-decimals tolerance instead of repr equality
         assert abs(r.approx_jaccard - len(A & B) / len(A | B)) <= 5.001e-5
+
+
+def test_substring_spans_merge_adjacent_and_overlapping(spark):
+    """Maximal-span reporting (round-7): two copied regions in one doc
+    — one where the dup windows OVERLAP (a contiguous copied span) and
+    one separated by a gap — must merge into exactly two maximal
+    [start, len) intervals; adjacency (p == prev_end) also merges.
+    The span union must equal dup_token_coverage on the same ps."""
+    from flink_assignment_spark.operators.dedup import (
+        dup_spans,
+        dup_token_coverage,
+        substring_spans,
+    )
+
+    a_toks = [f"a{i}" for i in range(60)]
+    # doc 2: 4-token prefix + A[0:20] + 6 unique + A[30:50]
+    b_toks = (
+        [f"b{i}" for i in range(4)]
+        + a_toks[0:20]
+        + [f"c{i}" for i in range(6)]
+        + a_toks[30:50]
+    )
+    docs = spark.createDataFrame(
+        [(1, " ".join(a_toks)), (2, " ".join(b_toks))], "doc_id long, text string"
+    )
+    got = sorted(
+        (r.doc_id, r.span_start, r.span_len)
+        for r in substring_spans(docs).collect()
+    )
+    # copied spans in doc 2: tokens [4, 24) -> windows 4..8 merge to
+    # [4, 24); tokens [30, 50) -> windows 30..34 merge to [30, 50)
+    assert got == [(2, 4, 20), (2, 30, 20)]
+
+    # exact-adjacency merge + coverage equivalence, directly on the fold
+    row = (
+        spark.range(1)
+        .select(
+            dup_spans(F.array(F.lit(0), F.lit(16), F.lit(40)), 16).alias("sp"),
+            dup_token_coverage(
+                F.array(F.lit(0), F.lit(16), F.lit(40)), 16
+            ).alias("cov"),
+        )
+        .collect()[0]
+    )
+    spans = [(s["s"], s["e"]) for s in row["sp"]]
+    assert spans == [(0, 32), (40, 56)]  # pos 16 touches [0,16) end: merged
+    assert sum(e - s for s, e in spans) == row["cov"]
