@@ -159,7 +159,80 @@ class CorpusPipeline:
         )
         return self._next(out, "dedup_exact")
 
+    def dedup_near(
+        self,
+        threshold: float = 0.3,
+        max_doc_freq: int | None = None,
+        max_bucket: int | None = None,
+    ) -> "CorpusPipeline":
+        """Near-duplicate removal, the full q16 + q29 lifecycle in one
+        stage: MinHash(16)+LSH candidate pairs verified by exact
+        Jaccard ≥ ``threshold`` (skew caps default to the q16
+        constants), contracted into clusters with the q29 star
+        algorithm, then every non-min-id cluster member dropped. Only
+        the documented wide steps shuffle (shingle index, bucket
+        groupBy, verify join, CC contraction); the kept set equals
+        running q16 then q29 by hand on the same corpus
+        (tests/test_pipeline_api.py). Batch-only — streams pair
+        ``streaming.lsh_stream`` with ``streaming.components_stream``.
+        """
+        from .operators.components import connected_components
+        from .operators.dedup import (
+            MAX_LSH_BUCKET,
+            MAX_SHINGLE_DF,
+            minhash_lsh_pairs,
+        )
+
+        if self._df.isStreaming:
+            raise TypeError(
+                "dedup_near is batch-only — use streaming.lsh_stream + "
+                "streaming.components_stream incrementally"
+            )
+        pairs = minhash_lsh_pairs(
+            self._df,
+            threshold=threshold,
+            text_col=self.text_col,
+            id_col=self.id_col,
+            max_doc_freq=MAX_SHINGLE_DF if max_doc_freq is None else max_doc_freq,
+            max_bucket=MAX_LSH_BUCKET if max_bucket is None else max_bucket,
+        )
+        clusters = connected_components(pairs, "doc_a", "doc_b")
+        drop = (
+            clusters.filter(F.col("node") != F.col("component"))
+            .select(F.col("node").alias(self.id_col))
+        )
+        out = self._df.join(drop, self.id_col, "left_anti")
+        return self._next(out, "dedup_near")
+
     # -------------------------------------------------------- sampling
+    def budget_per_group(
+        self, k: int, group_col: str = "lang", salt: str = "budget"
+    ) -> "CorpusPipeline":
+        """Per-group fixed budget (q100): keep exactly ``min(k,
+        |group|)`` docs per group, chosen by the deterministic salted
+        hash order — repartition-invariant, same survivors every run.
+        One row_number window per group. Batch-only (the window is
+        corpus-global); streams maintain the same selection
+        incrementally via ``streaming.topk_stream``."""
+        from pyspark.sql import Window
+
+        from .operators.sampling import uniform_from_key
+
+        if self._df.isStreaming:
+            raise TypeError(
+                "budget_per_group is batch-only — use "
+                "streaming.topk_stream.incremental_topk"
+            )
+        w = Window.partitionBy(group_col).orderBy(
+            uniform_from_key(F.col(self.id_col), salt), F.col(self.id_col)
+        )
+        out = (
+            self._df.withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") <= k)
+            .drop("__rk")
+        )
+        return self._next(out, f"budget_per_group({k})")
+
     def sample_mixture(
         self, weights: dict[str, float], group_col: str = "lang", salt: str = "mix"
     ) -> "CorpusPipeline":

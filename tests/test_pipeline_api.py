@@ -130,3 +130,77 @@ def test_pipeline_compression_and_stratified_gates(spark):
         r["lang"] for r in kept.select("lang").distinct().collect()
     ) <= {"en", "fr"}
     assert p2.lineage == ("gate_compression", "sample_stratified")
+
+
+def test_dedup_near_and_budget_match_operator_level(spark):
+    """Round-7 lifecycle extension: the fluent .dedup_near() equals
+    running q16's verified pairs through q29's star contraction and
+    dropping non-min members by hand, and .budget_per_group(k) equals
+    q100's window — composed in one chain on the same corpus."""
+    from pyspark.sql import Window
+
+    from flink_assignment_spark.operators.components import connected_components
+    from flink_assignment_spark.operators.dedup import (
+        MAX_LSH_BUCKET,
+        MAX_SHINGLE_DF,
+        minhash_lsh_pairs,
+    )
+    from flink_assignment_spark.operators.sampling import uniform_from_key
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text", "lang")
+    k = 40
+
+    got = (
+        CorpusPipeline(docs)
+        .dedup_near(0.3)
+        .budget_per_group(k)
+    )
+    assert got.lineage == ("dedup_near", f"budget_per_group({k})")
+    got_ids = {r["doc_id"] for r in got.df.collect()}
+
+    # operator-level reference, stage by stage
+    pairs = minhash_lsh_pairs(
+        docs, 0.3, max_doc_freq=MAX_SHINGLE_DF, max_bucket=MAX_LSH_BUCKET
+    )
+    assert pairs.count() > 0  # non-vacuous: the corpus has near-dups
+    cc = connected_components(pairs, "doc_a", "doc_b")
+    drop = cc.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias("doc_id")
+    )
+    kept = docs.join(drop, "doc_id", "left_anti")
+    w = Window.partitionBy("lang").orderBy(
+        uniform_from_key(F.col("doc_id"), "budget"), F.col("doc_id")
+    )
+    want = kept.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
+    want_ids = {r["doc_id"] for r in want.collect()}
+    assert got_ids == want_ids and len(got_ids) > 0
+
+    # budget honored exactly: every group has min(k, |group|) docs
+    sizes = {
+        (r["lang"]): r["n"]
+        for r in kept.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    out_sizes = {
+        (r["lang"]): r["n"]
+        for r in got.df.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    assert out_sizes == {g: min(k, n) for g, n in sizes.items()}
+
+
+def test_full_lifecycle_chain_composes(spark):
+    """All stages in one chain stay a single lazy DAG and produce a
+    sane audit frame."""
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "doc_id", "text", "lang", "source"
+    )
+    p = (
+        CorpusPipeline(docs)
+        .normalize()
+        .gate_repetition()
+        .dedup_exact()
+        .dedup_near(0.3)
+        .budget_per_group(50)
+    )
+    audit = p.yield_summary("source").collect()
+    assert sum(r["n_docs"] for r in audit) > 0
+    assert all("dedup_near" in r["pipeline"] for r in audit)
