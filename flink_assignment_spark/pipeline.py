@@ -221,7 +221,7 @@ class CorpusPipeline:
         if self._df.isStreaming:
             raise TypeError(
                 "budget_per_group is batch-only — use "
-                "streaming.topk_stream.incremental_topk"
+                "streaming.topk_stream.topk_stream"
             )
         w = Window.partitionBy(group_col).orderBy(
             uniform_from_key(F.col(self.id_col), salt), F.col(self.id_col)

@@ -41,9 +41,13 @@ Contract (shared by both wrappers, pinned by their test suites):
   (new×old) or in one batch (new×new), exactly once either way;
 - ``max_state_bucket`` sticky saturation: an over-cap bucket stops
   emitting and stops growing (physical rows bounded by the cap);
-- replay: ``_applied_batch`` marker; pair appends may duplicate and
-  are distinct'd at read; bucket appends are pre-anti-joined against
-  existing state, so a replayed fold converges instead of growing.
+- replay: ``_applied_batch`` marker; pair/tomb appends may duplicate
+  and are distinct'd at read; the bucket append is guarded by its own
+  ``_appended`` marker written immediately after the append, so a
+  replayed fold skips the already-applied delta instead of growing —
+  the residual window (crash between the append's job commit and the
+  marker write) can duplicate one batch's rows, which only duplicates
+  pairs (distinct'd) until ``compact_state`` purges them.
 
 Sizing ``n_pt``: the fold no longer depends on it (append is
 O(batch)); it only governs read pruning — a batch's candidate join
@@ -84,6 +88,23 @@ def buckets_path(state_dir: str) -> str:
 
 def tombs_path(state_dir: str) -> str:
     return os.path.join(state_dir, "tombs")
+
+
+def _appended_batch(state_dir: str) -> int:
+    """Batch id whose bucket delta is already appended (crash window
+    between the append and the commit marker), or -1."""
+    path = os.path.join(state_dir, "_appended")
+    if os.path.exists(path):
+        with open(path) as f:
+            return int(f.read().strip() or -1)
+    return -1
+
+
+def _mark_appended(state_dir: str, batch_id: int) -> None:
+    tmp = os.path.join(state_dir, "_appended.tmp")
+    with open(tmp, "w") as f:
+        f.write(str(int(batch_id)))
+    os.replace(tmp, os.path.join(state_dir, "_appended"))
 
 
 def _resolve_n_pt(state_dir: str, requested: int | None) -> int:
@@ -222,20 +243,23 @@ def merge_detector_batch(
         pairs = pairs.filter(score_keep(F.col(score_name)))
     pairs = pairs.distinct().cache()
     if pairs.count():
-        backend.append(pairs, pairs_path(state_dir), None)
+        # bounded file count per batch (the append table is read-only
+        # until the analysis pass; no need for one file per shuffle task)
+        backend.append(pairs.coalesce(8), pairs_path(state_dir), None)
     pairs.unpersist()
 
     # fold = DELTA APPEND of the batch's rows only (O(batch), never
-    # O(state)): dedupe within the batch, then against existing state
-    # so a crash-replay converges instead of re-appending
-    fold_rows = rows_live.select("pt", *key_cols, "doc_id", payload_col).distinct()
-    if state is not None:
-        fold_rows = fold_rows.alias("n").join(
-            state.alias("o"),
-            _key_eq("n", "o", key_cols) & (F.col("n.doc_id") == F.col("o.doc_id")),
-            "left_anti",
-        )
-    fold_rows = fold_rows.cache()
+    # O(state)), deduped within the batch. Crash-replay convergence
+    # comes from the `_appended` marker (written right after the
+    # append, before the commit marker) — NOT from an anti-join
+    # against state, which would put an O(state) shuffle back on
+    # every fold. The residual window (crash between the append's
+    # job commit and the marker write) can duplicate one batch's
+    # rows; duplicates are benign (pairs are distinct'd at read) and
+    # compact_state purges them.
+    fold_rows = (
+        rows_live.select("pt", *key_cols, "doc_id", payload_col).distinct().cache()
+    )
     fold_out = fold_rows
 
     if max_state_bucket is not None:
@@ -259,13 +283,21 @@ def merge_detector_batch(
             totals = new_counts.select(*key_cols, F.col("n_new").alias("n"))
         hot = totals.filter(F.col("n") > max_state_bucket).select(*key_cols).cache()
         if hot.count():
-            backend.append(hot, tombs_path(state_dir), None)
+            backend.append(hot.coalesce(1), tombs_path(state_dir), None)
             fold_out = fold_rows.join(F.broadcast(hot), key_cols, "left_anti")
         hot.unpersist()
 
-    # never create a bare-_SUCCESS buckets dir (unreadable as parquet)
-    if fold_out.limit(1).count():
-        backend.append(fold_out, bpath, "pt")
+    if _appended_batch(state_dir) != batch_id:
+        # repartition ON pt so every touched partition receives exactly
+        # ONE new file per batch — without it each shuffle task writes
+        # its own sliver into every pt dir and the state read's
+        # file-listing/footer cost grows ~quadratically with batches
+        # (measured: the first round-7 sweep regressed for this reason)
+        fold_out = fold_out.repartition(F.col("pt"))
+        # never create a bare-_SUCCESS buckets dir (unreadable as parquet)
+        if fold_out.limit(1).count():
+            backend.append(fold_out, bpath, "pt")
+        _mark_appended(state_dir, batch_id)
     fold_rows.unpersist()
     if state is not None:
         state.unpersist()
