@@ -70,3 +70,34 @@ def stopword_ratio(toks: Column) -> Column:
     integer in double — bit-exact across engines)."""
     n_stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
     return n_stop.cast("double") / F.size(toks).cast("double")
+
+
+# char-trigram profiles per language (tiny embedded models; shared
+# literals with the q33 DuckDB oracle)
+LANG_PROFILES = {
+    "en": ("the", "ing", "and", "ion", "ent"),
+    "fr": ("les", "ent", "de ", "ion", "que"),
+    "es": ("de ", "la ", "os ", "ión", "que"),
+    "de": ("der", "ein", "ich", "sch", "und"),
+    "zh": ("的", "是", "了", "在", "我"),
+}
+
+
+def langid_ngram_expr(text: Column) -> Column:
+    """Character-n-gram language guess (the q33 heuristic, no external
+    model): score each language by how many of its profile trigrams
+    occur in the text and predict the FIRST maximum in fixed language
+    order — deterministic, pure Catalyst, stream-safe."""
+    scores = {
+        lang: sum(
+            (F.when(F.contains(text, F.lit(g)), 1).otherwise(0) for g in grams),
+            F.lit(0),
+        )
+        for lang, grams in LANG_PROFILES.items()
+    }
+    mx = F.greatest(*scores.values())
+    pred = None
+    for lang in reversed(list(LANG_PROFILES)):
+        cond = F.when(scores[lang] == mx, lang)
+        pred = cond.otherwise(pred) if pred is not None else cond
+    return pred

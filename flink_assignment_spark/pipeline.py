@@ -103,6 +103,31 @@ class CorpusPipeline:
         )
         return self._next(out, "gate_compression")
 
+    def scrub_pii(self) -> "CorpusPipeline":
+        """Redact emails/URLs IN the text column (the transform whose
+        audit form is q59's pii_stats) — a pure narrow map of JVM-side
+        regexes, so it applies unchanged to batch or stream."""
+        from .operators.gates import EMAIL_RE, URL_RE
+
+        redacted = F.regexp_replace(
+            F.regexp_replace(F.col(self.text_col), EMAIL_RE, "<EMAIL>"),
+            URL_RE,
+            "<URL>",
+        )
+        out = self._df.withColumn(self.text_col, redacted)
+        return self._next(out, "scrub_pii")
+
+    def gate_lang(self, keep: set[str] | frozenset[str]) -> "CorpusPipeline":
+        """Keep docs whose n-gram-profile language guess (the q33
+        heuristic — no external model) is in ``keep``. Narrow,
+        stream-safe."""
+        from .functions.text import langid_ngram_expr
+
+        out = self._df.filter(
+            langid_ngram_expr(F.col(self.text_col)).isin(list(keep))
+        )
+        return self._next(out, f"gate_lang({','.join(sorted(keep))})")
+
     def decontaminate(self, probe_docs: DataFrame) -> "CorpusPipeline":
         """Drop every doc sharing a word-3-gram with ``probe_docs``
         (same text column name; probe sets are eval-suite-bounded by

@@ -1188,15 +1188,9 @@ SELECT doc_id,
 FROM t
 """
 
-# char-trigram profiles per language (tiny embedded models; shared
-# literals with the oracle)
-_LANG_PROFILES = {
-    "en": ("the", "ing", "and", "ion", "ent"),
-    "fr": ("les", "ent", "de ", "ion", "que"),
-    "es": ("de ", "la ", "os ", "ión", "que"),
-    "de": ("der", "ein", "ich", "sch", "und"),
-    "zh": ("的", "是", "了", "在", "我"),
-}
+# char-trigram profiles per language — shared with the oracle AND the
+# pipeline's .gate_lang() stage (functions.text.langid_ngram_expr)
+from ..functions.text import LANG_PROFILES as _LANG_PROFILES  # noqa: E402
 
 
 def q33_langid_ngram(spark, sf_dir):

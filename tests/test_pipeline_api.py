@@ -204,3 +204,31 @@ def test_full_lifecycle_chain_composes(spark):
     audit = p.yield_summary("source").collect()
     assert sum(r["n_docs"] for r in audit) > 0
     assert all("dedup_near" in r["pipeline"] for r in audit)
+
+
+def test_scrub_pii_and_gate_lang_stages(spark):
+    """Round-7 narrow stages: .scrub_pii() redacts in place with the
+    q59 regexes; .gate_lang() keeps exactly the docs the q33 heuristic
+    assigns to the kept set — both stream-safe narrow maps."""
+    from flink_assignment_spark.functions.text import langid_ngram_expr
+
+    rows = [
+        (1, "the thing and the ring contact bob@example.com now", "en"),
+        (2, "der einzige schöne und ich", "de"),
+        (3, "visit https://x.example/a the end and beyond", "en"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    scrubbed = {r["doc_id"]: r["text"] for r in CorpusPipeline(docs).scrub_pii().df.collect()}
+    assert "<EMAIL>" in scrubbed[1] and "bob@example.com" not in scrubbed[1]
+    assert "<URL>" in scrubbed[3] and "https://" not in scrubbed[3]
+
+    kept = CorpusPipeline(docs).gate_lang({"en"})
+    got = {r["doc_id"] for r in kept.df.collect()}
+    want = {
+        r["doc_id"]
+        for r in docs.withColumn("p", langid_ngram_expr(F.col("text")))
+        .filter(F.col("p") == "en")
+        .collect()
+    }
+    assert got == want and 2 not in got and len(got) > 0
+    assert kept.lineage == ("gate_lang(en)",)
