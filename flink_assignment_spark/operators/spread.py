@@ -26,9 +26,13 @@ def spread(df: DataFrame, floor: int | None = None) -> DataFrame:
     """Round-robin repartition ``df`` to the session's default
     parallelism IFF its planned partition count is below ``floor``
     (default: the parallelism itself). The partition-count probe
-    compiles the physical plan but runs no job."""
+    compiles the physical plan but runs no job. A STREAMING frame
+    cannot be probed (``.rdd`` is illegal on unstarted streams) —
+    there each micro-batch is its own small frame, so the
+    unconditional repartition is both required and cheap."""
     n = df.sparkSession.sparkContext.defaultParallelism
-    floor = n if floor is None else floor
-    if df.rdd.getNumPartitions() >= floor:
-        return df
+    if not df.isStreaming:
+        floor = n if floor is None else floor
+        if df.rdd.getNumPartitions() >= floor:
+            return df
     return df.repartition(n)
