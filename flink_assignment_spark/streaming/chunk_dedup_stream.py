@@ -101,3 +101,30 @@ def substring_dedup_stream(
         "doc_id", "pos", "h"
     )
     return _numbering_stream(occ, "pos")
+
+
+def read_dup_spans(occurrences: DataFrame, k: int = CHUNK_TOKENS) -> DataFrame:
+    """Maximal duplicated spans over the stream's ACCUMULATED emitted
+    occurrence rows — the streaming twin of batch q104
+    (``operators.dedup.substring_spans``): collect each doc's
+    duplicated (``rn > 1``) positions and merge them with the same
+    ``dup_spans`` array fold. ``occurrences`` is a batch frame over
+    whatever sink the stream wrote (memory table, parquet dir);
+    because the stream's ``rn`` equals the batch numbering under
+    in-order replay, these spans equal the batch report's."""
+    from pyspark.sql import functions as F
+
+    from ..operators.dedup import dup_spans
+
+    per_doc = (
+        occurrences.filter(F.col("rn") > 1)
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("pos")).alias("ps"))
+    )
+    return per_doc.select(
+        "doc_id", F.explode(dup_spans(F.col("ps"), k)).alias("sp")
+    ).select(
+        "doc_id",
+        F.col("sp.s").alias("span_start"),
+        (F.col("sp.e") - F.col("sp.s")).alias("span_len"),
+    )

@@ -86,3 +86,32 @@ def test_substring_stream_catches_boundary_dup_chunk_stream_misses(spark, tmp_pa
     )
     _run(spark, chunk_dedup_stream(stream2), "chunk_b")
     assert spark.sql("SELECT * FROM chunk_b WHERE rn > 1").count() == 0
+
+
+def test_streamed_spans_equal_batch_q104(spark, tmp_path):
+    """read_dup_spans over the stream's accumulated occurrences equals
+    the batch substring_spans report (q104) under in-order replay."""
+    from flink_assignment_spark.operators.dedup import substring_spans
+    from flink_assignment_spark.streaming.chunk_dedup_stream import read_dup_spans
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    mid = docs.approxQuantile("doc_id", [0.5], 0.0)[0]
+    d = tmp_path / "docs"
+    d.mkdir()
+    docs.filter(F.col("doc_id") <= mid).coalesce(1).write.parquet(str(d / "f1"))
+    docs.filter(F.col("doc_id") > mid).coalesce(1).write.parquet(str(d / "f2"))
+    stream = (
+        spark.readStream.schema(DOCS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d) + "/*")
+    )
+    _run(spark, substring_dedup_stream(stream), "spanwins")
+    got = {
+        (r.doc_id, r.span_start, r.span_len)
+        for r in read_dup_spans(spark.sql("SELECT * FROM spanwins")).collect()
+    }
+    want = {
+        (r.doc_id, r.span_start, r.span_len)
+        for r in substring_spans(docs).collect()
+    }
+    assert got == want and len(want) > 0
