@@ -137,12 +137,13 @@ def _key_eq(left: str, right: str, key_cols: list[str]) -> Column:
 
 
 def _read_tombs(
-    spark: SparkSession, state_dir: str, key_cols: list[str]
+    spark: SparkSession,
+    state_dir: str,
+    key_cols: list[str],
+    backend: ParquetStateBackend | None = None,
 ) -> DataFrame | None:
-    path = tombs_path(state_dir)
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        return None
-    return spark.read.parquet(path).select(*key_cols).distinct()
+    df = (backend or DEFAULT_BACKEND).read(spark, tombs_path(state_dir))
+    return None if df is None else df.select(*key_cols).distinct()
 
 
 def merge_detector_batch(
@@ -181,7 +182,7 @@ def merge_detector_batch(
         commit_marker(state_dir, batch_id)
         return
 
-    tombs = _read_tombs(spark, state_dir, key_cols)
+    tombs = _read_tombs(spark, state_dir, key_cols, backend)
     if tombs is not None:
         # members landing in an already-saturated bucket emit nothing
         # and are never stored
@@ -189,16 +190,11 @@ def merge_detector_batch(
     else:
         rows_live = rows
 
-    have_state = os.path.exists(os.path.join(bpath, "_SUCCESS"))
-    if have_state:
+    full_state = backend.read(spark, bpath, "pt")
+    if full_state is not None:
         # one cached read of the touched partitions feeds the candidate
-        # join, the replay dedupe, and the saturation count
-        state = (
-            spark.read.option("basePath", bpath)
-            .parquet(bpath)
-            .filter(F.col("pt").isin(touched))
-            .cache()
-        )
+        # join and the saturation count
+        state = full_state.filter(F.col("pt").isin(touched)).cache()
         # physical rows of buckets tombstoned in a LATER batch stay on
         # disk until compaction — mask them here
         live = (
@@ -308,16 +304,19 @@ def merge_detector_batch(
 
 
 def read_bucket_state(
-    spark: SparkSession, state_dir: str, key_cols: list[str]
+    spark: SparkSession,
+    state_dir: str,
+    key_cols: list[str],
+    backend: ParquetStateBackend | None = None,
 ) -> DataFrame:
     """The LIVE bucket state — physical rows minus rows of saturated
     buckets (which remain on disk until :func:`compact_state`)."""
-    bpath = buckets_path(state_dir)
-    if not os.path.exists(os.path.join(bpath, "_SUCCESS")):
+    backend = backend or DEFAULT_BACKEND
+    state = backend.read(spark, buckets_path(state_dir), "pt")
+    if state is None:
         schema = ", ".join(f"{k} string" for k in key_cols)
         return spark.createDataFrame([], f"{schema}, doc_id long")
-    state = spark.read.option("basePath", bpath).parquet(bpath)
-    tombs = _read_tombs(spark, state_dir, key_cols)
+    tombs = _read_tombs(spark, state_dir, key_cols, backend)
     return state if tombs is None else state.join(
         F.broadcast(tombs), key_cols, "left_anti"
     )
@@ -337,36 +336,37 @@ def compact_state(
     never on the ingest path."""
     from ._state import fold_state
 
+    backend = backend or DEFAULT_BACKEND
     bpath = buckets_path(state_dir)
-    if not os.path.exists(os.path.join(bpath, "_SUCCESS")):
+    full = backend.read(spark, bpath, "pt")
+    if full is None:
         return
-    live = read_bucket_state(spark, state_dir, key_cols).select(
+    live = read_bucket_state(spark, state_dir, key_cols, backend).select(
         *key_cols, "doc_id", payload_col, "pt"
     ).distinct()
-    all_pts = [
-        int(r.pt)
-        for r in spark.read.option("basePath", bpath)
-        .parquet(bpath)
-        .select("pt")
-        .distinct()
-        .collect()
-    ]
+    all_pts = [int(r.pt) for r in full.select("pt").distinct().collect()]
     fold_state(live, bpath, "pt", all_pts, backend)
-    # everything was masked → drop the now-empty (unreadable) table;
-    # tombs stay, so saturation remains sticky
-    if not any(e.startswith("pt=") for e in os.listdir(bpath)):
+    # default backend only: everything was masked → drop the now-empty
+    # (unreadable) plain-parquet table; tombs stay, so saturation
+    # remains sticky. The manifest backend's read handles empty parts.
+    if os.path.isdir(bpath) and os.path.exists(
+        os.path.join(bpath, "_SUCCESS")
+    ) and not any(e.startswith("pt=") for e in os.listdir(bpath)):
         import shutil
 
         shutil.rmtree(bpath)
 
 
 def read_pairs(
-    spark: SparkSession, state_dir: str, schema: str
+    spark: SparkSession,
+    state_dir: str,
+    schema: str,
+    backend: ParquetStateBackend | None = None,
 ) -> DataFrame:
     """Accumulated distinct scored pairs; a stream that has processed
-    batches but never collided creates no pairs/ directory — a
-    legitimate empty result."""
-    path = pairs_path(state_dir)
-    if not os.path.exists(path):
+    batches but never collided creates no pairs/ table — a legitimate
+    empty result."""
+    df = (backend or DEFAULT_BACKEND).read(spark, pairs_path(state_dir))
+    if df is None:
         return spark.createDataFrame([], schema)
-    return spark.read.parquet(path).distinct()
+    return df.distinct()

@@ -26,17 +26,25 @@ novelty logic. A replacement backend must guarantee, for each method:
 - ``append(out, table, part_col)`` — INSERT ``out``'s rows. Replays
   may re-append; callers either dedupe at read or pre-anti-join, so
   duplicate rows must be tolerated, not deduped by the backend.
-- Reads through the engine's normal table scan must see only
-  committed data (read isolation); `_SUCCESS`-style visibility
-  markers are this stand-in's approximation of a table snapshot.
+- ``read(spark, table, part_col)`` — return the table's committed
+  contents as a DataFrame (partition column included when
+  ``part_col`` is given), or ``None`` when the table has never been
+  committed. Reads must see only committed data (read isolation);
+  `_SUCCESS`-style visibility markers are the plain-parquet
+  approximation of a table snapshot, and
+  :class:`ManifestStateBackend` shows the real thing — an atomic
+  manifest swap giving snapshot isolation across ALL partitions at
+  once (a crashed fold is entirely invisible, never half-visible).
 """
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
+import uuid
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 
 
 def applied_batch(state_dir: str) -> int:
@@ -107,7 +115,9 @@ class ParquetStateBackend:
     """Default backend: plain-parquet directories with `_SUCCESS`
     visibility markers — the local stand-in for a transactional table.
     See the module docstring for the contract a MERGE-capable
-    replacement must honor."""
+    replacement must honor. Atomicity is per-partition (a crash
+    mid-fold can expose a prefix of the touched partitions — callers
+    carry set-union folds / WALs to converge on replay)."""
 
     def fold(
         self, out: DataFrame, table_path: str, part_col: str, touched: list[int]
@@ -116,6 +126,142 @@ class ParquetStateBackend:
 
     def append(self, out: DataFrame, table_path: str, part_col: str | None) -> None:
         append_rows(out, table_path, part_col)
+
+    def read(
+        self, spark: SparkSession, table_path: str, part_col: str | None = None
+    ) -> DataFrame | None:
+        if not os.path.exists(os.path.join(table_path, "_SUCCESS")):
+            return None
+        reader = spark.read
+        if part_col is not None:
+            reader = reader.option("basePath", table_path)
+        return reader.parquet(table_path)
+
+
+class ManifestStateBackend:
+    """Snapshot-isolated backend on plain parquet — the in-repo proof
+    that the seam's MERGE contract is implementable without a
+    dependency, and the shape a Delta/Iceberg binding would take.
+
+    Layout: ``<table>/data/[pt=X/]<uuid>.parquet`` immutable data
+    files plus ``<table>/_manifest.json`` mapping each partition value
+    (or ``"_all"`` for unpartitioned tables) to its live file list.
+    Every fold/append stages new files into ``data/`` (unreferenced =
+    invisible) and commits by atomically replacing the manifest
+    (tmp + ``os.replace``) — so a fold is visible either in full or
+    not at all, across ALL partitions at once: the per-partition
+    crash windows the default backend's callers must tolerate
+    (components' merge-intent WAL, the detector's ``_appended``
+    marker) cannot occur here by construction. Readers resolve the
+    manifest to an explicit file list, seeing exactly one snapshot.
+    Superseded files are garbage until :meth:`vacuum`."""
+
+    def _manifest_path(self, table_path: str) -> str:
+        return os.path.join(table_path, "_manifest.json")
+
+    def _load(self, table_path: str) -> dict | None:
+        path = self._manifest_path(table_path)
+        if not os.path.exists(path):
+            return None
+        with open(path) as f:
+            return json.load(f)
+
+    def _commit(self, table_path: str, manifest: dict) -> None:
+        tmp = self._manifest_path(table_path) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, self._manifest_path(table_path))
+
+    def _stage_files(
+        self, out: DataFrame, table_path: str, part_col: str | None
+    ) -> dict[str, list[str]]:
+        """Write ``out`` into data/ as immutable uniquely-named files;
+        returns {part_value: [relative paths]} of the NEW files (not
+        yet referenced by any manifest)."""
+        data = os.path.join(table_path, "data")
+        staging = os.path.join(table_path, f"_staging-{uuid.uuid4().hex}")
+        w = out.write
+        if part_col is not None:
+            w = w.partitionBy(part_col)
+        w.parquet(staging)
+        added: dict[str, list[str]] = {}
+        src_dirs = (
+            [
+                (d.split("=", 1)[1], os.path.join(staging, d))
+                for d in os.listdir(staging)
+                if d.startswith(f"{part_col}=")
+            ]
+            if part_col is not None
+            else [("_all", staging)]
+        )
+        for part_value, src in src_dirs:
+            rel_dir = f"{part_col}={part_value}" if part_col is not None else ""
+            os.makedirs(os.path.join(data, rel_dir), exist_ok=True)
+            for fn in os.listdir(src):
+                if not fn.endswith(".parquet"):
+                    continue
+                rel = os.path.join(rel_dir, f"{uuid.uuid4().hex}.parquet")
+                os.rename(os.path.join(src, fn), os.path.join(data, rel))
+                added.setdefault(part_value, []).append(rel)
+        shutil.rmtree(staging)
+        return added
+
+    def fold(
+        self, out: DataFrame, table_path: str, part_col: str, touched: list[int]
+    ) -> None:
+        added = self._stage_files(out, table_path, part_col)
+        manifest = self._load(table_path) or {"version": 0, "parts": {}}
+        parts = dict(manifest["parts"])
+        for p in touched:  # replace semantics: empty output clears the part
+            parts.pop(str(p), None)
+        for part_value, files in added.items():
+            parts[str(part_value)] = files
+        self._commit(table_path, {"version": manifest["version"] + 1, "parts": parts})
+
+    def append(self, out: DataFrame, table_path: str, part_col: str | None) -> None:
+        added = self._stage_files(out, table_path, part_col)
+        manifest = self._load(table_path) or {"version": 0, "parts": {}}
+        parts = {k: list(v) for k, v in manifest["parts"].items()}
+        for part_value, files in added.items():
+            parts.setdefault(str(part_value), []).extend(files)
+        self._commit(table_path, {"version": manifest["version"] + 1, "parts": parts})
+
+    def read(
+        self, spark: SparkSession, table_path: str, part_col: str | None = None
+    ) -> DataFrame | None:
+        manifest = self._load(table_path)
+        if manifest is None or not manifest["parts"]:
+            return None
+        data = os.path.join(table_path, "data")
+        files = [
+            os.path.join(data, rel)
+            for file_list in manifest["parts"].values()
+            for rel in file_list
+        ]
+        if not files:
+            return None
+        reader = spark.read
+        if part_col is not None:
+            reader = reader.option("basePath", data)
+        return reader.parquet(*files)
+
+    def vacuum(self, table_path: str) -> int:
+        """Delete data files no manifest snapshot references; returns
+        the number removed. Run out-of-band (single writer owns the
+        table, so 'current manifest' is the only live snapshot)."""
+        manifest = self._load(table_path) or {"parts": {}}
+        live = {
+            rel for file_list in manifest["parts"].values() for rel in file_list
+        }
+        data = os.path.join(table_path, "data")
+        removed = 0
+        for root, _dirs, files in os.walk(data):
+            for fn in files:
+                rel = os.path.relpath(os.path.join(root, fn), data)
+                if rel not in live and fn.endswith(".parquet"):
+                    os.remove(os.path.join(root, fn))
+                    removed += 1
+        return removed
 
 
 DEFAULT_BACKEND = ParquetStateBackend()

@@ -68,6 +68,7 @@ def merge_lsh_batch(
     rows_per_band: int = 2,
     max_state_bucket: int | None = None,
     n_pt: int | None = None,
+    backend=None,
 ) -> None:
     """Detect the batch's candidate near-dup pairs against state +
     within the batch, append them, and fold the batch into state.
@@ -88,6 +89,7 @@ def merge_lsh_batch(
         score_keep=None,  # estimates: every colliding pair is a candidate
         max_state_bucket=max_state_bucket,
         n_pt=n_pt,
+        backend=backend,
     )
 
 
@@ -99,6 +101,7 @@ def incremental_lsh_neardup(
     rows_per_band: int = 2,
     max_state_bucket: int | None = None,
     n_pt: int | None = None,
+    backend=None,
 ):
     """Start the streaming near-dup query; returns the StreamingQuery."""
 
@@ -112,16 +115,21 @@ def incremental_lsh_neardup(
             rows_per_band,
             max_state_bucket,
             n_pt,
+            backend,
         )
 
     return docs.writeStream.outputMode("append").foreachBatch(_sink).start()
 
 
-def read_candidate_pairs(spark: SparkSession, state_dir: str) -> DataFrame:
+def read_candidate_pairs(
+    spark: SparkSession, state_dir: str, backend=None
+) -> DataFrame:
     """Accumulated distinct candidate pairs with their signature-
     estimated Jaccard (replays may append duplicates — distinct'd at
-    read; no pairs/ directory is a legitimate empty result)."""
-    return read_pairs(spark, state_dir, "doc_a long, doc_b long, est_jaccard double")
+    read; no pairs/ table is a legitimate empty result)."""
+    return read_pairs(
+        spark, state_dir, "doc_a long, doc_b long, est_jaccard double", backend
+    )
 
 
 def verify_candidates(

@@ -44,6 +44,7 @@ def merge_simhash_batch(
     id_col: str = "doc_id",
     max_state_bucket: int | None = None,
     n_pt: int | None = None,
+    backend=None,
 ) -> None:
     """Detect the batch's verified near-dup pairs against state +
     within the batch, append them, and fold the batch into state."""
@@ -61,6 +62,7 @@ def merge_simhash_batch(
         score_keep=lambda h: h <= max_hamming,
         max_state_bucket=max_state_bucket,
         n_pt=n_pt,
+        backend=backend,
     )
 
 
@@ -72,6 +74,7 @@ def incremental_simhash_neardup(
     id_col: str = "doc_id",
     max_state_bucket: int | None = None,
     n_pt: int | None = None,
+    backend=None,
 ):
     """Start the streaming near-dup query; returns the StreamingQuery."""
 
@@ -85,12 +88,17 @@ def incremental_simhash_neardup(
             id_col,
             max_state_bucket,
             n_pt,
+            backend,
         )
 
     return docs.writeStream.outputMode("append").foreachBatch(_sink).start()
 
 
-def read_verified_pairs(spark: SparkSession, state_dir: str) -> DataFrame:
+def read_verified_pairs(
+    spark: SparkSession, state_dir: str, backend=None
+) -> DataFrame:
     """Accumulated distinct VERIFIED near-dup pairs (exact Hamming —
     no later verify pass needed)."""
-    return read_pairs(spark, state_dir, "doc_a long, doc_b long, hamming int")
+    return read_pairs(
+        spark, state_dir, "doc_a long, doc_b long, hamming int", backend
+    )

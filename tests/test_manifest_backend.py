@@ -1,0 +1,109 @@
+"""ManifestStateBackend: the seam's drop-in proof.
+
+Runs the SAME detector engine through the snapshot-isolated manifest
+backend and pins (1) result parity with the default parquet backend,
+(2) the atomicity upgrade — a fold that crashes before its manifest
+commit is ENTIRELY invisible (readers still see the previous
+snapshot), the property whose absence on the default backend requires
+the components WAL and the detector's `_appended` marker, and
+(3) vacuum removes exactly the unreferenced files.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_assignment_spark.streaming._detector import read_bucket_state
+from flink_assignment_spark.streaming._state import ManifestStateBackend
+from flink_assignment_spark.streaming.simhash_stream import (
+    merge_simhash_batch,
+    read_verified_pairs,
+)
+
+DOCS = "doc_id long, text string"
+
+
+def _docs(spark, ids):
+    return spark.createDataFrame(
+        [(i, f"doc body {i % 3} shared words here") for i in ids], DOCS
+    )
+
+
+def test_detector_parity_through_manifest_backend(spark, tmp_path):
+    """Two batches through each backend: pairs and live bucket state
+    must be identical — the engine is backend-agnostic."""
+    mb = ManifestStateBackend()
+    st_m, st_p = str(tmp_path / "m"), str(tmp_path / "p")
+    for st, be in ((st_m, mb), (st_p, None)):
+        merge_simhash_batch(_docs(spark, range(6)), 0, st, backend=be)
+        merge_simhash_batch(_docs(spark, range(6, 12)), 1, st, backend=be)
+    pairs_m = {
+        tuple(r) for r in read_verified_pairs(spark, st_m, mb).collect()
+    }
+    pairs_p = {tuple(r) for r in read_verified_pairs(spark, st_p).collect()}
+    assert pairs_m == pairs_p and len(pairs_m) > 0
+    state_m = {
+        tuple(r)
+        for r in read_bucket_state(spark, st_m, ["blk", "val"], mb).collect()
+    }
+    state_p = {
+        tuple(r)
+        for r in read_bucket_state(spark, st_p, ["blk", "val"]).collect()
+    }
+    assert state_m == state_p and len(state_m) > 0
+
+
+def test_manifest_fold_is_all_or_nothing(spark, tmp_path, monkeypatch):
+    """Crash BEFORE the manifest commit: every staged file is
+    unreferenced, so readers still see the previous snapshot in full —
+    no per-partition half-state (contrast: swap_partitions exposes a
+    prefix, which is exactly what the components WAL heals)."""
+    mb = ManifestStateBackend()
+    table = str(tmp_path / "t")
+    df1 = spark.createDataFrame([(1, 10, 0), (2, 20, 1)], "k long, v long, pt int")
+    mb.fold(df1, table, "pt", [0, 1])
+    before = {tuple(r) for r in mb.read(spark, table, "pt").collect()}
+
+    real_commit = ManifestStateBackend._commit
+
+    def no_commit(self, table_path, manifest):
+        raise RuntimeError("crash before manifest commit")
+
+    monkeypatch.setattr(ManifestStateBackend, "_commit", no_commit)
+    df2 = spark.createDataFrame([(3, 30, 0), (4, 40, 1)], "k long, v long, pt int")
+    with pytest.raises(RuntimeError):
+        mb.fold(df2, table, "pt", [0, 1])
+    monkeypatch.setattr(ManifestStateBackend, "_commit", real_commit)
+
+    # the crashed fold is invisible across BOTH partitions
+    assert {tuple(r) for r in mb.read(spark, table, "pt").collect()} == before
+
+    # replaying it converges; vacuum removes the orphaned staged files
+    mb.fold(df2, table, "pt", [0, 1])
+    after = {tuple(r) for r in mb.read(spark, table, "pt").collect()}
+    assert after == {(3, 30, 0), (4, 40, 1)}
+    removed = mb.vacuum(table)
+    assert removed >= 2  # df1's superseded files + the crashed fold's
+    assert {tuple(r) for r in mb.read(spark, table, "pt").collect()} == after
+
+
+def test_manifest_append_and_empty_semantics(spark, tmp_path):
+    mb = ManifestStateBackend()
+    table = str(tmp_path / "t")
+    assert mb.read(spark, table) is None
+    a = spark.createDataFrame([(1,)], "x long")
+    b = spark.createDataFrame([(2,)], "x long")
+    mb.append(a, table, None)
+    mb.append(b, table, None)
+    assert {r.x for r in mb.read(spark, table).collect()} == {1, 2}
+    # fold to empty clears a partitioned table
+    t2 = str(tmp_path / "t2")
+    mb.fold(
+        spark.createDataFrame([(1, 0)], "x long, pt int"), t2, "pt", [0]
+    )
+    empty = spark.createDataFrame([], "x long, pt int")
+    mb.fold(empty, t2, "pt", [0])
+    assert mb.read(spark, t2, "pt") is None
