@@ -107,7 +107,11 @@ def _timed_reps(spark, qn: str, base: str, n_rows: int, reps: int) -> dict:
 
 
 def stream_lsh_sweep(
-    spark, scales: list[int], n_batches: int = 10, max_state_bucket: int = 50
+    spark,
+    scales: list[int],
+    n_batches: int = 10,
+    max_state_bucket: int = 50,
+    backend_name: str = "parquet",
 ) -> dict:
     """Per-batch latency of the incremental MinHash-LSH detector as
     the corpus state grows. The claim under test: each micro-batch's
@@ -123,6 +127,11 @@ def stream_lsh_sweep(
 
     from flink_assignment_spark.streaming.lsh_stream import merge_lsh_batch
 
+    backend = None
+    if backend_name == "manifest":
+        from flink_assignment_spark.streaming._state import ManifestStateBackend
+
+        backend = ManifestStateBackend()
     out = {}
     for n in scales:
         base = f"/tmp/fas_docscale_{n}"
@@ -139,15 +148,20 @@ def stream_lsh_sweep(
                 (F.col("doc_id") >= b * bsz) & (F.col("doc_id") < (b + 1) * bsz)
             )
             t0 = time.monotonic()
-            merge_lsh_batch(batch, b, state_dir, max_state_bucket=max_state_bucket)
+            merge_lsh_batch(
+                batch, b, state_dir,
+                max_state_bucket=max_state_bucket, backend=backend,
+            )
             per_batch.append(round(time.monotonic() - t0, 2))
-        state_rows = spark.read.parquet(os.path.join(state_dir, "buckets")).count()
-        pairs_path = os.path.join(state_dir, "pairs")
-        n_pairs = (
-            spark.read.parquet(pairs_path).distinct().count()
-            if os.path.exists(pairs_path)
-            else 0
-        )
+        from flink_assignment_spark.streaming._detector import read_pairs
+        from flink_assignment_spark.streaming._state import DEFAULT_BACKEND
+
+        be = backend or DEFAULT_BACKEND
+        st = be.read(spark, os.path.join(state_dir, "buckets"), "pt")
+        state_rows = st.count() if st is not None else 0
+        n_pairs = read_pairs(
+            spark, state_dir, "doc_a long, doc_b long, est_jaccard double", backend
+        ).count()
         out[str(n)] = {
             "per_batch_sec": per_batch,
             "batch_rows": bsz,
@@ -281,6 +295,12 @@ def main() -> None:
         "noise on this harness is up to ±2x)",
     )
     ap.add_argument(
+        "--state-backend",
+        choices=["parquet", "manifest"],
+        default="parquet",
+        help="state backend for the stream-lsh sweep (seam comparison)",
+    )
+    ap.add_argument(
         "--stream-lsh",
         action="store_true",
         help="run ONLY the streaming-LSH per-batch latency sweep "
@@ -309,7 +329,10 @@ def main() -> None:
             json.dumps(
                 {
                     "metric": "streaming-LSH per-batch latency vs corpus state",
-                    "stream_lsh": stream_lsh_sweep(spark, args.doc_scales),
+                    "backend": args.state_backend,
+                    "stream_lsh": stream_lsh_sweep(
+                        spark, args.doc_scales, backend_name=args.state_backend
+                    ),
                 }
             )
         )
