@@ -59,7 +59,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.components import connected_components
-from ._state import applied_batch, commit_marker, fold_state
+from ._state import DEFAULT_BACKEND, applied_batch, commit_marker
 
 PT_RANGE = 1 << 20  # node ids per mapping partition
 
@@ -108,10 +108,12 @@ def merge_components_batch(
     state_dir: str,
     src_col: str = "doc_a",
     dst_col: str = "doc_b",
+    backend=None,
 ) -> None:
     """Fold one micro-batch of near-dup pairs into the cluster state."""
     if batch_id <= applied_batch(state_dir):
         return
+    backend = backend or DEFAULT_BACKEND
     spark = pairs_df.sparkSession
     os.makedirs(state_dir, exist_ok=True)
     mpath = _mapping_path(state_dir)
@@ -128,9 +130,8 @@ def merge_components_batch(
         .distinct()
     )
 
-    have_state = os.path.exists(os.path.join(mpath, "_SUCCESS"))
-    if have_state:
-        m = spark.read.option("basePath", mpath).parquet(mpath)
+    m = backend.read(spark, mpath, "pt")
+    if m is not None:
         # the batch's nodes can only live in their own id-range
         # partitions — prune the first lookup pass to those (the
         # affected-rows pass below still scans, as a component's
@@ -199,7 +200,7 @@ def merge_components_batch(
         with open(tmp, "w") as f:
             json.dump({"batch_id": int(batch_id), "merges": merges}, f)
         os.replace(tmp, _intent_path(state_dir))
-    fold_state(
+    backend.fold(
         out.select("node", "component", _pt(F.col("node")).alias("pt")),
         mpath,
         "pt",
@@ -218,19 +219,24 @@ def incremental_components(
     state_dir: str,
     src_col: str = "doc_a",
     dst_col: str = "doc_b",
+    backend=None,
 ):
     """Start the cluster-maintenance query; returns the StreamingQuery."""
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
-        merge_components_batch(batch_df, batch_id, state_dir, src_col, dst_col)
+        merge_components_batch(
+            batch_df, batch_id, state_dir, src_col, dst_col, backend
+        )
 
     return pairs.writeStream.outputMode("append").foreachBatch(_sink).start()
 
 
-def read_components(spark: SparkSession, state_dir: str) -> DataFrame:
+def read_components(
+    spark: SparkSession, state_dir: str, backend=None
+) -> DataFrame:
     """The maintained (node, component) mapping; empty typed frame
     before any pair has arrived."""
-    mpath = _mapping_path(state_dir)
-    if not os.path.exists(os.path.join(mpath, "_SUCCESS")):
+    m = (backend or DEFAULT_BACKEND).read(spark, _mapping_path(state_dir), "pt")
+    if m is None:
         return spark.createDataFrame([], "node long, component long")
-    return spark.read.parquet(mpath).select("node", "component")
+    return m.select("node", "component")

@@ -46,7 +46,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.gates import shingle_hash_array
-from ._state import applied_batch, commit_marker, fold_state
+from ._state import DEFAULT_BACKEND, applied_batch, commit_marker
 
 N_BUCKETS = 64
 
@@ -65,6 +65,7 @@ def merge_novelty_batch(
     state_dir: str,
     text_col: str = "text",
     id_col: str = "doc_id",
+    backend=None,
 ) -> None:
     """Score one micro-batch against the seen-shingle state, fold its
     new shingles into the state (touched buckets only), then append
@@ -72,6 +73,7 @@ def merge_novelty_batch(
     docstring for the crash/replay contract."""
     if batch_id <= applied_batch(state_dir):
         return
+    backend = backend or DEFAULT_BACKEND
     spark = batch_df.sparkSession
     seen_path, stats_path = _seen_path(state_dir), _stats_path(state_dir)
 
@@ -80,9 +82,8 @@ def merge_novelty_batch(
         .distinct()
         .withColumn("bucket", F.pmod(F.col("h"), F.lit(N_BUCKETS)).cast("int"))
     )
-    have_seen = os.path.exists(os.path.join(seen_path, "_SUCCESS"))
-    if have_seen:
-        seen = spark.read.option("basePath", seen_path).parquet(seen_path)
+    seen = backend.read(spark, seen_path, "bucket")
+    if seen is not None:
         # the anti-join carries the bucket equi-key, so at scale it is
         # a partition-pruned, co-partitioned probe (only the buckets
         # this batch touches are read)
@@ -97,19 +98,17 @@ def merge_novelty_batch(
 
     if n_new:
         touched = [int(r.bucket) for r in new.select("bucket").distinct().collect()]
-        if have_seen:
+        if seen is not None:
             # union the touched buckets' existing rows with the new
             # ones; only those bucket directories will be replaced
-            existing = spark.read.option("basePath", seen_path).parquet(seen_path).filter(
-                F.col("bucket").isin(touched)
-            )
+            existing = seen.filter(F.col("bucket").isin(touched))
             out = existing.unionByName(new.select("bucket", "h"))
         else:
             out = new.select("bucket", "h")
-        # staging write + per-bucket swap via the shared _state helper
+        # staging write + per-bucket fold through the backend seam
         # (writing into seen_path while `existing` still reads from it
         # would be a silent read-under-overwrite race)
-        fold_state(out.select("h", "bucket"), seen_path, "bucket", touched)
+        backend.fold(out.select("h", "bucket"), seen_path, "bucket", touched)
     new.unpersist()
 
     # stats AFTER the state update, marker last (module docstring)
@@ -125,7 +124,7 @@ def merge_novelty_batch(
         ],
         "batch_id long, n_docs long, n_shingles long, n_new long, novelty_rate double",
     )
-    stats.coalesce(1).write.mode("append").parquet(stats_path)
+    backend.append(stats.coalesce(1), stats_path, None)
     commit_marker(state_dir, batch_id)
 
 
@@ -134,23 +133,26 @@ def incremental_novelty(
     state_dir: str,
     text_col: str = "text",
     id_col: str = "doc_id",
+    backend=None,
 ):
     """Start the novelty-tracking query; returns the StreamingQuery."""
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
-        merge_novelty_batch(batch_df, batch_id, state_dir, text_col, id_col)
+        merge_novelty_batch(batch_df, batch_id, state_dir, text_col, id_col, backend)
 
     return docs.writeStream.outputMode("append").foreachBatch(_sink).start()
 
 
-def read_novelty_stats(spark: SparkSession, state_dir: str) -> DataFrame:
+def read_novelty_stats(
+    spark: SparkSession, state_dir: str, backend=None
+) -> DataFrame:
     """The per-batch novelty curve accumulated so far. Duplicate
     ``batch_id`` rows (an at-least-once replay that raced the marker)
     resolve to the max-``n_new`` row — a replay can only under-count
     its own already-merged shingles."""
     from pyspark.sql import Window as W
 
-    raw = spark.read.parquet(_stats_path(state_dir))
+    raw = (backend or DEFAULT_BACKEND).read(spark, _stats_path(state_dir))
     rn = F.row_number().over(
         W.partitionBy("batch_id").orderBy(F.col("n_new").desc())
     )

@@ -107,3 +107,51 @@ def test_manifest_append_and_empty_semantics(spark, tmp_path):
     empty = spark.createDataFrame([], "x long, pt int")
     mb.fold(empty, t2, "pt", [0])
     assert mb.read(spark, t2, "pt") is None
+
+
+def test_components_and_novelty_parity_through_manifest_backend(spark, tmp_path):
+    """CC and novelty run unchanged through the manifest backend —
+    same mapping / same novelty curve as the default backend; and on
+    the manifest backend a crash mid-fold cannot half-relabel a
+    component (the WAL becomes defense in depth, not a necessity)."""
+    from flink_assignment_spark.streaming.components_stream import (
+        merge_components_batch,
+        read_components,
+    )
+    from flink_assignment_spark.streaming.novelty_stream import (
+        merge_novelty_batch,
+        read_novelty_stats,
+    )
+
+    mb = ManifestStateBackend()
+    pairs0 = spark.createDataFrame([(1, 2), (3, 4)], "doc_a long, doc_b long")
+    pairs1 = spark.createDataFrame([(2, 3)], "doc_a long, doc_b long")
+    maps = {}
+    for name, be in (("m", mb), ("p", None)):
+        st = str(tmp_path / f"cc_{name}")
+        merge_components_batch(pairs0, 0, st, backend=be)
+        merge_components_batch(pairs1, 1, st, backend=be)
+        maps[name] = {
+            r["node"]: r["component"]
+            for r in read_components(spark, st, be).collect()
+        }
+    assert maps["m"] == maps["p"] == {1: 1, 2: 1, 3: 1, 4: 1}
+
+    docs0 = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta w{i} x{i} y{i}") for i in range(4)],
+        "doc_id long, text string",
+    )
+    docs1 = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta w{i} x{i} y{i}") for i in range(2, 6)],
+        "doc_id long, text string",
+    )
+    curves = {}
+    for name, be in (("m", mb), ("p", None)):
+        st = str(tmp_path / f"nv_{name}")
+        merge_novelty_batch(docs0, 0, st, backend=be)
+        merge_novelty_batch(docs1, 1, st, backend=be)
+        curves[name] = sorted(
+            (r.batch_id, r.n_shingles, r.n_new)
+            for r in read_novelty_stats(spark, st, be).collect()
+        )
+    assert curves["m"] == curves["p"] and len(curves["m"]) == 2

@@ -93,21 +93,23 @@ def test_crash_mid_swap_heals_stale_labels(spark, tmp_path, monkeypatch):
     )
     assert _mapping(spark, state) == {m: m, n: m}
 
-    stale_pt = n // cs.PT_RANGE
-    real_fold = cs.fold_state
+    from flink_assignment_spark.streaming._state import ParquetStateBackend
 
-    def partial_fold(out, path, part_col, touched, backend=None):
-        real_fold(out, path, part_col, [p for p in touched if p != stale_pt], backend)
+    stale_pt = n // cs.PT_RANGE
+    real_fold = ParquetStateBackend.fold
+
+    def partial_fold(self, out, path, part_col, touched):
+        real_fold(self, out, path, part_col, [p for p in touched if p != stale_pt])
         raise RuntimeError("simulated crash mid-swap")
 
-    monkeypatch.setattr(cs, "fold_state", partial_fold)
+    monkeypatch.setattr(ParquetStateBackend, "fold", partial_fold)
     b1 = spark.createDataFrame([(1, m)], PAIRS_SCHEMA)
     try:
         merge_components_batch(b1, 1, state)
         raise AssertionError("crash did not fire")
     except RuntimeError:
         pass
-    monkeypatch.setattr(cs, "fold_state", real_fold)
+    monkeypatch.setattr(ParquetStateBackend, "fold", real_fold)
     # the half-applied state: 1 and m relabeled, n stranded on label m
     assert _mapping(spark, state) == {1: 1, m: 1, n: m}
 
