@@ -112,6 +112,7 @@ def stream_lsh_sweep(
     n_batches: int = 10,
     max_state_bucket: int = 50,
     backend_name: str = "parquet",
+    compact_every: int = 0,
 ) -> dict:
     """Per-batch latency of the incremental MinHash-LSH detector as
     the corpus state grows. The claim under test: each micro-batch's
@@ -153,6 +154,16 @@ def stream_lsh_sweep(
                 max_state_bucket=max_state_bucket, backend=backend,
             )
             per_batch.append(round(time.monotonic() - t0, 2))
+            if compact_every and (b + 1) % compact_every == 0:
+                from flink_assignment_spark.streaming._detector import (
+                    compact_state,
+                )
+
+                t0 = time.monotonic()
+                compact_state(
+                    spark, state_dir, ["band", "key"], "sig", backend
+                )
+                per_batch.append(f"compact:{round(time.monotonic() - t0, 2)}")
         from flink_assignment_spark.streaming._detector import read_pairs
         from flink_assignment_spark.streaming._state import DEFAULT_BACKEND
 
@@ -295,6 +306,15 @@ def main() -> None:
         "noise on this harness is up to ±2x)",
     )
     ap.add_argument(
+        "--n-batches", type=int, default=10,
+        help="micro-batches per scale in the stream sweeps",
+    )
+    ap.add_argument(
+        "--compact-every", type=int, default=0,
+        help="run detector compact_state every N batches in the "
+        "stream-lsh sweep (0 = never)",
+    )
+    ap.add_argument(
         "--state-backend",
         choices=["parquet", "manifest"],
         default="parquet",
@@ -331,7 +351,11 @@ def main() -> None:
                     "metric": "streaming-LSH per-batch latency vs corpus state",
                     "backend": args.state_backend,
                     "stream_lsh": stream_lsh_sweep(
-                        spark, args.doc_scales, backend_name=args.state_backend
+                        spark,
+                        args.doc_scales,
+                        n_batches=args.n_batches,
+                        backend_name=args.state_backend,
+                        compact_every=args.compact_every,
                     ),
                 }
             )
