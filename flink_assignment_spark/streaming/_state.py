@@ -246,9 +246,15 @@ class ManifestStateBackend:
         return reader.parquet(*files)
 
     def vacuum(self, table_path: str) -> int:
-        """Delete data files no manifest snapshot references; returns
-        the number removed. Run out-of-band (single writer owns the
-        table, so 'current manifest' is the only live snapshot)."""
+        """Delete data files no manifest snapshot references (plus any
+        staging directory a crashed writer left behind); returns the
+        number of data files removed. Run out-of-band (single writer
+        owns the table, so 'current manifest' is the only live
+        snapshot)."""
+        if os.path.isdir(table_path):
+            for entry in os.listdir(table_path):
+                if entry.startswith("_staging-"):
+                    shutil.rmtree(os.path.join(table_path, entry))
         manifest = self._load(table_path) or {"parts": {}}
         live = {
             rel for file_list in manifest["parts"].values() for rel in file_list

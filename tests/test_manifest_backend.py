@@ -99,6 +99,11 @@ def test_manifest_append_and_empty_semantics(spark, tmp_path):
     mb.append(a, table, None)
     mb.append(b, table, None)
     assert {r.x for r in mb.read(spark, table).collect()} == {1, 2}
+    # vacuum clears staging dirs a crashed writer left behind
+    os.makedirs(os.path.join(table, "_staging-deadbeef"))
+    mb.vacuum(table)
+    assert not any(e.startswith("_staging-") for e in os.listdir(table))
+    assert {r.x for r in mb.read(spark, table).collect()} == {1, 2}
     # fold to empty clears a partitioned table
     t2 = str(tmp_path / "t2")
     mb.fold(
