@@ -407,6 +407,12 @@ _REV_UNITS_SQL = (
 )
 
 
+def _price_units():
+    """Undiscounted line price in exact integer cents (the q106
+    value measure — same exactness rationale as :func:`_rev_units`)."""
+    return F.round(F.col("l_extendedprice") * 100).cast("long")
+
+
 def q11_pricing_summary(spark, sf_dir):
     """TPC-H Q1-shaped pricing summary: scan-heavy groupBy with 8
     aggregates; Catalyst plans partial+final hash aggregation, filter
@@ -4634,6 +4640,166 @@ FROM islands GROUP BY doc_id, isl
 
 
 REGISTRY.update({"q104_substring_spans": QuerySpec(q104_substring_spans, Q104_SQL)})
+
+
+def q105_ship_delay_matrix(spark, sf_dir):
+    """TPC-H Q12-shaped: the shipping-delay × priority-class matrix —
+    per delay band (shipped ≤30 / ≤60 / >60 days after the order
+    date), how many lineitems belong to critical (1-URGENT/2-HIGH)
+    vs non-critical orders. Q12 proper pivots on l_shipmode with
+    commit/receipt dates; this schema carries neither, so the derived
+    delay band plays the mode role — the SHAPE (one fact⋈orders join
+    feeding horizontal CASE sums, no second scan) is the point. The
+    orderkey join is the only wide step; priorities arrive through it
+    and fold into two conditional counts per band."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    crit = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    band = (
+        F.when(
+            F.col("l_shipdate") <= F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"),
+            "fast",
+        )
+        .when(
+            F.col("l_shipdate") <= F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"),
+            "normal",
+        )
+        .otherwise("slow")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(band.alias("delay_band"))
+        .agg(
+            F.sum(crit.cast("long")).alias("critical_lines"),
+            F.sum((~crit).cast("long")).alias("noncritical_lines"),
+        )
+    )
+
+
+Q105_SQL = """
+SELECT CASE WHEN l_shipdate <= o_orderdate + INTERVAL 30 DAY THEN 'fast'
+            WHEN l_shipdate <= o_orderdate + INTERVAL 60 DAY THEN 'normal'
+            ELSE 'slow' END AS delay_band,
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS critical_lines,
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 0 ELSE 1 END) AS noncritical_lines
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1
+"""
+
+
+def q106_important_parts(spark, sf_dir):
+    """TPC-H Q11-shaped: parts whose total traded value exceeds a
+    share threshold of the whole corpus value. TPC-H proper scans
+    partsupp with a fixed fraction scaled by 1/SF; this schema has no
+    partsupp and a fixed fraction is scale-dependent, so the
+    threshold is 110% of the MEAN part value — scale-invariant, same
+    plan shape: one per-part aggregate (part-cardinality frame), the
+    two global scalars (total value, part count) folded in as
+    literals (the q99/q103 pattern — bounded driver scalars, no
+    single-row cross join), and an exact integer-unit compare."""
+    li = _t(spark, sf_dir, "lineitem")
+    pv = (
+        li.groupBy("l_partkey")
+        .agg(F.sum(_price_units()).alias("value_units"))
+        .cache()
+    )
+    total, n_parts = pv.agg(
+        F.sum("value_units"), F.count("*")
+    ).collect()[0]
+    return pv.filter(
+        F.col("value_units") * F.lit(int(n_parts)) * 10 > F.lit(int(total)) * 11
+    ).select("l_partkey", "value_units")
+
+
+Q106_SQL = """
+WITH pv AS (
+  SELECT l_partkey,
+         SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS value_units
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT l_partkey, value_units
+FROM pv
+WHERE value_units * (SELECT COUNT(*) FROM pv) * 10
+      > (SELECT SUM(value_units) FROM pv) * 11
+"""
+
+
+def q107_blocking_supplier(spark, sf_dir):
+    """TPC-H Q21-shaped (suppliers who kept orders waiting): count,
+    per supplier, the multi-supplier orders where THIS supplier was
+    the only late one (shipped >80 days after the order date — the
+    receipt/commit proxy this schema affords). Q21 proper is the
+    notorious EXISTS + NOT-EXISTS pair; decorrelated here by hand
+    into two stacked aggregations on the SAME orderkey partitioning
+    (per-(order, supplier) late flag, then per-order supplier/late
+    counts — Catalyst reuses the exchange), a filter to the
+    exactly-one-late multi-supplier orders, and a supplier-cardinality
+    count with the name joined in by broadcast. No correlated re-scan,
+    no row multiplication."""
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    late = (
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 80 DAYS")
+    ).cast("int")
+    # ol feeds two branches (per-order counts + the blocking filter)
+    # but is deliberately NOT cached: both branches consume the same
+    # (l_orderkey, l_suppkey) exchange, which Spark dedupes at runtime
+    # via ReusedExchange — measured at sf0.1, caching is ~40% SLOWER
+    # (materialization cost exceeds the reuse it duplicates)
+    ol = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max(late).alias("late"))
+    )
+    per_order = ol.groupBy("l_orderkey").agg(
+        F.count("*").alias("n_supp"), F.sum("late").alias("n_late")
+    )
+    blocking = ol.filter(F.col("late") == 1).join(
+        per_order.filter((F.col("n_supp") >= 2) & (F.col("n_late") == 1)),
+        "l_orderkey",
+    )
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        blocking.groupBy("l_suppkey")
+        .agg(F.count("*").alias("numwait"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_name", "numwait")
+    )
+
+
+Q107_SQL = """
+WITH ol AS (
+  SELECT l_orderkey, l_suppkey,
+         MAX(CASE WHEN l_shipdate > o_orderdate + INTERVAL 80 DAY
+                  THEN 1 ELSE 0 END) AS late
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY l_orderkey, l_suppkey
+), per_order AS (
+  SELECT l_orderkey, COUNT(*) AS n_supp, SUM(late) AS n_late
+  FROM ol GROUP BY l_orderkey
+)
+SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM ol
+JOIN per_order USING (l_orderkey)
+JOIN supplier ON l_suppkey = s_suppkey
+WHERE ol.late = 1 AND per_order.n_supp >= 2 AND per_order.n_late = 1
+GROUP BY s_name
+"""
+
+
+REGISTRY.update(
+    {
+        "q105_ship_delay_matrix": QuerySpec(q105_ship_delay_matrix, Q105_SQL),
+        "q106_important_parts": QuerySpec(q106_important_parts, Q106_SQL),
+        "q107_blocking_supplier": QuerySpec(q107_blocking_supplier, Q107_SQL),
+    }
+)
 
 
 # ------------------------------------------------------------------------
