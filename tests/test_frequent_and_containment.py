@@ -96,3 +96,39 @@ def test_containment_catches_quote_jaccard_misses(spark):
     assert row["containment"] == 1.0
     assert row["jaccard"] < 0.1  # symmetric rule would never fire
     assert ngram_jaccard_pairs(df, threshold=0.3).count() == 0
+
+
+@settings(
+    max_examples=50, deadline=None, suppress_health_check=[HealthCheck.too_slow]
+)
+@given(
+    stream=st.lists(
+        st.tuples(st.integers(0, 15), st.integers(1, 20)), max_size=60
+    ),
+    phi_inv=st.sampled_from([2, 3, 5]),
+    n_chunks=st.sampled_from([1, 3, 7]),
+)
+def test_mg_merge_compact_property(stream, phi_inv, n_chunks):
+    """Weighted merge-compact over arbitrary chunked (token, weight)
+    streams: ≤ phi_inv survivors, counter ≤ true ≤ counter + Σdec,
+    and any token with true > Σdec survives (the pigeonhole superset
+    rule the candidate pass relies on). Pure-Python property — no
+    Spark session involved."""
+    from collections import Counter
+
+    from flink_assignment_spark.operators.frequent import mg_merge_compact
+
+    true = Counter()
+    for t, w in stream:
+        true[t] += w
+    counters: dict[int, int] = {}
+    dec_total = 0
+    step = max(1, len(stream) // n_chunks)
+    for i in range(0, len(stream), step):
+        dec_total += mg_merge_compact(counters, stream[i : i + step], phi_inv)
+    assert len(counters) <= phi_inv
+    for t, c in counters.items():
+        assert c <= true[t] <= c + dec_total, (t, c, true[t], dec_total)
+    for t, cnt in true.items():
+        if cnt > dec_total:
+            assert t in counters, (t, cnt, dec_total)

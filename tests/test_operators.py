@@ -749,3 +749,35 @@ def test_substring_spans_merge_adjacent_and_overlapping(spark):
     spans = [(s["s"], s["e"]) for s in row["sp"]]
     assert spans == [(0, 32), (40, 56)]  # pos 16 touches [0,16) end: merged
     assert sum(e - s for s, e in spans) == row["cov"]
+
+
+@settings(max_examples=20, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    pos=st.lists(st.integers(0, 120), min_size=1, max_size=40, unique=True),
+    k=st.sampled_from([3, 8, 16]),
+)
+def test_dup_spans_property_matches_reference_merge(spark, pos, k):
+    """For arbitrary sorted position sets and window sizes, the array
+    fold's maximal spans equal a direct Python interval merge, and
+    their union length equals dup_token_coverage."""
+    from flink_assignment_spark.operators.dedup import dup_spans, dup_token_coverage
+
+    ps = sorted(pos)
+    want = []
+    for p in ps:
+        if want and p <= want[-1][1]:
+            want[-1] = (want[-1][0], p + k)
+        else:
+            want.append((p, p + k))
+    arr = F.array(*[F.lit(p) for p in ps])
+    row = (
+        spark.range(1)
+        .select(
+            dup_spans(arr, k).alias("sp"),
+            dup_token_coverage(arr, k).alias("cov"),
+        )
+        .collect()[0]
+    )
+    got = [(s["s"], s["e"]) for s in row["sp"]]
+    assert got == want
+    assert sum(e - s for s, e in got) == row["cov"]
