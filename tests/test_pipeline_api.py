@@ -79,6 +79,8 @@ def test_pipeline_narrow_stages_run_on_a_stream(spark, tmp_path):
     p = (
         CorpusPipeline(stream)
         .normalize()
+        .scrub_pii()
+        .gate_lang({"en", "fr", "de", "es", "zh"})
         .gate_repetition()
         .gate_compression()
         .decontaminate(probe)
@@ -100,6 +102,8 @@ def test_pipeline_narrow_stages_run_on_a_stream(spark, tmp_path):
     want = (
         CorpusPipeline(docs)
         .normalize()
+        .scrub_pii()
+        .gate_lang({"en", "fr", "de", "es", "zh"})
         .gate_repetition()
         .gate_compression()
         .decontaminate(probe)
@@ -111,6 +115,10 @@ def test_pipeline_narrow_stages_run_on_a_stream(spark, tmp_path):
         CorpusPipeline(stream).dedup_exact()
     with pytest.raises(TypeError, match="batch-only"):
         CorpusPipeline(stream).sample_mixture({"en": 1.0})
+    with pytest.raises(TypeError, match="batch-only"):
+        CorpusPipeline(stream).dedup_near()
+    with pytest.raises(TypeError, match="batch-only"):
+        CorpusPipeline(stream).budget_per_group(5)
 
 
 def test_pipeline_compression_and_stratified_gates(spark):
