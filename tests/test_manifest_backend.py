@@ -160,3 +160,44 @@ def test_components_and_novelty_parity_through_manifest_backend(spark, tmp_path)
             for r in read_novelty_stats(spark, st, be).collect()
         )
     assert curves["m"] == curves["p"] and len(curves["m"]) == 2
+
+
+def test_incremental_lsh_writestream_through_manifest_backend(spark, tmp_path):
+    """End-to-end Structured Streaming (writeStream + foreachBatch)
+    with the manifest backend: accumulated candidates equal the
+    default-backend run on the same replay."""
+    from flink_assignment_spark.streaming.lsh_stream import (
+        incremental_lsh_neardup,
+        read_candidate_pairs,
+    )
+
+    rows = [
+        (i, f"alpha beta gamma delta epsilon zeta eta theta w{i % 4}")
+        for i in range(24)
+    ]
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    for b in range(3):
+        chunk = [r for r in rows if r[0] % 3 == b]
+        spark.createDataFrame(chunk, DOCS).coalesce(1).write.parquet(
+            str(in_dir / f"f{b}")
+        )
+
+    results = {}
+    for name, be in (("m", ManifestStateBackend()), ("p", None)):
+        state = str(tmp_path / f"lsh_{name}")
+        stream = (
+            spark.readStream.schema(DOCS)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(in_dir) + "/*")
+        )
+        q = incremental_lsh_neardup(stream, state, backend=be)
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        results[name] = {
+            (r.doc_a, r.doc_b): r.est_jaccard
+            for r in read_candidate_pairs(spark, state, be).collect()
+        }
+    assert results["m"] == results["p"] and len(results["m"]) > 0
