@@ -101,3 +101,44 @@ def random_project(vec_col: str, in_dim: int, out_dim: int, salt: str = "rp") ->
         )
         dims.append(f"round(({chain}) * {scale!r}, 6)")
     return F.expr(f"array({', '.join(dims)})")
+
+
+def vec_repr(arr: Column) -> Column:
+    """Canonical driver-safe scalar encoding of a numeric vector:
+    each element scaled to integer micro-units (round(x·1e6) as
+    BIGINT) and comma-joined into one string.
+
+    Why this exists: the driver's correctness compare canonicalizes
+    result frames with pandas ``sort_values``, which cannot sort
+    ``array<double>`` columns (``unhashable type: 'list'``) — so any
+    registry query that returns a first-class vector must emit this
+    string form instead. Integer micro-units sidestep every
+    cross-engine float-rendering hazard (Spark's ``1.0E-7``
+    scientific casts, DuckDB's shortest-round-trip printing, printf
+    tie-rounding): both engines round half-away-from-zero on the
+    exact binary value, then print a BIGINT, which is byte-identical
+    everywhere. Pair with :func:`vec_repr_sql` in the DuckDB oracle.
+    """
+    return F.array_join(
+        F.transform(
+            arr,
+            lambda v: F.round(v.cast("double") * 1000000, 0)
+            .cast("bigint")
+            .cast("string"),
+        ),
+        ",",
+    )
+
+
+def vec_repr_sql(expr: str) -> str:
+    """DuckDB twin of :func:`vec_repr` for oracle SQL strings:
+    ``vec_repr_sql("list(x ORDER BY pos)")`` → the same
+    comma-joined micro-unit encoding. DuckDB ``round(double)`` is
+    half-away-from-zero on the exact binary value, matching Spark's
+    ``round(x, 0)`` HALF_UP — ties land identically."""
+    return (
+        "array_to_string(list_transform("
+        + expr
+        + ", x -> CAST(CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)"
+        " AS VARCHAR)), ',')"
+    )

@@ -100,3 +100,52 @@ def test_tokens_and_shingles_edges(spark):
     assert out[0].sh == ["a b c", "b c d"]
     assert out[1].sh == []  # shorter than n → no shingles
     assert out[2].sh == []
+
+
+# --------------------------- vec_repr: driver-safe vector encoding
+def test_vec_repr_matches_duckdb_on_adversarial_values(spark):
+    """vec_repr (Spark) and vec_repr_sql (DuckDB) must be
+    byte-identical — including negatives, -0.0, exact .5 micro-unit
+    ties, and magnitudes Spark would cast to scientific notation."""
+    import duckdb
+
+    from flink_assignment_spark.functions.vector import vec_repr, vec_repr_sql
+
+    vecs = [
+        [0.1234565, -0.1234565, 0.0000005, -0.0000005],  # .5 ties both signs
+        [-0.0, 0.0, 1.0, -1.0],
+        [1e-7, -1e-7, 123456.789012, -123456.789012],  # sci-notation bait
+        [0.1, 0.2, 0.30000000000000004, 2.675],  # binary-representation classics
+    ]
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vecs)], "i int, v array<double>")
+    got = {r.i: r.out for r in df.select("i", vec_repr(F.col("v")).alias("out")).collect()}
+    con = duckdb.connect()
+    for i, v in enumerate(vecs):
+        lit = "[" + ", ".join(repr(x) for x in v) + "]::DOUBLE[]"
+        want = con.execute(f"SELECT {vec_repr_sql(lit)}").fetchone()[0]
+        assert got[i] == want, f"vec {v}: spark={got[i]!r} duckdb={want!r}"
+    # and the parse round-trips: micro-units / 1e6 recovers 6-decimal values
+    parts = [int(t) for t in got[3].split(",")]
+    assert parts == [100000, 200000, 300000, 2675000]
+
+
+def test_driver_window_schemas_are_flat(spark):
+    """Every oracle-backed query in the driver's 50-query window must
+    emit a FLAT schema — no array/map/struct columns — because the
+    driver canonicalizes with pandas sort_values, which cannot sort
+    list-valued cells (r7: q58/q71 erred exactly this way)."""
+    from pyspark.sql import types as T
+
+    from flink_assignment_spark.queries.synthetic import REGISTRY
+
+    from .conftest import SF_DIR
+
+    window = [n for n, s in REGISTRY.items() if s.oracle is not None][:50]
+    assert len(window) == 50
+    bad = []
+    for name in window:
+        schema = REGISTRY[name].spark(spark, SF_DIR).schema
+        for f in schema.fields:
+            if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType)):
+                bad.append(f"{name}.{f.name}: {f.dataType.simpleString()}")
+    assert not bad, f"driver-window queries with unsortable columns: {bad}"
