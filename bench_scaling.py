@@ -144,6 +144,11 @@ def stream_lsh_sweep(
         os.makedirs(state_dir)
         bsz = n // n_batches
         per_batch = []
+        # compaction timings live under their OWN key (batch idx →
+        # seconds): per_batch_sec stays homogeneous floats so stat
+        # consumers (mean/trend over the flat-curve analysis) never
+        # aggregate a string (r7 ADVICE)
+        compact_sec = {}
         for b in range(n_batches):
             batch = docs.filter(
                 (F.col("doc_id") >= b * bsz) & (F.col("doc_id") < (b + 1) * bsz)
@@ -163,7 +168,7 @@ def stream_lsh_sweep(
                 compact_state(
                     spark, state_dir, ["band", "key"], "sig", backend
                 )
-                per_batch.append(f"compact:{round(time.monotonic() - t0, 2)}")
+                compact_sec[b] = round(time.monotonic() - t0, 2)
         from flink_assignment_spark.streaming._detector import read_pairs
         from flink_assignment_spark.streaming._state import DEFAULT_BACKEND
 
@@ -175,6 +180,7 @@ def stream_lsh_sweep(
         ).count()
         out[str(n)] = {
             "per_batch_sec": per_batch,
+            "compact_sec": compact_sec,
             "batch_rows": bsz,
             "state_rows_final": state_rows,
             "distinct_pairs": n_pairs,

@@ -675,14 +675,22 @@ def substring_spans(
     k: int = CHUNK_TOKENS,
     text_col: str = "text",
     id_col: str = "doc_id",
+    occ: DataFrame | None = None,
 ) -> DataFrame:
     """Per-document maximal duplicated spans: ``(doc_id, span_start,
     span_len)``, one row per maximal ``[start, start+len)`` token
     interval covered by duplicated (``rn > 1``) stride-1 windows.
     Exactly q88's plan — the near-uniform hash window + one per-doc
     aggregation — plus the :func:`dup_spans` array fold and an
-    explode; only documents containing copied text produce rows."""
-    occ = substring_occurrences(docs, k, text_col, id_col)
+    explode; only documents containing copied text produce rows.
+
+    ``occ`` optionally supplies a pre-built (ideally persisted)
+    :func:`substring_occurrences` frame so the window index — the
+    dominant ~15 s of each family member at 500k docs — is computed
+    once per corpus, not once per consumer (see
+    :func:`substring_index_shared`)."""
+    if occ is None:
+        occ = substring_occurrences(docs, k, text_col, id_col)
     per_doc = (
         occ.filter(F.col("rn") > 1)
         .groupBy("doc_id")

@@ -262,21 +262,24 @@ def merge_detector_batch(
         # saturation is STICKY: a bucket whose live size would cross
         # the cap this batch gets its key tombstoned; its existing
         # physical rows stay (masked at read, purged by compaction)
-        # and none of the batch's rows for it are stored. Both counts
-        # partial-aggregate map-side over frames already cached for
-        # the candidate join.
-        new_counts = fold_rows.groupBy(*key_cols).agg(F.count("*").alias("n_new"))
+        # and none of the batch's rows for it are stored. The size is
+        # countDistinct(doc_id) over live ∪ batch — REPLAY-IDEMPOTENT:
+        # on an at-least-once replay after the bucket delta already
+        # landed (crash between append and `_appended`/commit marker),
+        # the batch's members appear in BOTH `live` and `fold_rows`,
+        # and a double-appended delta leaves duplicate state rows;
+        # either way the distinct collapses them, so a replay computes
+        # the same bucket size as the clean run and cannot mint
+        # spurious tombstones (a count(*) sum here inflated up to 2×
+        # and permanently muted any bucket over ~cap/2 — r7 ADVICE).
+        # Aggregates over frames already cached for the candidate join;
+        # partial distinct runs map-side.
+        members = fold_rows.select(*key_cols, "doc_id")
         if live is not None:
-            old_counts = live.groupBy(*key_cols).agg(F.count("*").alias("n_old"))
-            totals = new_counts.join(old_counts, key_cols, "full_outer").select(
-                *key_cols,
-                (
-                    F.coalesce(F.col("n_new"), F.lit(0))
-                    + F.coalesce(F.col("n_old"), F.lit(0))
-                ).alias("n"),
-            )
-        else:
-            totals = new_counts.select(*key_cols, F.col("n_new").alias("n"))
+            members = members.unionByName(live.select(*key_cols, "doc_id"))
+        totals = members.groupBy(*key_cols).agg(
+            F.countDistinct("doc_id").alias("n")
+        )
         hot = totals.filter(F.col("n") > max_state_bucket).select(*key_cols).cache()
         if hot.count():
             backend.append(hot.coalesce(1), tombs_path(state_dir), None)
@@ -308,14 +311,30 @@ def read_bucket_state(
     state_dir: str,
     key_cols: list[str],
     backend: ParquetStateBackend | None = None,
+    key_types: list[str] | None = None,
+    payload_col: str | None = None,
+    payload_type: str | None = None,
 ) -> DataFrame:
     """The LIVE bucket state — physical rows minus rows of saturated
-    buckets (which remain on disk until :func:`compact_state`)."""
+    buckets (which remain on disk until :func:`compact_state`).
+
+    The never-folded fallback returns an empty frame with the SAME
+    columns and types the non-empty path would (key types via
+    ``key_types``, aligned with ``key_cols``, default string; payload
+    when ``payload_col``/``payload_type`` are given; plus ``pt``) —
+    so schema-dependent callers (unions, payload selects) behave
+    identically on a fresh state (r7 ADVICE: the old fallback typed
+    every key string and omitted payload/pt, diverging from the
+    non-empty return)."""
     backend = backend or DEFAULT_BACKEND
     state = backend.read(spark, buckets_path(state_dir), "pt")
     if state is None:
-        schema = ", ".join(f"{k} string" for k in key_cols)
-        return spark.createDataFrame([], f"{schema}, doc_id long")
+        kt = key_types or ["string"] * len(key_cols)
+        fields = [f"{k} {t}" for k, t in zip(key_cols, kt)] + ["doc_id long"]
+        if payload_col is not None:
+            fields.append(f"{payload_col} {payload_type or 'string'}")
+        fields.append("pt int")
+        return spark.createDataFrame([], ", ".join(fields))
     tombs = _read_tombs(spark, state_dir, key_cols, backend)
     return state if tombs is None else state.join(
         F.broadcast(tombs), key_cols, "left_anti"

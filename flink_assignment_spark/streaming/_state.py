@@ -17,12 +17,17 @@ novelty logic. A replacement backend must guarantee, for each method:
 
 - ``fold(out, table, part_col, touched)`` — REPLACE the contents of
   the ``touched`` partitions with ``out``'s rows (a partition absent
-  from ``out`` becomes empty). Equivalent MERGE: delete-where
-  ``part_col IN touched`` + insert, in ONE atomic commit. Atomicity
-  may be per-partition at minimum (this parquet stand-in's level):
-  callers' folds are SET UNIONS, so a replay over a partially-applied
-  fold must converge — the backend must never expose a partition in a
-  half-written state (readers see old or new, nothing else).
+  from ``out`` becomes empty). ``out`` MUST contain rows only for
+  partitions in ``touched`` — both backends raise ``ValueError`` on a
+  violation, identically (r7 ADVICE: they used to diverge, one
+  silently dropping the extra partition's staged rows, the other
+  silently replacing that partition's live files). Equivalent MERGE:
+  delete-where ``part_col IN touched`` + insert, in ONE atomic
+  commit. Atomicity may be per-partition at minimum (this parquet
+  stand-in's level): callers' folds are SET UNIONS, so a replay over
+  a partially-applied fold must converge — the backend must never
+  expose a partition in a half-written state (readers see old or
+  new, nothing else).
 - ``append(out, table, part_col)`` — INSERT ``out``'s rows. Replays
   may re-append; callers either dedupe at read or pre-anti-join, so
   duplicate rows must be tolerated, not deduped by the backend.
@@ -35,6 +40,16 @@ novelty logic. A replacement backend must guarantee, for each method:
   :class:`ManifestStateBackend` shows the real thing — an atomic
   manifest swap giving snapshot isolation across ALL partitions at
   once (a crashed fold is entirely invisible, never half-visible).
+- ``replace(out, table, meta)`` — REPLACE the WHOLE table with
+  ``out``'s rows, committing the small ``meta`` dict (e.g. the
+  applied-batch marker) atomically WITH the data: after any crash,
+  ``read``/``read_meta`` expose the old (data, meta) pair or the new
+  one, never a mix. This is the fold for group-cardinality /
+  keeper-table state (mixture counts, the dedup-apply kept corpus)
+  whose production form is a MERGE INTO rewriting only touched
+  files; a whole-table rewrite is the honest plain-parquet stand-in.
+- ``read_meta(table)`` — the ``meta`` dict committed with the
+  current snapshot, or ``None`` before any replace.
 """
 
 from __future__ import annotations
@@ -82,6 +97,18 @@ def swap_partitions(
     if os.path.exists(staging):
         shutil.rmtree(staging)
     out.write.partitionBy(part_col).parquet(staging)
+    staged = {
+        d.split("=", 1)[1]
+        for d in os.listdir(staging)
+        if d.startswith(f"{part_col}=")
+    }
+    extra = staged - {str(p) for p in touched}
+    if extra:
+        shutil.rmtree(staging)
+        raise ValueError(
+            f"fold contract violation: out contains partitions not in "
+            f"touched: {sorted(extra)} (touched={sorted(map(str, touched))})"
+        )
     os.makedirs(table_path, exist_ok=True)
     wrote_any = False
     for p in touched:
@@ -111,13 +138,32 @@ def append_rows(out: DataFrame, table_path: str, part_col: str | None) -> None:
     w.parquet(table_path)
 
 
+def recover_replace(table_path: str) -> None:
+    """Heal a crash inside :meth:`ParquetStateBackend.replace`'s
+    two-rename swap. The swap is (1) rename the current table aside to
+    ``.old``, (2) rename staging in, (3) delete ``.old`` — so a
+    leftover ``.old`` means either the crash hit between (1) and (2)
+    (no live table: restore ``.old``) or between (2) and (3) (live
+    table present: drop ``.old``)."""
+    old = table_path + ".old"
+    if not os.path.exists(old):
+        return
+    if os.path.exists(os.path.join(table_path, "_SUCCESS")):
+        shutil.rmtree(old)
+    else:
+        if os.path.exists(table_path):
+            shutil.rmtree(table_path)
+        os.rename(old, table_path)
+
+
 class ParquetStateBackend:
     """Default backend: plain-parquet directories with `_SUCCESS`
     visibility markers — the local stand-in for a transactional table.
     See the module docstring for the contract a MERGE-capable
     replacement must honor. Atomicity is per-partition (a crash
     mid-fold can expose a prefix of the touched partitions — callers
-    carry set-union folds / WALs to converge on replay)."""
+    carry set-union folds / WALs to converge on replay); ``replace``
+    is whole-table atomic via the two-rename swap + healing."""
 
     def fold(
         self, out: DataFrame, table_path: str, part_col: str, touched: list[int]
@@ -130,12 +176,46 @@ class ParquetStateBackend:
     def read(
         self, spark: SparkSession, table_path: str, part_col: str | None = None
     ) -> DataFrame | None:
+        recover_replace(table_path)
         if not os.path.exists(os.path.join(table_path, "_SUCCESS")):
             return None
         reader = spark.read
         if part_col is not None:
             reader = reader.option("basePath", table_path)
         return reader.parquet(table_path)
+
+    def replace(
+        self, out: DataFrame, table_path: str, meta: dict | None = None
+    ) -> None:
+        """Whole-table replace; ``meta`` commits atomically with the
+        data (it travels INSIDE the staging directory, so the pair
+        becomes visible in the same rename). The staging write
+        materializes ``out`` — which may still read the table's
+        current directory — BEFORE anything is moved."""
+        recover_replace(table_path)
+        staging = table_path + ".staging"
+        if os.path.exists(staging):
+            shutil.rmtree(staging)
+        out.write.parquet(staging)
+        if meta is not None:
+            with open(os.path.join(staging, "_meta.json"), "w") as f:
+                json.dump(meta, f)
+        old = table_path + ".old"
+        if os.path.exists(old):
+            shutil.rmtree(old)
+        if os.path.exists(table_path):
+            os.rename(table_path, old)
+        os.rename(staging, table_path)
+        if os.path.exists(old):
+            shutil.rmtree(old)
+
+    def read_meta(self, table_path: str) -> dict | None:
+        recover_replace(table_path)
+        path = os.path.join(table_path, "_meta.json")
+        if not os.path.exists(path):
+            return None
+        with open(path) as f:
+            return json.load(f)
 
 
 class ManifestStateBackend:
@@ -210,6 +290,13 @@ class ManifestStateBackend:
         self, out: DataFrame, table_path: str, part_col: str, touched: list[int]
     ) -> None:
         added = self._stage_files(out, table_path, part_col)
+        extra = set(added) - {str(p) for p in touched}
+        if extra:
+            # staged files are unreferenced (invisible); vacuum reclaims
+            raise ValueError(
+                f"fold contract violation: out contains partitions not in "
+                f"touched: {sorted(extra)} (touched={sorted(map(str, touched))})"
+            )
         manifest = self._load(table_path) or {"version": 0, "parts": {}}
         parts = dict(manifest["parts"])
         for p in touched:  # replace semantics: empty output clears the part
@@ -244,6 +331,29 @@ class ManifestStateBackend:
         if part_col is not None:
             reader = reader.option("basePath", data)
         return reader.parquet(*files)
+
+    def replace(
+        self, out: DataFrame, table_path: str, meta: dict | None = None
+    ) -> None:
+        """Whole-table replace in ONE manifest commit; ``meta`` lives
+        inside the manifest JSON itself, so data and marker are
+        atomic by construction — a crashed replace leaves the previous
+        (data, meta) snapshot fully intact."""
+        added = self._stage_files(out, table_path, None)
+        manifest = self._load(table_path) or {"version": 0, "parts": {}}
+        commit = {
+            "version": manifest["version"] + 1,
+            "parts": {"_all": added.get("_all", [])},
+        }
+        if meta is not None:
+            commit["meta"] = meta
+        elif "meta" in manifest:
+            commit["meta"] = manifest["meta"]
+        self._commit(table_path, commit)
+
+    def read_meta(self, table_path: str) -> dict | None:
+        manifest = self._load(table_path)
+        return None if manifest is None else manifest.get("meta")
 
     def vacuum(self, table_path: str) -> int:
         """Delete data files no manifest snapshot references (plus any

@@ -156,7 +156,9 @@ def test_mixture_crash_between_kept_append_and_counts_swap(
     want_counts = {tuple(r) for r in read_mixture_counts(spark, ref).collect()}
 
     st = str(tmp_path / "st")
-    real_swap = ms.os.rename
+    # the swap now lives inside the backend seam (_state.replace), so
+    # the crash is injected on the seam module's os.rename
+    real_swap = _state.os.rename
     calls = {"armed": True}
 
     def crash_on_first_rename(src, dst):
@@ -165,10 +167,10 @@ def test_mixture_crash_between_kept_append_and_counts_swap(
             raise RuntimeError("crash before counts swap")
         return real_swap(src, dst)
 
-    monkeypatch.setattr(ms.os, "rename", crash_on_first_rename)
+    monkeypatch.setattr(_state.os, "rename", crash_on_first_rename)
     with pytest.raises(RuntimeError):
         merge_mixture_batch(docs, 0, st, weights)
-    monkeypatch.setattr(ms.os, "rename", real_swap)
+    monkeypatch.setattr(_state.os, "rename", real_swap)
 
     merge_mixture_batch(docs, 0, st, weights)  # redelivery
     assert {tuple(r) for r in read_kept_mixture(spark, st).collect()} == want_kept
@@ -223,3 +225,75 @@ def test_novelty_crash_between_fold_and_stats(spark, tmp_path, monkeypatch):
     # batch while the state stays exact. Pin exactly that.
     assert got[0][0] == 0 and got[0][1] == want[0][1]
     assert got[0][2] == 0  # own shingles already merged -> nothing new
+
+
+HIGH_CAP = 5
+
+
+@pytest.mark.parametrize("window", ["W3", "W4"])
+def test_cap_enabled_replay_does_not_spuriously_saturate(
+    spark, tmp_path, monkeypatch, window
+):
+    """r7 ADVICE (medium): on an at-least-once replay AFTER the bucket
+    delta already landed (W3: before `_appended`; W4: before the
+    commit marker), the batch's members sit in BOTH the live state and
+    the fold rows. The old count(*) saturation sum counted them twice,
+    tombstoning any bucket whose true size exceeds ~cap/2 — and
+    saturation is sticky, so the bucket silently stopped emitting
+    forever. The countDistinct(doc_id) fold must keep a bucket whose
+    TRUE size is under the cap alive through the replay."""
+    ref = str(tmp_path / "ref")
+    merge_simhash_batch(_docs(spark, range(2)), 0, ref, max_state_bucket=HIGH_CAP)
+    merge_simhash_batch(
+        _docs(spark, range(10, 12)), 1, ref, max_state_bucket=HIGH_CAP
+    )
+    want_pairs, want_buckets = _pairs(spark, ref), _buckets(spark, ref)
+    # true bucket size is 4 ≤ cap: the clean run must not saturate
+    assert not os.path.exists(os.path.join(ref, "tombs"))
+
+    state = str(tmp_path / "st")
+    merge_simhash_batch(_docs(spark, range(2)), 0, state, max_state_bucket=HIGH_CAP)
+
+    if window == "W3":
+        real_append = _state.ParquetStateBackend.append
+
+        def crash_after_bucket_append(self, out, table, part_col):
+            real_append(self, out, table, part_col)
+            if table.endswith("buckets"):
+                raise RuntimeError("simulated crash after bucket append")
+
+        monkeypatch.setattr(
+            _state.ParquetStateBackend, "append", crash_after_bucket_append
+        )
+        with pytest.raises(RuntimeError):
+            merge_simhash_batch(
+                _docs(spark, range(10, 12)), 1, state, max_state_bucket=HIGH_CAP
+            )
+        monkeypatch.setattr(_state.ParquetStateBackend, "append", real_append)
+        # the mark never advanced past batch 0 — batch 1's delta is
+        # appended but unmarked, so the replay will re-append it
+        assert _detector._appended_batch(state) == 0
+    else:  # W4
+        real_commit = _detector.commit_marker
+
+        def no_commit(state_dir, batch_id):
+            raise RuntimeError("simulated crash before marker")
+
+        monkeypatch.setattr(_detector, "commit_marker", no_commit)
+        with pytest.raises(RuntimeError):
+            merge_simhash_batch(
+                _docs(spark, range(10, 12)), 1, state, max_state_bucket=HIGH_CAP
+            )
+        monkeypatch.setattr(_detector, "commit_marker", real_commit)
+        assert _detector._appended_batch(state) == 1  # the mark landed
+
+    merge_simhash_batch(
+        _docs(spark, range(10, 12)), 1, state, max_state_bucket=HIGH_CAP
+    )  # redelivery
+    # the replay must NOT have minted a tombstone for the healthy bucket
+    assert not os.path.exists(os.path.join(state, "tombs"))
+    assert _pairs(spark, state) == want_pairs
+    if window == "W3":
+        # W3 re-appends the batch's delta; compaction restores byte-equality
+        _detector.compact_state(spark, state, ["blk", "val"], "fp")
+    assert _buckets(spark, state) == want_buckets

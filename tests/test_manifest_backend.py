@@ -201,3 +201,80 @@ def test_incremental_lsh_writestream_through_manifest_backend(spark, tmp_path):
             for r in read_candidate_pairs(spark, state, be).collect()
         }
     assert results["m"] == results["p"] and len(results["m"]) > 0
+
+
+def test_mixture_and_dedup_apply_parity_through_manifest_backend(
+    spark, tmp_path, monkeypatch
+):
+    """r7 verdict missing-list #2: mixture and dedup_apply now thread
+    the seam. Parity with the default backend on a two-batch run, and
+    the snapshot upgrade: a dedup_apply merge that crashes before its
+    manifest commit is entirely invisible (old data + old marker), so
+    the redelivered batch applies exactly once."""
+    from flink_assignment_spark.streaming.dedup_apply import (
+        merge_dedup_groups,
+        read_kept,
+    )
+    from flink_assignment_spark.streaming.mixture_stream import (
+        merge_mixture_batch,
+        read_kept_mixture,
+        read_mixture_counts,
+    )
+
+    mb = ManifestStateBackend()
+    docs0 = spark.createDataFrame(
+        [(i, "en" if i % 3 else "de") for i in range(40)], "doc_id long, lang string"
+    )
+    docs1 = spark.createDataFrame(
+        [(i, "en" if i % 4 else "de") for i in range(40, 80)],
+        "doc_id long, lang string",
+    )
+    weights = {"en": 0.5, "de": 0.5}
+    mix = {}
+    for name, be in (("m", mb), ("p", None)):
+        st = str(tmp_path / f"mix_{name}")
+        merge_mixture_batch(docs0, 0, st, weights, backend=be)
+        merge_mixture_batch(docs1, 1, st, weights, backend=be)
+        kept = {tuple(r) for r in read_kept_mixture(spark, st, backend=be).collect()}
+        counts = {tuple(r) for r in read_mixture_counts(spark, st, backend=be).collect()}
+        mix[name] = (kept, counts)
+    assert mix["m"] == mix["p"] and len(mix["m"][0]) > 0
+
+    texts0 = spark.createDataFrame(
+        [(1, "x"), (2, "x"), (3, "y")], "doc_id long, text string"
+    )
+    texts1 = spark.createDataFrame(
+        [(4, "x"), (5, "z")], "doc_id long, text string"
+    )
+    kept_tables = {}
+    for name, be in (("m", mb), ("p", None)):
+        table = str(tmp_path / f"kept_{name}")
+        merge_dedup_groups(texts0, table, batch_id=0, backend=be)
+        merge_dedup_groups(texts1, table, batch_id=1, backend=be)
+        kept_tables[name] = {
+            (r.doc_id, r.n_dups) for r in read_kept(spark, table, be).collect()
+        }
+    assert kept_tables["m"] == kept_tables["p"] == {(1, 3), (3, 1), (5, 1)}
+
+    # atomicity upgrade: crash before the manifest commit of batch 2's
+    # replace → data AND marker stay at batch 1; redelivery applies once
+    table = str(tmp_path / "kept_m")
+    real_commit = ManifestStateBackend._commit
+
+    def no_commit(self, table_path, manifest):
+        raise RuntimeError("crash before manifest commit")
+
+    monkeypatch.setattr(ManifestStateBackend, "_commit", no_commit)
+    texts2 = spark.createDataFrame([(6, "x")], "doc_id long, text string")
+    with pytest.raises(RuntimeError):
+        merge_dedup_groups(texts2, table, batch_id=2, backend=mb)
+    monkeypatch.setattr(ManifestStateBackend, "_commit", real_commit)
+    assert mb.read_meta(table) == {"applied_batch": 1}
+    assert {
+        (r.doc_id, r.n_dups) for r in read_kept(spark, table, mb).collect()
+    } == {(1, 3), (3, 1), (5, 1)}
+    merge_dedup_groups(texts2, table, batch_id=2, backend=mb)  # redelivery
+    merge_dedup_groups(texts2, table, batch_id=2, backend=mb)  # duplicate → no-op
+    assert {
+        (r.doc_id, r.n_dups) for r in read_kept(spark, table, mb).collect()
+    } == {(1, 4), (3, 1), (5, 1)}

@@ -136,3 +136,64 @@ def test_compression_band_expr_null_safe(spark):
     row = compression_stats(df).collect()[0]
     assert row["band"] == "empty"
     assert row["ratio"] is None and row["raw_bytes"] is None
+
+
+@pytest.mark.parametrize("backend_cls", ["parquet", "manifest"])
+def test_fold_rejects_untouched_partitions_identically(
+    spark, tmp_path, backend_cls
+):
+    """Seam contract (r7 ADVICE): `out` may only contain partitions in
+    `touched`. Both backends must raise the same ValueError — before
+    this, one silently dropped the extra partition's staged rows and
+    the other silently replaced that partition's live files."""
+    from flink_assignment_spark.streaming._state import (
+        ManifestStateBackend,
+        ParquetStateBackend,
+    )
+
+    backend = ParquetStateBackend() if backend_cls == "parquet" else ManifestStateBackend()
+    table = str(tmp_path / "tbl")
+    df = spark.createDataFrame([(1, 0), (2, 1)], "v long, pt int")
+    backend.fold(df, table, "pt", [0, 1])
+    bad = spark.createDataFrame([(3, 0), (4, 2)], "v long, pt int")
+    with pytest.raises(ValueError, match="fold contract violation"):
+        backend.fold(bad, table, "pt", [0])
+    # the rejected fold must not have become visible
+    got = sorted(tuple(r) for r in backend.read(spark, table, "pt").collect())
+    assert got == [(1, 0), (2, 1)]
+
+
+def test_read_bucket_state_empty_schema_matches_folded(spark, tmp_path):
+    """r7 ADVICE: the never-folded fallback must return the SAME
+    columns and types as the non-empty path — real key types, the
+    payload, and pt — so unions/selects against a fresh state work."""
+    from flink_assignment_spark.streaming._detector import (
+        merge_detector_batch,
+        read_bucket_state,
+    )
+    from pyspark.sql import functions as F
+
+    empty = read_bucket_state(
+        spark,
+        str(tmp_path / "never"),
+        ["band", "key"],
+        key_types=["int", "long"],
+        payload_col="sig",
+        payload_type="array<int>",
+    )
+    rows = spark.createDataFrame(
+        [(0, 7, 1, [1, 2]), (0, 7, 2, [1, 3])],
+        "band int, key long, doc_id long, sig array<int>",
+    )
+    st = str(tmp_path / "folded")
+    merge_detector_batch(
+        rows, 0, st, ["band", "key"], "sig", "array<int>",
+        score=lambda a, b: F.lit(1.0), score_name="s",
+    )
+    folded = read_bucket_state(spark, st, ["band", "key"])
+    assert empty.count() == 0
+    assert dict(empty.dtypes) == dict(folded.dtypes), (
+        f"empty={empty.dtypes} folded={folded.dtypes}"
+    )
+    # and the schemas must union cleanly (the caller operation that broke)
+    assert folded.unionByName(empty).count() == folded.count()

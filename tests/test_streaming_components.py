@@ -99,7 +99,17 @@ def test_crash_mid_swap_heals_stale_labels(spark, tmp_path, monkeypatch):
     real_fold = ParquetStateBackend.fold
 
     def partial_fold(self, out, path, part_col, touched):
-        real_fold(self, out, path, part_col, [p for p in touched if p != stale_pt])
+        # simulate a crash AFTER a prefix of the partition swaps: the
+        # stale partition's directory keeps its old contents (drop it
+        # from out AND touched — the fold contract requires out ⊆
+        # touched, matching what a real mid-swap crash leaves behind)
+        real_fold(
+            self,
+            out.filter(F.col(part_col) != stale_pt),
+            path,
+            part_col,
+            [p for p in touched if p != stale_pt],
+        )
         raise RuntimeError("simulated crash mid-swap")
 
     monkeypatch.setattr(ParquetStateBackend, "fold", partial_fold)
