@@ -620,6 +620,30 @@ def substring_occurrences(
     return occ.withColumn("rn", F.row_number().over(w))
 
 
+def substring_index_shared(
+    docs: DataFrame,
+    k: int = CHUNK_TOKENS,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The stride-1 window occurrence index built ONCE and persisted
+    for the whole consumer family — coverage stats
+    (:func:`dup_token_coverage` / q88), scrub (:func:`substring_scrub`
+    / q95), and maximal spans (:func:`substring_spans` / q104) all
+    read the IDENTICAL ``substring_occurrences`` frame, and building
+    it (tokenize + k× window explode + the hash-partitioned rn
+    window) dominates each consumer at ~15 s per 500k docs
+    (SCALING.md). At 100 TB this frame is a materialized intermediate
+    (write once, read three times); in-session the persisted plan is
+    the honest stand-in. Carry every non-text column in ``docs`` so
+    each consumer finds what it needs (q88 reads ``source``; the
+    others ignore it). Caller owns ``unpersist()``."""
+    from pyspark import StorageLevel
+
+    occ = substring_occurrences(docs, k, text_col, id_col)
+    return occ.persist(StorageLevel.MEMORY_AND_DISK)
+
+
 def dup_token_coverage(positions: Column, k: int) -> Column:
     """Tokens covered by the union of ``[p, p+k)`` intervals for a
     SORTED position array — the per-document 'how many tokens sit
@@ -710,6 +734,7 @@ def substring_scrub(
     k: int = CHUNK_TOKENS,
     text_col: str = "text",
     id_col: str = "doc_id",
+    occ: DataFrame | None = None,
 ) -> DataFrame:
     """The APPLY step of full exact-substring dedup (Lee et al. 2022
     don't just audit — they REMOVE the repeated spans): rebuild every
@@ -724,8 +749,12 @@ def substring_scrub(
     ``p ≤ i < p+k``) and reassembles the text. Returns ``(doc_id,
     n_tokens, n_kept, scrubbed_hash)`` — the md5 of the scrubbed text
     is what the oracle compares, so the reconstruction itself is
-    checked, not just the counts."""
-    occ = substring_occurrences(docs, k, text_col, id_col)
+    checked, not just the counts.
+
+    ``occ`` optionally supplies a pre-built (ideally persisted)
+    :func:`substring_index_shared` frame, skipping the index build."""
+    if occ is None:
+        occ = substring_occurrences(docs, k, text_col, id_col)
     dup_pos = (
         occ.filter(F.col("rn") > 1)
         .groupBy("doc_id")

@@ -25,10 +25,10 @@ Two passes, the standard distributed shape:
 
 The total-count ``N`` rides along as NULL-token marker rows emitted
 by the same kernel (one per partition), so the candidate pass is a
-single scan. The recount pass re-tokenizes — at 100 TB the token
-stream would be a materialized intermediate; two narrow scans is the
-honest stand-in, exactly like the reference-corpus caveat in
-``operators.lm``.
+single scan. Both passes read the same :func:`token_stream`; pass a
+persisted one via ``toks=`` (the materialized-intermediate shape at
+100 TB) to tokenize once, or let the default path pay two narrow
+scans.
 """
 
 from __future__ import annotations
@@ -73,7 +73,11 @@ def mg_merge_compact(counters: dict, items, phi_inv: int) -> int:
     return int(dec)
 
 
-def _token_stream(docs: DataFrame, text_col: str) -> DataFrame:
+def token_stream(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """The exploded single-column ``token`` stream both
+    :func:`heavy_hitters` passes consume. Persist the result (or
+    materialize it, at 100 TB) and pass it via ``toks=`` to pay
+    tokenization once instead of twice."""
     return (
         spread(docs)
         .select(F.explode_outer(tokens(F.col(text_col))).alias("token"))
@@ -82,10 +86,20 @@ def _token_stream(docs: DataFrame, text_col: str) -> DataFrame:
 
 
 def heavy_hitters(
-    docs: DataFrame, phi_inv: int = DEFAULT_PHI_INV, text_col: str = "text"
+    docs: DataFrame,
+    phi_inv: int = DEFAULT_PHI_INV,
+    text_col: str = "text",
+    toks: DataFrame | None = None,
 ) -> DataFrame:
     """``(token, cnt, share)`` for every token with
-    ``cnt * phi_inv > N`` — exact counts, exact membership."""
+    ``cnt * phi_inv > N`` — exact counts, exact membership.
+
+    ``toks`` optionally supplies a pre-tokenized single-column
+    ``token`` stream (ideally persisted, or a materialized
+    intermediate at 100 TB); both passes — the narrow Misra-Gries
+    candidate scan and the broadcast-semi-join recount — read it, so
+    passing it removes the double tokenization the default path pays
+    (two narrow scans of ``docs``)."""
 
     def mg_kernel(batches):
         import pandas as pd
@@ -104,7 +118,8 @@ def heavy_hitters(
         rows.append((None, n_local))  # per-partition total marker
         yield pd.DataFrame(rows, columns=["token", "cnt"])
 
-    toks = _token_stream(docs, text_col)
+    if toks is None:
+        toks = token_stream(docs, text_col)
     # cached: the tiny summary feeds the scalar N and the candidate
     # set (the q15/q16 working-frame pattern — the session owner
     # clears caches between queries)

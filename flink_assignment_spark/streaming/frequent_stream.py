@@ -39,7 +39,7 @@ import os
 
 from pyspark.sql import DataFrame
 
-from ..operators.frequent import DEFAULT_PHI_INV, _token_stream, mg_merge_compact
+from ..operators.frequent import DEFAULT_PHI_INV, mg_merge_compact, token_stream
 
 
 def _state_file(state_dir: str) -> str:
@@ -82,7 +82,7 @@ def _batch_partition_summaries(batch_df: DataFrame, phi_inv: int, text_col: str)
         yield pd.DataFrame(rows, columns=["token", "cnt", "dec"])
 
     rows = (
-        _token_stream(batch_df, text_col)
+        token_stream(batch_df, text_col)
         .mapInPandas(mg_kernel, "token string, cnt long, dec long")
         .collect()
     )

@@ -149,3 +149,35 @@ def test_driver_window_schemas_are_flat(spark):
             if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType)):
                 bad.append(f"{name}.{f.name}: {f.dataType.simpleString()}")
     assert not bad, f"driver-window queries with unsortable columns: {bad}"
+
+
+def test_oracle_output_dtypes_are_driver_safe():
+    """DuckDB-side twin of the flat-schema guard: DESCRIBE every
+    oracle SQL in the registry and assert no output column is
+    HUGEINT / DECIMAL / LIST / STRUCT / MAP. pandas renders HUGEINT
+    (the natural result of SUM over BIGINT / SUM(CASE...)) as
+    float64, so the driver's value-hash sees 11845.0 vs Spark's
+    11845 and fails even when every value is exact (r8: q105/q106).
+    The Spark-side guard cannot see DuckDB types — this one can.
+    DESCRIBE only binds, it never executes, so checking all oracles
+    is cheap."""
+    import duckdb
+
+    from flink_assignment_spark.queries.synthetic import REGISTRY
+    from flink_assignment_spark.schemas import ALL_TABLES
+
+    from .conftest import SF_DIR
+
+    con = duckdb.connect()
+    for t in ALL_TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    BAD = ("HUGEINT", "DECIMAL", "STRUCT", "MAP(")
+    bad = []
+    for name, spec in REGISTRY.items():
+        if spec.oracle is None:
+            continue
+        for col, typ, *_ in con.execute(f"DESCRIBE ({spec.oracle})").fetchall():
+            u = typ.upper()
+            if any(b in u for b in BAD) or u.endswith("[]"):
+                bad.append(f"{name}.{col}: {typ}")
+    assert not bad, f"oracle columns pandas cannot hash faithfully: {bad}"
