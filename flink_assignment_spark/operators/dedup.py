@@ -637,7 +637,11 @@ def substring_index_shared(
     (write once, read three times); in-session the persisted plan is
     the honest stand-in. Carry every non-text column in ``docs`` so
     each consumer finds what it needs (q88 reads ``source``; the
-    others ignore it). Caller owns ``unpersist()``."""
+    others ignore it). The handle is intentionally session-lifetime:
+    the registry memo (`queries/synthetic.py` ``_OCC_MEMO``) keeps it
+    for the life of the SparkSession and re-persists it if a
+    session-wide ``clearCache()`` evicted it — callers should NOT
+    ``unpersist()`` a handle they share."""
     from pyspark import StorageLevel
 
     occ = substring_occurrences(docs, k, text_col, id_col)

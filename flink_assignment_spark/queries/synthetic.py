@@ -71,6 +71,8 @@ _OCC_MEMO: dict[tuple[str, str], DataFrame] = {}
 
 
 def _shared_occ(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark import StorageLevel
+
     key = (spark.sparkContext.applicationId, sf_dir)
     occ = _OCC_MEMO.get(key)
     if occ is None:
@@ -79,6 +81,12 @@ def _shared_occ(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "source")
         occ = substring_index_shared(docs, CHUNK_TOKENS)
         _OCC_MEMO[key] = occ
+    elif occ.storageLevel == StorageLevel.NONE:
+        # a session-level spark.catalog.clearCache() (bench.py does one
+        # per query) unpersists the frame behind the memo's back; without
+        # re-persisting here every later consumer would silently rebuild
+        # the full stride-1 index from scratch on EVERY action
+        occ.persist(StorageLevel.MEMORY_AND_DISK)
     return occ
 
 

@@ -21,3 +21,24 @@ def test_query_matches_oracle(spark, name):
     # would make the oracle check vacuous) — known-empty ones excepted
     if name not in ():
         assert n > 0, f"{name} returned 0 rows — vacuous oracle check"
+
+
+def test_shared_occ_survives_clear_cache(spark):
+    """The memoized substring index must re-persist itself after a
+    session-wide clearCache() (bench.py runs one per query) — the
+    round-9 finding was that the unpersisted handle silently rebuilt
+    the full stride-1 index on every later action."""
+    from pyspark import StorageLevel
+
+    from flink_assignment_spark.queries.synthetic import _OCC_MEMO, _shared_occ
+
+    first = _shared_occ(spark, SF_DIR)
+    assert first.storageLevel != StorageLevel.NONE
+    spark.catalog.clearCache()
+    assert first.storageLevel == StorageLevel.NONE  # the failure mode
+    again = _shared_occ(spark, SF_DIR)
+    assert again is first  # same memoized handle ...
+    assert again.storageLevel != StorageLevel.NONE  # ... re-persisted
+    # leave the session clean for other tests
+    spark.catalog.clearCache()
+    _OCC_MEMO.clear()
