@@ -79,6 +79,23 @@ def commit_marker(state_dir: str, batch_id: int) -> None:
     os.replace(tmp, os.path.join(state_dir, "_applied_batch"))
 
 
+def _check_int_parts(touched: list[int]) -> None:
+    """Seam contract: partition values are plain ints. Int values are
+    never escaped in Hive-style directory names, so the fold guards'
+    raw ``part=<suffix>`` comparison is value-faithful; strings would
+    need Spark's partition-path escaping (special chars, NULL →
+    ``__HIVE_DEFAULT_PARTITION__``) undone before comparing, and the
+    two backends could silently diverge on it. Enforced identically in
+    :func:`swap_partitions` and :meth:`ManifestStateBackend.fold`."""
+    bad = [p for p in touched if not isinstance(p, int) or isinstance(p, bool)]
+    if bad:
+        raise TypeError(
+            f"state-backend partition values must be ints, got {bad!r} — "
+            "the fold guard compares raw directory suffixes and only int "
+            "values are escape-free in partition paths"
+        )
+
+
 def swap_partitions(
     out: DataFrame, table_path: str, part_col: str, touched: list[int]
 ) -> None:
@@ -92,7 +109,9 @@ def swap_partitions(
 
     A touched partition whose staging output is EMPTY (no src dir) has
     its existing dst directory removed — "touched" means "this is the
-    partition's new contents", including contents of zero rows."""
+    partition's new contents", including contents of zero rows.
+    ``touched`` values must be ints (see :func:`_check_int_parts`)."""
+    _check_int_parts(touched)
     staging = table_path + ".staging"
     if os.path.exists(staging):
         shutil.rmtree(staging)
@@ -189,10 +208,15 @@ class ParquetStateBackend:
     ) -> None:
         """Whole-table replace; ``meta`` commits atomically with the
         data (it travels INSIDE the staging directory, so the pair
-        becomes visible in the same rename). The staging write
-        materializes ``out`` — which may still read the table's
+        becomes visible in the same rename). ``meta=None`` CARRIES the
+        existing meta forward (same semantic as
+        :meth:`ManifestStateBackend.replace` — a replace that doesn't
+        mention meta must not reset replay protection). The staging
+        write materializes ``out`` — which may still read the table's
         current directory — BEFORE anything is moved."""
         recover_replace(table_path)
+        if meta is None:
+            meta = self.read_meta(table_path)
         staging = table_path + ".staging"
         if os.path.exists(staging):
             shutil.rmtree(staging)
@@ -289,6 +313,7 @@ class ManifestStateBackend:
     def fold(
         self, out: DataFrame, table_path: str, part_col: str, touched: list[int]
     ) -> None:
+        _check_int_parts(touched)
         added = self._stage_files(out, table_path, part_col)
         extra = set(added) - {str(p) for p in touched}
         if extra:

@@ -139,6 +139,25 @@ def read_kept(
     spark: SparkSession,
     table_path: str,
     backend: ParquetStateBackend | None = None,
+    schema: str | None = None,
 ) -> DataFrame:
-    """The maintained kept corpus: (text_hash, keeper cols..., n_dups)."""
-    return (backend or DEFAULT_BACKEND).read(spark, table_path)
+    """The maintained kept corpus: (text_hash, keeper cols..., n_dups).
+
+    A table that was never committed raises ``FileNotFoundError`` with
+    a clear message (the backend's ``read`` returns None, which would
+    otherwise surface as an opaque ``AttributeError`` at the caller's
+    first method call). Unlike the mixture readers, the kept schema
+    carries caller-chosen keeper columns this function cannot know —
+    pass ``schema`` (DDL string, e.g. ``"text_hash string, doc_id
+    long, n_dups long"``) to get a typed empty frame instead of the
+    error on fresh paths."""
+    df = (backend or DEFAULT_BACKEND).read(spark, table_path)
+    if df is None:
+        if schema is not None:
+            return spark.createDataFrame([], schema)
+        raise FileNotFoundError(
+            f"kept corpus at {table_path!r} has never been committed — "
+            "run the dedup-apply stream first, or pass schema= for a "
+            "typed empty frame"
+        )
+    return df

@@ -278,3 +278,46 @@ def test_mixture_and_dedup_apply_parity_through_manifest_backend(
     assert {
         (r.doc_id, r.n_dups) for r in read_kept(spark, table, mb).collect()
     } == {(1, 4), (3, 1), (5, 1)}
+
+
+def test_replace_meta_none_carries_forward_on_both_backends(spark, tmp_path):
+    """replace(meta=None) must CARRY the prior meta on both backends
+    (round-8 advisory: parquet dropped _meta.json, silently resetting
+    replay protection after any meta-less replace)."""
+    from flink_assignment_spark.streaming._state import ParquetStateBackend
+
+    df = spark.createDataFrame([(1,)], "x long")
+    for be in (ParquetStateBackend(), ManifestStateBackend()):
+        table = str(tmp_path / f"meta_{type(be).__name__}")
+        be.replace(df, table, meta={"applied_batch": 7})
+        be.replace(df, table)  # meta omitted — must not reset
+        assert be.read_meta(table) == {"applied_batch": 7}, type(be).__name__
+        be.replace(df, table, meta={"applied_batch": 8})  # explicit still wins
+        assert be.read_meta(table) == {"applied_batch": 8}, type(be).__name__
+
+
+def test_fold_rejects_non_int_partition_values(spark, tmp_path):
+    """Seam contract: partition values must be ints on BOTH backends —
+    the fold guard compares raw directory suffixes, which is only
+    value-faithful for escape-free int values (round-8 advisory)."""
+    from flink_assignment_spark.streaming._state import ParquetStateBackend
+
+    df = spark.createDataFrame([("a", 1)], "pt string, v long")
+    for be in (ParquetStateBackend(), ManifestStateBackend()):
+        with pytest.raises(TypeError, match="must be ints"):
+            be.fold(df, str(tmp_path / "t"), "pt", ["a"])
+
+
+def test_read_kept_fresh_path_semantics(spark, tmp_path):
+    """A never-committed kept table raises a descriptive error, or
+    returns a typed empty frame when the caller supplies the schema
+    (round-8 advisory: backend.read's None surfaced as an opaque
+    AttributeError)."""
+    from flink_assignment_spark.streaming.dedup_apply import read_kept
+
+    fresh = str(tmp_path / "never_committed")
+    with pytest.raises(FileNotFoundError, match="never been committed"):
+        read_kept(spark, fresh)
+    empty = read_kept(spark, fresh, schema="text_hash string, doc_id long, n_dups long")
+    assert empty.columns == ["text_hash", "doc_id", "n_dups"]
+    assert empty.count() == 0
