@@ -107,6 +107,25 @@ def _mark_appended(state_dir: str, batch_id: int) -> None:
     os.replace(tmp, os.path.join(state_dir, "_appended"))
 
 
+def _compacted_batch(state_dir: str) -> int:
+    """Batch id as of the last (auto-)compaction, or -1 if never
+    compacted. A crash between the compaction and this marker is
+    benign: compaction is a pure rewrite, so the retriggered run on
+    the next fold converges to the same state."""
+    path = os.path.join(state_dir, "_compacted")
+    if os.path.exists(path):
+        with open(path) as f:
+            return int(f.read().strip() or -1)
+    return -1
+
+
+def _mark_compacted(state_dir: str, batch_id: int) -> None:
+    tmp = os.path.join(state_dir, "_compacted.tmp")
+    with open(tmp, "w") as f:
+        f.write(str(int(batch_id)))
+    os.replace(tmp, os.path.join(state_dir, "_compacted"))
+
+
 def _resolve_n_pt(state_dir: str, requested: int | None) -> int:
     """Pin n_pt at first fold; reuse the pinned value afterwards."""
     meta = os.path.join(state_dir, "meta.json")
@@ -159,13 +178,26 @@ def merge_detector_batch(
     max_state_bucket: int | None = None,
     n_pt: int | None = None,
     backend: ParquetStateBackend | None = None,
+    compact_every: int | None = None,
 ) -> None:
     """Fold one micro-batch of bucket ``rows`` — ``(key cols…, doc_id,
     <payload>)``, no partition column needed — into the detector
     state, appending the scored pairs ``(doc_a, doc_b, <score_name>)``.
     ``score_keep`` optionally filters pairs on the score column (e.g.
     hamming ≤ k); ``None`` keeps every colliding pair (the LSH
-    estimate form)."""
+    estimate form).
+
+    ``compact_every`` (default off) is the auto-compaction trigger:
+    after this fold commits, if ``compact_every`` or more batches have
+    landed since the last compaction, :func:`compact_state` runs
+    inline — merging the O(batches) delta files each partition has
+    accumulated, purging tombstone-masked rows, and deduping replay
+    leftovers. Without it a long-running stream's state read pays
+    ever-growing file-listing/footer cost (delta append adds one file
+    per touched partition per batch, forever). The cost is one full
+    state rewrite amortized over ``compact_every`` batches — size it
+    so the rewrite ≪ ``compact_every`` × per-batch fold cost
+    (SCALING.md's measured compaction economics)."""
     if batch_id <= applied_batch(state_dir):
         return
     backend = backend or DEFAULT_BACKEND
@@ -304,6 +336,12 @@ def merge_detector_batch(
         rows_live.unpersist()
     rows.unpersist()
     commit_marker(state_dir, batch_id)
+    if (
+        compact_every is not None
+        and batch_id - _compacted_batch(state_dir) >= compact_every
+    ):
+        compact_state(spark, state_dir, key_cols, payload_col, backend)
+        _mark_compacted(state_dir, batch_id)
 
 
 def read_bucket_state(

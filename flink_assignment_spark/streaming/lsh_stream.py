@@ -69,6 +69,7 @@ def merge_lsh_batch(
     max_state_bucket: int | None = None,
     n_pt: int | None = None,
     backend=None,
+    compact_every: int | None = None,
 ) -> None:
     """Detect the batch's candidate near-dup pairs against state +
     within the batch, append them, and fold the batch into state.
@@ -90,6 +91,7 @@ def merge_lsh_batch(
         max_state_bucket=max_state_bucket,
         n_pt=n_pt,
         backend=backend,
+        compact_every=compact_every,
     )
 
 
@@ -102,6 +104,7 @@ def incremental_lsh_neardup(
     max_state_bucket: int | None = None,
     n_pt: int | None = None,
     backend=None,
+    compact_every: int | None = None,
 ):
     """Start the streaming near-dup query; returns the StreamingQuery."""
 
@@ -116,6 +119,7 @@ def incremental_lsh_neardup(
             max_state_bucket,
             n_pt,
             backend,
+            compact_every,
         )
 
     return docs.writeStream.outputMode("append").foreachBatch(_sink).start()

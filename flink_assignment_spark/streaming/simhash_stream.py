@@ -45,6 +45,7 @@ def merge_simhash_batch(
     max_state_bucket: int | None = None,
     n_pt: int | None = None,
     backend=None,
+    compact_every: int | None = None,
 ) -> None:
     """Detect the batch's verified near-dup pairs against state +
     within the batch, append them, and fold the batch into state."""
@@ -63,6 +64,7 @@ def merge_simhash_batch(
         max_state_bucket=max_state_bucket,
         n_pt=n_pt,
         backend=backend,
+        compact_every=compact_every,
     )
 
 
@@ -75,6 +77,7 @@ def incremental_simhash_neardup(
     max_state_bucket: int | None = None,
     n_pt: int | None = None,
     backend=None,
+    compact_every: int | None = None,
 ):
     """Start the streaming near-dup query; returns the StreamingQuery."""
 
@@ -89,6 +92,7 @@ def incremental_simhash_neardup(
             max_state_bucket,
             n_pt,
             backend,
+            compact_every,
         )
 
     return docs.writeStream.outputMode("append").foreachBatch(_sink).start()

@@ -207,3 +207,55 @@ def test_state_bucket_saturation_valve(spark, tmp_path):
     }
     assert after == got
     assert read_bucket_state(spark, state_dir, ["band", "key"]).count() == 0
+
+
+def test_auto_compaction_trigger_preserves_results(spark, tmp_path):
+    """compact_every folds + compacts inline every N batches: the
+    accumulated pairs and live state are IDENTICAL to the untriggered
+    run, the _compacted marker advances, and the compacted state holds
+    fewer delta files (the unbounded-file-listing fix, r7 ask #5)."""
+    import os
+
+    from flink_assignment_spark.streaming._detector import (
+        _compacted_batch,
+        buckets_path,
+        read_bucket_state,
+    )
+    from flink_assignment_spark.streaming.lsh_stream import merge_lsh_batch
+
+    docs = (
+        load_table(spark, SF_DIR, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") < N_DOCS)
+    )
+    rows = docs.collect()
+
+    def run(state_dir, compact_every):
+        for b in range(6):
+            chunk = [(r.doc_id, r.text) for r in rows if r.doc_id % 6 == b]
+            batch = spark.createDataFrame(chunk, "doc_id long, text string")
+            merge_lsh_batch(batch, b, str(state_dir), compact_every=compact_every)
+        pairs = {
+            (r.doc_a, r.doc_b, r.est_jaccard)
+            for r in read_candidate_pairs(spark, str(state_dir)).collect()
+        }
+        state = {
+            (r.band, r.key, r.doc_id)
+            for r in read_bucket_state(
+                spark, str(state_dir), ["band", "key"]
+            ).collect()
+        }
+        files = sum(
+            len(fs) for _, _, fs in os.walk(buckets_path(str(state_dir)))
+        )
+        return pairs, state, files
+
+    plain_pairs, plain_state, plain_files = run(tmp_path / "plain", None)
+    auto_pairs, auto_state, auto_files = run(tmp_path / "auto", 3)
+    assert auto_pairs == plain_pairs and len(auto_pairs) > 0
+    assert auto_state == plain_state and len(auto_state) > 0
+    # trigger fired: batches 0..5, compact_every=3 → compactions at
+    # batch 2 (2-(-1)>=3) and batch 5 (5-2>=3)
+    assert _compacted_batch(str(tmp_path / "auto")) == 5
+    assert _compacted_batch(str(tmp_path / "plain")) == -1
+    assert auto_files < plain_files
