@@ -82,7 +82,11 @@ def main() -> None:
 
     run_query(spark.range(256).repartition(n_part).mapInPandas(_noop_kernel, "id long"))
 
-    reps = max(int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2")), 1)
+    # default reps raised 2 → 5 in round 10: three rounds of monotone
+    # total drift (58.1 → 63.3 → 83.5 s) with 5 code-unchanged queries
+    # crossing 2× showed min-of-2 does not defend against this box's
+    # noisy-neighbor swings; min-of-5 restores a trustworthy signal
+    reps = max(int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5")), 1)
     timings: dict[str, float] = {}
     for name, spec in REGISTRY.items():
         best = float("inf")

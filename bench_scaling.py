@@ -144,11 +144,16 @@ def stream_lsh_sweep(
         os.makedirs(state_dir)
         bsz = n // n_batches
         per_batch = []
-        # compaction timings live under their OWN key (batch idx →
-        # seconds): per_batch_sec stays homogeneous floats so stat
-        # consumers (mean/trend over the flat-curve analysis) never
-        # aggregate a string (r7 ADVICE)
-        compact_sec = {}
+        # auto-compaction (r10): the trigger now lives INSIDE the fold
+        # (merge_detector_batch compact_every=), so a compacting
+        # batch's time includes its compaction — per_batch_sec is the
+        # honest end-to-end ingest latency. compacted_at records which
+        # batches compacted (from the _compacted marker transitions)
+        # so the flat-curve analysis can tell amortized spikes from
+        # drift; per_batch_sec stays homogeneous floats (r7 ADVICE).
+        from flink_assignment_spark.streaming._detector import _compacted_batch
+
+        compacted_at = []
         for b in range(n_batches):
             batch = docs.filter(
                 (F.col("doc_id") >= b * bsz) & (F.col("doc_id") < (b + 1) * bsz)
@@ -157,18 +162,11 @@ def stream_lsh_sweep(
             merge_lsh_batch(
                 batch, b, state_dir,
                 max_state_bucket=max_state_bucket, backend=backend,
+                compact_every=compact_every or None,
             )
             per_batch.append(round(time.monotonic() - t0, 2))
-            if compact_every and (b + 1) % compact_every == 0:
-                from flink_assignment_spark.streaming._detector import (
-                    compact_state,
-                )
-
-                t0 = time.monotonic()
-                compact_state(
-                    spark, state_dir, ["band", "key"], "sig", backend
-                )
-                compact_sec[b] = round(time.monotonic() - t0, 2)
+            if _compacted_batch(state_dir) == b:
+                compacted_at.append(b)
         from flink_assignment_spark.streaming._detector import read_pairs
         from flink_assignment_spark.streaming._state import DEFAULT_BACKEND
 
@@ -180,13 +178,167 @@ def stream_lsh_sweep(
         ).count()
         out[str(n)] = {
             "per_batch_sec": per_batch,
-            "compact_sec": compact_sec,
+            "compacted_at": compacted_at,
             "batch_rows": bsz,
             "state_rows_final": state_rows,
             "distinct_pairs": n_pairs,
         }
         shutil.rmtree(state_dir)
     return out
+
+
+def substring_family_point(spark, n_docs: int, reps: int = 3) -> dict:
+    """The round-8/9 promised measurement: q88 (coverage), q95
+    (scrub), q104 (spans) all consume ONE stride-1 substring window
+    index. Shared run = memo warm across the family (one build);
+    independent run = memo + cache cleared before each query (three
+    builds — what three separate jobs would pay). The claim: shared
+    ≈ one index build + three cheap consumers, so family total is
+    ≥2× cheaper than independent once the build dominates."""
+    from flink_assignment_spark.queries.synthetic import _OCC_MEMO, REGISTRY
+
+    base = f"/tmp/fas_docscale_{n_docs}"
+    ensure_documents(spark, n_docs, os.path.join(base, "documents.parquet"))
+    fam = ["q88_substring_dedup", "q95_substring_scrub", "q104_substring_spans"]
+
+    def run_one(qn):
+        t0 = time.monotonic()
+        REGISTRY[qn].spark(spark, base).write.format("noop").mode("overwrite").save()
+        return time.monotonic() - t0
+
+    import statistics
+
+    indep, shared = {}, {}
+    for _ in range(reps):
+        for qn in fam:  # cold: every query pays its own index build
+            spark.catalog.clearCache()
+            _OCC_MEMO.clear()
+            indep.setdefault(qn, []).append(run_one(qn))
+        spark.catalog.clearCache()
+        _OCC_MEMO.clear()
+        for qn in fam:  # warm family: first query builds, rest reuse
+            shared.setdefault(qn, []).append(run_one(qn))
+    spark.catalog.clearCache()
+    _OCC_MEMO.clear()
+    ind_med = {q: round(statistics.median(v), 2) for q, v in indep.items()}
+    sh_med = {q: round(statistics.median(v), 2) for q, v in shared.items()}
+    return {
+        "n_docs": n_docs,
+        "independent_sec": ind_med,
+        "shared_sec": sh_med,
+        "independent_total": round(sum(ind_med.values()), 2),
+        "shared_total": round(sum(sh_med.values()), 2),
+        "family_speedup": round(
+            sum(ind_med.values()) / max(sum(sh_med.values()), 1e-9), 2
+        ),
+        "reps": reps,
+    }
+
+
+def heavy_hitters_toks_ab(spark, n_docs: int, reps: int = 3) -> dict:
+    """A/B for q92's materialized token stream (round-9 finding: the
+    persist shipped unmeasured and cost +37% at sf0.1): persisted
+    single tokenize (toks=) vs two narrow tokenize scans (toks=None).
+    Decides which shape is the default."""
+    import statistics
+
+    from flink_assignment_spark.operators.frequent import heavy_hitters, token_stream
+
+    base = f"/tmp/fas_docscale_{n_docs}"
+    ensure_documents(spark, n_docs, os.path.join(base, "documents.parquet"))
+    docs = spark.read.parquet(os.path.join(base, "documents.parquet")).select("text")
+
+    def run(with_persist: bool) -> float:
+        spark.catalog.clearCache()
+        t0 = time.monotonic()
+        toks = token_stream(docs).persist() if with_persist else None
+        hh = heavy_hitters(docs, phi_inv=200, toks=toks)
+        hh.write.format("noop").mode("overwrite").save()
+        if toks is not None:
+            toks.unpersist()
+        return time.monotonic() - t0
+
+    persist = [run(True) for _ in range(reps)]
+    rescan = [run(False) for _ in range(reps)]
+    return {
+        "n_docs": n_docs,
+        "persist_sec": round(statistics.median(persist), 2),
+        "rescan_sec": round(statistics.median(rescan), 2),
+        "persist_reps": [round(s, 2) for s in persist],
+        "rescan_reps": [round(s, 2) for s in rescan],
+    }
+
+
+def stream_spans_sweep(spark, n_docs: int, n_batches: int = 10) -> dict:
+    """Per-batch latency of the streamed stride-1 span reader
+    (streaming/chunk_dedup_stream.py) over an in-order 10-batch
+    replay, plus row-count parity of the accumulated maximal spans vs
+    batch q104's substring_spans (exact-value parity is pinned at
+    sf0.001 in tests/test_streaming_chunk_dedup.py). The claim: keyed
+    state on the window hash makes per-batch cost track the BATCH's
+    volume, not accumulated corpus size."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from flink_assignment_spark.operators.dedup import substring_spans
+    from flink_assignment_spark.streaming.chunk_dedup_stream import (
+        read_dup_spans,
+        substring_dedup_stream,
+    )
+
+    base = f"/tmp/fas_docscale_{n_docs}"
+    ensure_documents(spark, n_docs, os.path.join(base, "documents.parquet"))
+    docs = spark.read.parquet(os.path.join(base, "documents.parquet")).select(
+        "doc_id", "text"
+    )
+    work = f"/tmp/fas_spans_stream_{n_docs}"
+    if os.path.exists(work):
+        shutil.rmtree(work)
+    in_dir = os.path.join(work, "in")
+    bsz = n_docs // n_batches
+    for b in range(n_batches):  # one file per micro-batch, doc_id order
+        docs.filter(
+            (F.col("doc_id") >= b * bsz) & (F.col("doc_id") < (b + 1) * bsz)
+        ).coalesce(1).write.parquet(os.path.join(in_dir, f"b{b:02d}"))
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir + "/*")
+    )
+    sink = os.path.join(work, "occ")
+    q = (
+        substring_dedup_stream(stream)
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        progress = [
+            {
+                "batch": p["batchId"],
+                "sec": round(p["durationMs"]["triggerExecution"] / 1000.0, 2),
+                "rows": p["numInputRows"],
+            }
+            for p in q.recentProgress
+            if p["numInputRows"] > 0
+        ]
+    finally:
+        q.stop()
+    streamed_spans = read_dup_spans(spark.read.parquet(sink)).count()
+    batch_spans = substring_spans(docs).count()
+    shutil.rmtree(work)
+    return {
+        "n_docs": n_docs,
+        "per_batch": progress,
+        "streamed_span_rows": streamed_spans,
+        "batch_span_rows": batch_spans,
+        "parity": streamed_spans == batch_spans,
+    }
 
 
 def stream_simhash_sweep(
@@ -327,6 +479,21 @@ def main() -> None:
         help="state backend for the stream-lsh sweep (seam comparison)",
     )
     ap.add_argument(
+        "--substring-family", type=int, metavar="N_DOCS",
+        help="run ONLY the q88/q95/q104 shared-index family point at "
+        "N_DOCS documents (shared vs independent index builds)",
+    )
+    ap.add_argument(
+        "--hh-ab", type=int, metavar="N_DOCS",
+        help="run ONLY the q92 heavy-hitters tokenize A/B at N_DOCS "
+        "(persisted toks= vs two narrow scans)",
+    )
+    ap.add_argument(
+        "--stream-spans", type=int, metavar="N_DOCS",
+        help="run ONLY the streamed stride-1 span reader sweep at "
+        "N_DOCS (10-batch in-order replay + batch parity)",
+    )
+    ap.add_argument(
         "--stream-lsh",
         action="store_true",
         help="run ONLY the streaming-LSH per-batch latency sweep "
@@ -350,6 +517,40 @@ def main() -> None:
 
     spark = get_spark("fas-bench-scaling")
 
+    if args.substring_family:
+        print(
+            json.dumps(
+                {
+                    "metric": "q88/q95/q104 shared substring index vs independent",
+                    "family": substring_family_point(
+                        spark, args.substring_family, reps=args.reps
+                    ),
+                }
+            )
+        )
+        return
+    if args.hh_ab:
+        print(
+            json.dumps(
+                {
+                    "metric": "q92 heavy-hitters persisted-toks A/B",
+                    "hh_ab": heavy_hitters_toks_ab(spark, args.hh_ab, reps=args.reps),
+                }
+            )
+        )
+        return
+    if args.stream_spans:
+        print(
+            json.dumps(
+                {
+                    "metric": "streamed stride-1 span reader per-batch latency",
+                    "stream_spans": stream_spans_sweep(
+                        spark, args.stream_spans, n_batches=args.n_batches
+                    ),
+                }
+            )
+        )
+        return
     if args.stream_lsh:
         print(
             json.dumps(
