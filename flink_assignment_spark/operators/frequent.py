@@ -75,9 +75,13 @@ def mg_merge_compact(counters: dict, items, phi_inv: int) -> int:
 
 def token_stream(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """The exploded single-column ``token`` stream both
-    :func:`heavy_hitters` passes consume. Persist the result (or
-    materialize it, at 100 TB) and pass it via ``toks=`` to pay
-    tokenization once instead of twice."""
+    :func:`heavy_hitters` passes consume. Passing a persisted copy via
+    ``toks=`` pays tokenization once instead of twice — but note the
+    default two-scan shape MEASURES FASTER (~1.9× at 500k docs,
+    SCALING.md): tokenization is a narrow whole-stage-codegen scan,
+    and materializing the exploded stream costs more than re-running
+    it. Use ``toks=`` only when a tokenized frame already exists (or
+    is a reused materialized intermediate in a multi-consumer job)."""
     return (
         spread(docs)
         .select(F.explode_outer(tokens(F.col(text_col))).alias("token"))

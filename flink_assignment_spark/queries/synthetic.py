@@ -4041,14 +4041,16 @@ def q92_heavy_hitters(spark, sf_dir):
     shuffles on the token key, only candidate-matching rows do.
     Output is EXACT (the candidate pass has no false negatives, the
     recount culls false positives), so the oracle is a plain GROUP BY
-    HAVING. The token stream is persisted and fed to both passes via
-    ``toks=`` (the materialized-intermediate shape at 100 TB), so the
-    corpus is tokenized once, not twice."""
-    from ..operators.frequent import heavy_hitters, token_stream
+    HAVING. Both passes tokenize the corpus independently — two narrow
+    whole-stage-codegen scans. The round-9 ``toks=`` persist (tokenize
+    once, materialize, read twice) was A/B-measured at 500k docs and
+    LOSES ~1.9× (SCALING.md): writing the exploded token stream costs
+    more than the second cheap scan it saves. ``toks=`` remains
+    available for callers that already hold a tokenized frame."""
+    from ..operators.frequent import heavy_hitters
 
     docs = _t(spark, sf_dir, "documents").select("text")
-    toks = token_stream(docs).persist()
-    return heavy_hitters(docs, phi_inv=HH_PHI_INV, toks=toks)
+    return heavy_hitters(docs, phi_inv=HH_PHI_INV)
 
 
 Q92_SQL = f"""
