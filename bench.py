@@ -98,7 +98,12 @@ def main() -> None:
         # several queries cache working frames (shingle indexes, LM
         # occurrence streams) without a consumer-side unpersist hook;
         # dropping them per query keeps the 80+-query × reps session
-        # from leaning on LRU eviction under memory pressure
+        # from leaning on LRU eviction under memory pressure.
+        # Known consequence (r9 ADVICE): queries with internal caches
+        # run rep 1 cold and reps 2+ warm, so min-of-reps records the
+        # WARM time — intentional (the warm shape is the production
+        # steady state, and every round measures through the same
+        # harness, so cross-round deltas stay apples-to-apples).
         spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)

@@ -1,3 +1,15 @@
+"""Session fixtures.
+
+Expected skips: exactly THREE tests in test_multimodal.py
+``importorskip`` optional codec libraries this container doesn't ship
+(PIL ×2, soundfile ×1). They are cross-checks that the stdlib-tier
+decode/resize paths agree with the real libraries bit-for-bit where
+those libraries exist; the stdlib paths themselves (pure-Python PNG,
+``wave``-module WAV) are fully tested unconditionally in the same
+file, so no production path loses coverage when the libs are absent.
+Any skip count other than 3 (with PIL/soundfile absent) is a
+regression — investigate, don't ignore."""
+
 from __future__ import annotations
 
 import os
