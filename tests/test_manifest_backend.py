@@ -321,3 +321,35 @@ def test_read_kept_fresh_path_semantics(spark, tmp_path):
     empty = read_kept(spark, fresh, schema="text_hash string, doc_id long, n_dups long")
     assert empty.columns == ["text_hash", "doc_id", "n_dups"]
     assert empty.count() == 0
+
+
+def test_auto_compaction_through_manifest_backend(spark, tmp_path):
+    """The round-10 compact_every trigger must behave identically
+    through the manifest seam: same pairs, same live state as the
+    untriggered parquet run, marker advancing on schedule."""
+    from flink_assignment_spark.streaming._detector import _compacted_batch
+    from flink_assignment_spark.streaming.lsh_stream import (
+        merge_lsh_batch,
+        read_candidate_pairs,
+    )
+
+    ids = list(range(60))
+
+    def run(state_dir, backend, compact_every):
+        for b in range(4):
+            batch = _docs(spark, [i for i in ids if i % 4 == b])
+            merge_lsh_batch(
+                batch, b, str(state_dir), backend=backend,
+                compact_every=compact_every,
+            )
+        return {
+            (r.doc_a, r.doc_b, r.est_jaccard)
+            for r in read_candidate_pairs(spark, str(state_dir), backend).collect()
+        }
+
+    plain = run(tmp_path / "pq", None, None)
+    mb = ManifestStateBackend()
+    manifest = run(tmp_path / "mf", mb, 2)
+    assert manifest == plain and len(plain) > 0
+    # compact_every=2, batches 0..3 → compactions at b1 (1-(-1)>=2) and b3
+    assert _compacted_batch(str(tmp_path / "mf")) == 3
