@@ -386,11 +386,13 @@ def compact_state(
     payload_col: str,
     backend: ParquetStateBackend | None = None,
 ) -> None:
-    """Out-of-band maintenance (the lakehouse OPTIMIZE analogue):
-    rewrite every bucket partition once — merging per-batch delta
-    files, dropping rows masked by tombstones, and deduping replay
-    leftovers. Amortized over the batches since the last compaction;
-    never on the ingest path."""
+    """Maintenance (the lakehouse OPTIMIZE analogue): rewrite every
+    bucket partition once — merging per-batch delta files, dropping
+    rows masked by tombstones, and deduping replay leftovers.
+    Amortized over the batches since the last compaction. Run it
+    out-of-band on a schedule, or let the fold trigger it in-band via
+    ``merge_detector_batch(compact_every=N)`` (measured flat at
+    ~4 s/batch amortized on a 50-batch 500k sweep — SCALING.md)."""
     from ._state import fold_state
 
     backend = backend or DEFAULT_BACKEND
