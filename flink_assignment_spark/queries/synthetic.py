@@ -4849,6 +4849,147 @@ REGISTRY.update(
 )
 
 
+def q108_supplier_part_counts(spark, sf_dir):
+    """TPC-H Q16-shaped (parts/supplier relationship): how many
+    DISTINCT suppliers can provide each qualifying (brand, type,
+    size) combination, excluding blacklisted suppliers. Q16 proper
+    scans partsupp with a NOT-IN complaints subquery; this schema has
+    no partsupp (the supplier⇄part relationship derives from
+    lineitem) and no s_comment (negative account balance plays the
+    complaints role). Shape preserved: multi-predicate dim filter
+    (all three pushed into the part scan), a NOT-IN decorrelated to a
+    broadcast ANTI join (the blacklist is a handful of rows — never a
+    shuffle), and a COUNT(DISTINCT) that Catalyst expands into the
+    two-phase (group ∪ suppkey) partial-dedup aggregate — the same
+    distinct-pairs plan Q16's pre-deduped partsupp gets for free,
+    computed map-side here without materializing the pair table. The
+    only wide step is that distinct aggregate's exchange over the
+    part-filtered (~13% of rows) fact slice."""
+    part = (
+        _t(spark, sf_dir, "part")
+        .filter(
+            (F.col("p_brand") != "Brand#3")
+            & ~F.col("p_type").like("STANDARD%")
+            & F.col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 22)
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    blacklist = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            F.broadcast(blacklist),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+Q108_SQL = """
+SELECT p_brand, p_type, p_size,
+       CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#3'
+  AND p_type NOT LIKE 'STANDARD%'
+  AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+"""
+
+
+def q109_excess_suppliers(spark, sf_dir):
+    """TPC-H Q20-shaped (potential part promotion): suppliers in a
+    nation band who, for at least one qualifying part, concentrated
+    their supply in the probe year — shipped more of it in 1998 than
+    in all other years combined. Q20 proper nests a correlated scalar
+    subquery (availqty > ½ · the year's shipments of that part by
+    that supplier) three IN-subqueries deep; with no partsupp, the
+    all-time shipped quantity plays availqty's role and the
+    correlation decorrelates into ONE conditional aggregation per
+    (suppkey, partkey) — total units and probe-year units side by
+    side from a single fact pass, compared exactly in integer
+    quantity units (quantities are 2-decimal; no float drift). The
+    part-name filter semi-joins the fact slice by broadcast BEFORE
+    the aggregate (the Q20 'forest%' prefix), the qualifying-supplier
+    set collapses to a distinct key list, and the supplier dim joins
+    in by broadcast. One shuffle total: the (suppkey, partkey)
+    aggregate over the ~13% part-filtered slice."""
+    parts = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("small%"))
+        .select("p_partkey")
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_quantity", "l_shipdate"
+    )
+    qty_units = F.round(F.col("l_quantity") * 100).cast("long")
+    in_year = F.year("l_shipdate") == 1998
+    qualifying = (
+        li.join(
+            F.broadcast(parts),
+            F.col("l_partkey") == F.col("p_partkey"),
+            "left_semi",
+        )
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(
+            F.sum(qty_units).alias("total_units"),
+            F.sum(F.when(in_year, qty_units).otherwise(F.lit(0))).alias(
+                "year_units"
+            ),
+        )
+        .filter(
+            (F.col("year_units") > 0)
+            & (F.col("year_units") * 2 > F.col("total_units"))
+        )
+        .select("l_suppkey")
+        .distinct()
+    )
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_nationkey") < 10)
+        .select("s_suppkey", "s_name")
+    )
+    return qualifying.join(
+        F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey")
+    ).select("s_suppkey", "s_name")
+
+
+Q109_SQL = """
+SELECT s_suppkey, s_name
+FROM supplier
+WHERE s_nationkey < 10
+  AND s_suppkey IN (
+    SELECT l_suppkey FROM lineitem
+    WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+    GROUP BY l_suppkey, l_partkey
+    HAVING SUM(CASE WHEN year(l_shipdate) = 1998
+                    THEN CAST(round(l_quantity * 100) AS BIGINT)
+                    ELSE 0 END) > 0
+       AND 2 * SUM(CASE WHEN year(l_shipdate) = 1998
+                        THEN CAST(round(l_quantity * 100) AS BIGINT)
+                        ELSE 0 END)
+           > SUM(CAST(round(l_quantity * 100) AS BIGINT))
+  )
+"""
+
+
+REGISTRY.update(
+    {
+        "q108_supplier_part_counts": QuerySpec(
+            q108_supplier_part_counts, Q108_SQL
+        ),
+        "q109_excess_suppliers": QuerySpec(q109_excess_suppliers, Q109_SQL),
+    }
+)
+
+
 # ------------------------------------------------------------------------
 # Registry ordering contract: the driver's correctness harness records at
 # most 50 entries per round (CORRECTNESS_r02 stopped at exactly 50 while
