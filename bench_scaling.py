@@ -435,6 +435,81 @@ def stream_cc_sweep(spark, scales: list[int], n_batches: int = 10) -> dict:
     return out
 
 
+def bm25_point(spark, n_docs: int, reps: int = 3) -> dict:
+    """BM25 scaling point: train-and-score (the q110 shape) vs the
+    frozen-stats narrow-map scorer on the same synthetic corpus. The
+    synthetic token space is generated (``w<num>``), so the probe set
+    is derived from the corpus itself — the three highest-df tokens
+    plus the token whose df is closest to 1% of docs (the same
+    rare-vs-common contrast the q110 probe has). Claims under test:
+    both forms scale linearly in corpus size, and the frozen scorer
+    (zero shuffle, zero driver scalars at score time) is the cheaper
+    steady-state deployment once stats are exported."""
+    import statistics
+
+    from pyspark.sql import functions as F
+
+    from flink_assignment_spark.functions.text import tokens
+    from flink_assignment_spark.operators.retrieval import (
+        bm25_scores,
+        export_bm25_stats,
+        score_with_frozen_bm25,
+    )
+
+    base = f"/tmp/fas_docscale_{n_docs}"
+    ensure_documents(spark, n_docs, os.path.join(base, "documents.parquet"))
+    docs = spark.read.parquet(os.path.join(base, "documents.parquet")).select(
+        "doc_id", "text"
+    )
+    dfs = (
+        docs.select(F.col("doc_id"), F.explode(tokens(F.col("text"))).alias("t"))
+        .groupBy("t")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .orderBy(F.desc("df"), "t")
+    )
+    top = [r["t"] for r in dfs.limit(3).collect()]
+    target = max(1, n_docs // 100)
+    # exclude the already-picked terms: on near-uniform df (this
+    # synthetic corpus) the nearest-to-target pick would otherwise
+    # duplicate a top term, and a duplicated probe double-counts in
+    # the frozen form's fixed-order fold (batch isin() dedups)
+    rare = (
+        dfs.filter(~F.col("t").isin(*top))
+        .withColumn("gap", F.abs(F.col("df") - F.lit(target)))
+        .orderBy("gap", "t")
+        .limit(1)
+        .collect()[0]["t"]
+    )
+    probe = tuple(top + [rare])
+
+    def timed(fn):
+        secs = []
+        for _ in range(reps):
+            t0 = time.monotonic()
+            fn().write.format("noop").mode("overwrite").save()
+            secs.append(time.monotonic() - t0)
+        return round(statistics.median(secs), 2), [round(s, 2) for s in secs]
+
+    batch_med, batch_reps = timed(lambda: bm25_scores(docs, probe))
+    spark.catalog.clearCache()  # bm25_scores caches its tf aggregate
+    t0 = time.monotonic()
+    stats = export_bm25_stats(docs, probe)
+    export_sec = round(time.monotonic() - t0, 2)
+    frozen_med, frozen_reps = timed(lambda: score_with_frozen_bm25(docs, stats, probe))
+    matched = score_with_frozen_bm25(docs, stats, probe).count()
+    return {
+        "n_docs": n_docs,
+        "probe": list(probe),
+        "matched_docs": matched,
+        "batch_sec": batch_med,
+        "batch_reps": batch_reps,
+        "export_sec": export_sec,
+        "frozen_sec": frozen_med,
+        "frozen_reps": frozen_reps,
+        "reps": reps,
+    }
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument(
@@ -489,6 +564,11 @@ def main() -> None:
         "(persisted toks= vs two narrow scans)",
     )
     ap.add_argument(
+        "--bm25", type=int, metavar="N_DOCS",
+        help="run ONLY the BM25 scaling point at N_DOCS (train-and-"
+        "score vs frozen-stats narrow-map scorer)",
+    )
+    ap.add_argument(
         "--stream-spans", type=int, metavar="N_DOCS",
         help="run ONLY the streamed stride-1 span reader sweep at "
         "N_DOCS (10-batch in-order replay + batch parity)",
@@ -535,6 +615,16 @@ def main() -> None:
                 {
                     "metric": "q92 heavy-hitters persisted-toks A/B",
                     "hh_ab": heavy_hitters_toks_ab(spark, args.hh_ab, reps=args.reps),
+                }
+            )
+        )
+        return
+    if args.bm25:
+        print(
+            json.dumps(
+                {
+                    "metric": "BM25 train-and-score vs frozen-stats scorer",
+                    "bm25": bm25_point(spark, args.bm25, reps=args.reps),
                 }
             )
         )

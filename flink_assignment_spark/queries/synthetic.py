@@ -4990,6 +4990,64 @@ REGISTRY.update(
 )
 
 
+def q110_bm25_probe(spark, sf_dir):
+    """BM25 ranked retrieval against a fixed probe-term set — the
+    classic retrieval scorer a training pipeline runs for
+    benchmark decontamination and targeted quality probes (q60's
+    n-gram overlap finds verbatim contamination; BM25 finds topical
+    hits). Okapi BM25 with the Lucene non-negative IDF
+    ``ln(1 + (N − df + 0.5)/(df + 0.5))``, k1=1.2, b=0.75; see
+    operators/retrieval.py for the 100 TB shape (probe-filtered
+    single corpus pass, broadcast df, bounded driver scalars — the
+    q106 literal-fold pattern, which DuckDB mirrors via scalar
+    subqueries) and the frozen-stats streaming twin. Each (doc, term)
+    contribution is one IEEE expression evaluated identically by both
+    engines, quantized to integer micro-units before the per-doc
+    SUM — fold-order-exact, the q73 micro-nat contract."""
+    from ..operators.retrieval import bm25_scores
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return bm25_scores(docs)
+
+
+Q110_SQL = """
+WITH toks AS (
+  SELECT doc_id, len(tk) AS dl, unnest(tk) AS t
+  FROM (SELECT doc_id,
+               list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS tk
+        FROM documents)
+), tf AS (
+  SELECT doc_id, dl, t, COUNT(*) AS tf
+  FROM toks
+  WHERE t IN ('dup', 'vector', 'window', 'scan')
+  GROUP BY doc_id, dl, t
+), dft AS (
+  SELECT t, COUNT(*) AS df FROM tf GROUP BY t
+), n AS (
+  SELECT COUNT(*) AS n_docs FROM documents
+), tot AS (
+  SELECT COUNT(*) AS total_tokens FROM toks
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms,
+       CAST(SUM(contrib_micro) AS BIGINT) AS score_micro,
+       round(CAST(SUM(contrib_micro) AS BIGINT) / 1e6, 6) AS score
+FROM (
+  SELECT tf.doc_id,
+         CAST(round(
+           ln(1.0 + (n.n_docs - dft.df + 0.5) / (dft.df + 0.5))
+           * ((tf.tf * 2.2)
+              / (tf.tf + 0.3 + (0.9 * tf.dl * n.n_docs) / tot.total_tokens))
+           * 1e6) AS BIGINT) AS contrib_micro
+  FROM tf, dft, n, tot
+  WHERE tf.t = dft.t
+)
+GROUP BY doc_id
+"""
+
+
+REGISTRY.update({"q110_bm25_probe": QuerySpec(q110_bm25_probe, Q110_SQL)})
+
+
 # ------------------------------------------------------------------------
 # Registry ordering contract: the driver's correctness harness records at
 # most 50 entries per round (CORRECTNESS_r02 stopped at exactly 50 while
