@@ -321,3 +321,16 @@ def test_spread_is_conditional(spark):
     if docs.rdd.getNumPartitions() >= n:
         filtered = spread(docs).filter(F.col("doc_id") < 10)
         assert any("doc_id" in f for f in pushed_filters(filtered))
+
+
+def test_q111_rag_chunks_zero_exchange_pruned_scan(spark):
+    """q111's chunker is pure narrow Catalyst (tokenize → sequence →
+    explode → slice → md5): the plan must contain NO exchange at all
+    — at 100 TB the op scales with input splits alone — and the
+    documents scan must read only doc_id/text (source and the media
+    columns pruned)."""
+    df = REGISTRY["q111_rag_chunks"].spark(spark, SF_DIR)
+    assert count_exchanges(df) == 0, physical_plan(df)
+    schema = scan_read_schema(df, "documents")
+    assert "doc_id" in schema and "text" in schema, schema
+    assert "source" not in schema, schema
