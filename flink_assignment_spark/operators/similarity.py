@@ -251,6 +251,81 @@ def cosine_neardup_pairs(
     )
 
 
+def knn_label_purity(
+    vectors: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    block_rows: int = 2048,
+) -> DataFrame:
+    """Per-label kNN agreement — the label-noise audit a curation
+    pipeline runs before training a classifier head or trusting
+    weak labels: for every vector, the majority label among its k
+    exact cosine nearest neighbors; per label, how many vectors'
+    neighborhoods agree with their own label (purity).
+
+    Exact and oracle-checkable: scores come from the blocked
+    all-pairs scan (:func:`cosine_neardup_pairs` with no threshold —
+    the unavoidable O(N²/block_rows) footprint of an exact audit),
+    ranking key is (cosine rounded to 6, neighbor id) and the
+    majority vote breaks ties by (count desc, label asc), so every
+    step is a total order and engine-independent. At corpus scale the
+    same report runs on a stratified sample (q35) or swaps the scorer
+    for :func:`lsh_topk` buckets — identical vote/purity tail.
+
+    Returns (label, n_vecs, n_agree, purity).
+    """
+    pairs = cosine_neardup_pairs(
+        vectors, threshold=-2.0, id_col=id_col, vec_col=vec_col, block_rows=block_rows
+    )
+    # each unordered pair once from the blocked scan → both kNN
+    # orientations (cosine is fold-symmetric, so one score serves both)
+    sym = pairs.select(
+        F.col("vec_a").alias("query_id"),
+        F.col("vec_b").alias("neighbor_id"),
+        "cos_sim",
+    ).unionByName(
+        pairs.select(
+            F.col("vec_b").alias("query_id"),
+            F.col("vec_a").alias("neighbor_id"),
+            "cos_sim",
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    topk = sym.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)
+    labels = vectors.select(F.col(id_col), F.col(label_col))
+    nb_labels = labels.withColumnRenamed(id_col, "neighbor_id").withColumnRenamed(
+        label_col, "nb_label"
+    )
+    votes = (
+        topk.join(nb_labels, "neighbor_id")
+        .groupBy("query_id", "nb_label")
+        .agg(F.count("*").alias("cnt"))
+    )
+    wv = Window.partitionBy("query_id").orderBy(F.desc("cnt"), F.asc("nb_label"))
+    maj = (
+        votes.withColumn("r", F.row_number().over(wv))
+        .filter(F.col("r") == 1)
+        .select("query_id", F.col("nb_label").alias("maj_label"))
+    )
+    own = labels.withColumnRenamed(id_col, "query_id").withColumnRenamed(
+        label_col, "own_label"
+    )
+    agree = F.sum(
+        F.when(F.col("maj_label") == F.col("own_label"), 1).otherwise(0)
+    ).alias("n_agree")
+    return (
+        maj.join(own, "query_id")
+        .groupBy(F.col("own_label").alias("label"))
+        .agg(F.count("*").alias("n_vecs"), agree)
+        .withColumn(
+            "purity",
+            F.round(F.col("n_agree").cast("double") / F.col("n_vecs").cast("double"), 6),
+        )
+    )
+
+
 def _kmeans_centroids(matrix, n_cells: int, n_iter: int = 10):
     """Deterministic Lloyd's k-means on the (collected) corpus matrix.
 

@@ -5112,6 +5112,156 @@ WHERE s = 0 OR s - 16 + 32 < n
 REGISTRY.update({"q111_rag_chunks": QuerySpec(q111_rag_chunks, Q111_SQL)})
 
 
+CDC_DIVISOR = 16  # expected chunk length = divisor tokens
+
+
+def q112_cdc_chunks(spark, sf_dir):
+    """CONTENT-DEFINED chunking (the FastCDC/LBFS boundary rule at
+    token granularity — not q70's change-data-capture): a chunk
+    boundary falls BEFORE every token whose content hash satisfies
+    hash60('cdc:'+token) % 16 == 0, so boundaries move with the
+    content itself. Unlike q111's fixed-stride windows, inserting one
+    token near the start of a document shifts only the ONE chunk it
+    lands in — every later boundary re-synchronizes — which is what
+    makes storage-style dedup robust to edits. Expected chunk length
+    is the divisor (16 tokens); output carries provenance
+    (doc_id, chunk_idx, start_tok, n_tokens) and the md5 chunk
+    fingerprint in q111's join-with-space convention so the same
+    downstream dedup consumes either chunker. Plan is pure narrow
+    Catalyst (tokenize → filter-positions → zip starts/ends →
+    posexplode → slice → md5): ZERO shuffles — at 100 TB it scales
+    with input splits alone."""
+    from ..functions.text import hash60, tokens
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = (
+        docs.select("doc_id", tokens(F.col("text")).alias("tk"))
+        .withColumn("n", F.size("tk"))
+        .filter(F.col("n") > 0)
+    )
+    # 0-based cut positions: token index i in [1, n) opens a new chunk
+    # iff its content hash hits the divisor (position 0 always starts
+    # chunk 0). n == 1 guard: sequence(1, 0) would generate DESCENDING.
+    cuts = F.when(
+        F.col("n") >= 2,
+        F.filter(
+            F.sequence(F.lit(1), F.col("n") - 1),
+            lambda i: hash60(F.concat(F.lit("cdc:"), F.get("tk", i)))
+            % CDC_DIVISOR
+            == 0,
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+    starts = F.concat(F.array(F.lit(0)), cuts)
+    spans = d.withColumn("starts", starts).withColumn(
+        "ends",
+        F.concat(
+            F.slice("starts", 2, F.size("starts") - 1), F.array(F.col("n"))
+        ),
+    )
+    ex = spans.select(
+        "doc_id",
+        "tk",
+        F.posexplode(F.arrays_zip(F.col("starts").alias("s"), F.col("ends").alias("e"))),
+    )
+    return ex.select(
+        "doc_id",
+        F.col("pos").cast("bigint").alias("chunk_idx"),
+        F.col("col.s").cast("bigint").alias("start_tok"),
+        (F.col("col.e") - F.col("col.s")).cast("bigint").alias("n_tokens"),
+        F.md5(
+            F.concat_ws(
+                " ", F.slice("tk", F.col("col.s") + 1, F.col("col.e") - F.col("col.s"))
+            )
+        ).alias("chunk_hash"),
+    )
+
+
+Q112_SQL = """
+WITH tk AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '') AS tk
+  FROM documents
+), base AS (
+  SELECT doc_id, tk, len(tk) AS n FROM tk WHERE len(tk) > 0
+), cut AS (
+  SELECT doc_id, tk, n,
+         list_concat([1], list_filter(range(2, n + 1), i ->
+           (CAST('0x' || substring(md5('cdc:' || tk[i]), 1, 15) AS BIGINT) % 16) = 0)) AS starts
+  FROM base
+), spans AS (
+  SELECT doc_id, tk, starts,
+         list_concat(starts[2:len(starts)], [n + 1]) AS ends
+  FROM cut
+), ex AS (
+  SELECT doc_id, tk,
+         unnest(list_transform(range(1, len(starts) + 1),
+                j -> {'idx': j - 1, 's': starts[j], 'e': ends[j]})) AS u
+  FROM spans
+)
+SELECT doc_id,
+       CAST(u.idx AS BIGINT) AS chunk_idx,
+       CAST(u.s - 1 AS BIGINT) AS start_tok,
+       CAST(u.e - u.s AS BIGINT) AS n_tokens,
+       md5(array_to_string(tk[u.s : u.e - 1], ' ')) AS chunk_hash
+FROM ex
+"""
+
+
+def q113_knn_label_purity(spark, sf_dir):
+    """kNN label-purity audit (operators/similarity.py) — the
+    label-noise check a curation pipeline runs before trusting weak
+    labels: each vector's majority label among its 5 exact cosine
+    nearest neighbors, aggregated to per-label agreement counts and
+    purity. Every step is a total order (cosine rounded to 6 +
+    neighbor-id rank ties; vote ties by count desc then label asc),
+    so the report is bit-identical across engines. The scorer is the
+    blocked all-pairs scan — the declared-exact audit form; at corpus
+    scale the identical vote/purity tail runs over lsh_topk buckets
+    or a stratified sample instead."""
+    from ..operators.similarity import knn_label_purity
+
+    return knn_label_purity(_t(spark, sf_dir, "embeddings"), k=5)
+
+
+Q113_SQL = f"""
+WITH scored AS (
+  SELECT q.vec_id AS query_id, q.label AS own_label,
+         c.vec_id AS neighbor_id, c.label AS nb_label,
+         round({_cos_sql('q.embedding', 'c.embedding')}, 6) AS cos_sim
+  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+), topk AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY cos_sim DESC, neighbor_id) AS rnk
+    FROM scored)
+  WHERE rnk <= 5
+), votes AS (
+  SELECT query_id, own_label, nb_label, count(*) AS cnt
+  FROM topk GROUP BY 1, 2, 3
+), maj AS (
+  SELECT query_id, own_label, nb_label AS maj_label
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cnt DESC, nb_label) AS r
+        FROM votes)
+  WHERE r = 1
+)
+SELECT own_label AS label,
+       CAST(count(*) AS BIGINT) AS n_vecs,
+       CAST(sum(CASE WHEN maj_label = own_label THEN 1 ELSE 0 END) AS BIGINT) AS n_agree,
+       round(CAST(sum(CASE WHEN maj_label = own_label THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE), 6) AS purity
+FROM maj GROUP BY 1
+"""
+
+
+REGISTRY.update(
+    {
+        "q112_cdc_chunks": QuerySpec(q112_cdc_chunks, Q112_SQL),
+        "q113_knn_label_purity": QuerySpec(q113_knn_label_purity, Q113_SQL),
+    }
+)
+
+
 # ------------------------------------------------------------------------
 # Registry ordering contract: the driver's correctness harness records at
 # most 50 entries per round (CORRECTNESS_r02 stopped at exactly 50 while

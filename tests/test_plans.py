@@ -323,6 +323,27 @@ def test_spread_is_conditional(spark):
         assert any("doc_id" in f for f in pushed_filters(filtered))
 
 
+def test_q112_cdc_chunks_zero_exchange_pruned_scan(spark):
+    """q112's content-defined chunker shares q111's scale contract:
+    pure narrow Catalyst (tokenize → filter-positions → posexplode →
+    slice → md5), NO exchange at all, and a documents scan pruned to
+    doc_id/text."""
+    df = REGISTRY["q112_cdc_chunks"].spark(spark, SF_DIR)
+    assert count_exchanges(df) == 0, physical_plan(df)
+    schema = scan_read_schema(df, "documents")
+    assert "doc_id" in schema and "text" in schema, schema
+    assert "source" not in schema, schema
+
+
+def test_q113_knn_purity_no_nested_loop(spark):
+    """q113's exact kNN audit must stay on the blocked applyInPandas
+    all-pairs scan — never a BroadcastNestedLoopJoin/CartesianProduct
+    (the naive vectors × vectors theta-join plan)."""
+    df = REGISTRY["q113_knn_label_purity"].spark(spark, SF_DIR)
+    plan = physical_plan(df)
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan, plan
+
+
 def test_q111_rag_chunks_zero_exchange_pruned_scan(spark):
     """q111's chunker is pure narrow Catalyst (tokenize → sequence →
     explode → slice → md5): the plan must contain NO exchange at all
