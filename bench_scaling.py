@@ -510,6 +510,131 @@ def bm25_point(spark, n_docs: int, reps: int = 3) -> dict:
     }
 
 
+def ensure_embeddings(spark, n_vecs: int, path: str) -> None:
+    """64-dim embeddings with 10 label clusters, all id-derived
+    JVM-side (no RNG state): vector i = a label-anchor direction plus
+    per-id pseudo-noise, so kNN neighborhoods are label-coherent (the
+    purity report is non-degenerate) and per-label counts are balanced
+    at every scale. Values land in [-1, 1]; constants stay small
+    enough that ANSI-mode bigint arithmetic cannot overflow."""
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        return
+    from pyspark.sql import functions as F
+
+    label = (F.col("id") % 10).cast("int")
+    dims = F.transform(
+        F.sequence(F.lit(0), F.lit(63)),
+        lambda d: (
+            # label anchor: ±0.8 pattern per (label, dim)
+            F.when((label * 7 + d * 13) % 10 < 5, F.lit(0.8)).otherwise(F.lit(-0.8))
+            # id noise: uniform-ish in [-0.45, 0.45)
+            + (((F.col("id") * 7919 + d * 104729) % 9001) / 10000.0 - 0.45)
+        ).cast("float"),
+    )
+    spark.range(n_vecs).select(
+        F.col("id").alias("vec_id"), dims.alias("embedding"), label.alias("label")
+    ).write.mode("overwrite").parquet(path)
+
+
+def knn_purity_ab(spark, n_vecs: int, reps: int = 3) -> dict:
+    """Exact-kNN label-purity A/B (the q113 shape): the per-group
+    top-k-candidate kernel (emit N·blocks·k candidate rows with the
+    provably-sufficient 2e-6 slack band) vs the naive form that emits
+    every scored pair (N²/2 rows) into the global ranking window.
+    Claim under test: both are exact and agree row-for-row, but the
+    candidate kernel's emission — and therefore the window input —
+    grows linearly in N while the naive form grows quadratically."""
+    import statistics
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import Window
+
+    from flink_assignment_spark.operators.similarity import (
+        cosine_neardup_pairs,
+        knn_label_purity,
+    )
+
+    base = f"/tmp/fas_vecscale_{n_vecs}"
+    ensure_embeddings(spark, n_vecs, os.path.join(base, "embeddings.parquet"))
+    vectors = spark.read.parquet(os.path.join(base, "embeddings.parquet"))
+    k = 5
+
+    def naive():
+        pairs = cosine_neardup_pairs(vectors, threshold=-2.0)
+        sym = pairs.select(
+            F.col("vec_a").alias("query_id"),
+            F.col("vec_b").alias("neighbor_id"),
+            "cos_sim",
+        ).unionByName(
+            pairs.select(
+                F.col("vec_b").alias("query_id"),
+                F.col("vec_a").alias("neighbor_id"),
+                "cos_sim",
+            )
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("cos_sim"), F.asc("neighbor_id")
+        )
+        topk = sym.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)
+        labels = vectors.select("vec_id", "label")
+        nb = topk.join(
+            labels.withColumnRenamed("vec_id", "neighbor_id").withColumnRenamed(
+                "label", "nb_label"
+            ),
+            "neighbor_id",
+        )
+        votes = nb.groupBy("query_id", "nb_label").agg(F.count("*").alias("cnt"))
+        wv = Window.partitionBy("query_id").orderBy(F.desc("cnt"), F.asc("nb_label"))
+        maj = (
+            votes.withColumn("r", F.row_number().over(wv))
+            .filter(F.col("r") == 1)
+            .select("query_id", F.col("nb_label").alias("maj_label"))
+        )
+        own = labels.withColumnRenamed("vec_id", "query_id").withColumnRenamed(
+            "label", "own_label"
+        )
+        return (
+            maj.join(own, "query_id")
+            .groupBy(F.col("own_label").alias("label"))
+            .agg(
+                F.count("*").alias("n_vecs"),
+                F.sum(
+                    F.when(F.col("maj_label") == F.col("own_label"), 1).otherwise(0)
+                ).alias("n_agree"),
+            )
+            .withColumn(
+                "purity",
+                F.round(
+                    F.col("n_agree").cast("double") / F.col("n_vecs").cast("double"), 6
+                ),
+            )
+        )
+
+    def timed(fn):
+        secs = []
+        for _ in range(reps):
+            t0 = time.monotonic()
+            fn().write.format("noop").mode("overwrite").save()
+            secs.append(time.monotonic() - t0)
+        return round(statistics.median(secs), 2), [round(s, 2) for s in secs]
+
+    topk_med, topk_reps = timed(lambda: knn_label_purity(vectors, k=k))
+    naive_med, naive_reps = timed(naive)
+    a = sorted(map(tuple, knn_label_purity(vectors, k=k).collect()))
+    b = sorted(map(tuple, naive().collect()))
+    return {
+        "n_vecs": n_vecs,
+        "k": k,
+        "topk_kernel_sec": topk_med,
+        "topk_kernel_reps": topk_reps,
+        "naive_allpairs_sec": naive_med,
+        "naive_allpairs_reps": naive_reps,
+        "results_identical": a == b,
+        "mean_purity": round(sum(r[3] for r in a) / len(a), 4) if a else None,
+        "reps": reps,
+    }
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument(
@@ -569,6 +694,11 @@ def main() -> None:
         "score vs frozen-stats narrow-map scorer)",
     )
     ap.add_argument(
+        "--knn-purity", type=int, nargs="+", metavar="N_VECS",
+        help="run ONLY the q113 kNN-purity kernel A/B at each N_VECS "
+        "(per-group top-k candidate emission vs naive all-pairs)",
+    )
+    ap.add_argument(
         "--stream-spans", type=int, metavar="N_DOCS",
         help="run ONLY the streamed stride-1 span reader sweep at "
         "N_DOCS (10-batch in-order replay + batch parity)",
@@ -625,6 +755,19 @@ def main() -> None:
                 {
                     "metric": "BM25 train-and-score vs frozen-stats scorer",
                     "bm25": bm25_point(spark, args.bm25, reps=args.reps),
+                }
+            )
+        )
+        return
+    if args.knn_purity:
+        print(
+            json.dumps(
+                {
+                    "metric": "q113 kNN-purity top-k kernel vs naive all-pairs",
+                    "points": [
+                        knn_purity_ab(spark, n, reps=args.reps)
+                        for n in args.knn_purity
+                    ],
                 }
             )
         )

@@ -149,6 +149,80 @@ def make_self_block_pair_scorer():
     return score
 
 
+def make_self_block_topk_scorer(k: int):
+    """applyInPandas kernel for blocked exact kNN: per unordered block
+    pair, emit each vector's top-k neighbor CANDIDATES by raw cosine
+    with a 2e-6 slack band, instead of every scored pair — N·blocks·k
+    output rows instead of N²/2, which is what keeps the downstream
+    global window small.
+
+    Exactness argument (downstream ranks by ``round(cos, 6) DESC,
+    neighbor_id ASC``): if a candidate Y is NOT emitted for query X
+    from a group containing both, then ≥k candidates in that group
+    score raw > cos(X,Y) + 2e-6, hence rounded ≥ cos(X,Y) + 1.5e-6 >
+    round(cos(X,Y)) (|round(v)−v| ≤ 5e-7), i.e. STRICTLY greater
+    rounded values — so X already has ≥k globally better neighbors and
+    Y cannot be in X's global top-k. The union of per-group emissions
+    therefore contains every global top-k row; the final window cut is
+    exact. Values are raw ``_pair_cos`` cosines (bit-identical fold);
+    rounding stays engine-side.
+    """
+    SLACK = 2e-6
+
+    def _empty():
+        return pd.DataFrame(
+            {
+                "query_id": np.array([], dtype=np.int64),
+                "neighbor_id": np.array([], dtype=np.int64),
+                "cos_sim": np.array([], dtype=np.float64),
+            }
+        )
+
+    def _emit(q_ids, nbr_ids, cos, kk):
+        n = cos.shape[1]
+        kth = np.partition(cos, n - kk, axis=1)[:, n - kk]
+        ii, jj = np.nonzero(cos >= (kth - SLACK)[:, None])
+        return pd.DataFrame(
+            {
+                "query_id": q_ids[ii],
+                "neighbor_id": nbr_ids[jj],
+                "cos_sim": cos[ii, jj],
+            }
+        )
+
+    def score(key, pdf):
+        gi, gj = int(key[0]), int(key[1])
+        A = pdf[pdf["_blk"] == gi]
+        ids_a = A["_id"].values.astype(np.int64)
+        if gi == gj:
+            if len(ids_a) < 2:
+                return _empty()
+            R = np.stack(A["_v"].values).astype(np.float64)
+            cos = _pair_cos(R, R)
+            # self-pairs excluded via -inf: kk ≤ n−1 keeps the k-th
+            # threshold real, and -inf can never clear (kth − slack)
+            np.fill_diagonal(cos, -np.inf)
+            return _emit(ids_a, ids_a, cos, min(k, len(ids_a) - 1))
+        B = pdf[pdf["_blk"] == gj]
+        ids_b = B["_id"].values.astype(np.int64)
+        if not len(ids_a) or not len(ids_b):
+            return _empty()
+        R = np.stack(A["_v"].values).astype(np.float64)
+        C = np.stack(B["_v"].values).astype(np.float64)
+        cos = _pair_cos(R, C)
+        # both kNN orientations from one scored matrix (per-dim
+        # products commute exactly, so the transpose is bit-identical)
+        return pd.concat(
+            [
+                _emit(ids_a, ids_b, cos, min(k, len(ids_b))),
+                _emit(ids_b, ids_a, cos.T, min(k, len(ids_a))),
+            ],
+            ignore_index=True,
+        )
+
+    return score
+
+
 def make_cell_assign_udf(centroids, n_nearest):
     """array<int> of the ``n_nearest`` centroid ids by L2 distance —
     one numpy pass per Arrow batch (IVF cell assignment / probing)."""

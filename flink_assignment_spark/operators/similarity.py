@@ -193,6 +193,39 @@ def lsh_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def _self_block_pairs_exploded(
+    vectors: DataFrame, id_col: str, vec_col: str, block_rows: int
+) -> DataFrame:
+    """Shared scaffold of the blocked all-pairs self scans: ids hash
+    into ``ceil(N / block_rows)`` blocks and each row is replicated to
+    every unordered block pair its block participates in, so one
+    ``groupBy(gi, gj).applyInPandas`` group sees exactly two blocks
+    (bounded per-task memory) and every unordered id pair lives in
+    exactly ONE group. The only driver action is a scalar ``count()``
+    to size the blocks."""
+    import math
+
+    src = vectors.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    n = src.count()  # bounded driver action: one scalar
+    n_blocks = max(1, math.ceil(n / block_rows))
+    blk = F.pmod(F.col("_id"), F.lit(n_blocks)).cast("int")
+    # one (gi, gj) group key per unordered block pair this row's block
+    # participates in — n_blocks keys per row, all distinct
+    group_keys = F.transform(
+        F.sequence(F.lit(0), F.lit(n_blocks - 1)),
+        lambda q: F.struct(
+            F.least(F.col("_blk"), q).cast("int").alias("gi"),
+            F.greatest(F.col("_blk"), q).cast("int").alias("gj"),
+        ),
+    )
+    return (
+        _spread(src)
+        .withColumn("_blk", blk)
+        .select("_id", "_v", "_blk", F.explode(group_keys).alias("g"))
+        .select("_id", "_v", "_blk", F.col("g.gi").alias("gi"), F.col("g.gj").alias("gj"))
+    )
+
+
 def cosine_neardup_pairs(
     vectors: DataFrame,
     threshold: float,
@@ -215,29 +248,9 @@ def cosine_neardup_pairs(
     where that is too much, the LSH path (:func:`lsh_topk` bucketing)
     is the approximate scale-out, identical scoring stage.
     """
-    import math
-
     from ..functions._pandas_udfs import make_self_block_pair_scorer
 
-    src = vectors.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
-    n = src.count()  # bounded driver action: one scalar
-    n_blocks = max(1, math.ceil(n / block_rows))
-    blk = F.pmod(F.col("_id"), F.lit(n_blocks)).cast("int")
-    # one (gi, gj) group key per unordered block pair this row's block
-    # participates in — n_blocks keys per row, all distinct
-    group_keys = F.transform(
-        F.sequence(F.lit(0), F.lit(n_blocks - 1)),
-        lambda q: F.struct(
-            F.least(F.col("_blk"), q).cast("int").alias("gi"),
-            F.greatest(F.col("_blk"), q).cast("int").alias("gj"),
-        ),
-    )
-    exploded = (
-        _spread(src)
-        .withColumn("_blk", blk)
-        .select("_id", "_v", "_blk", F.explode(group_keys).alias("g"))
-        .select("_id", "_v", "_blk", F.col("g.gi").alias("gi"), F.col("g.gj").alias("gj"))
-    )
+    exploded = _self_block_pairs_exploded(vectors, id_col, vec_col, block_rows)
     scored = exploded.groupBy("gi", "gj").applyInPandas(
         make_self_block_pair_scorer(), schema="id_a bigint, id_b bigint, cos_sim double"
     )
@@ -266,34 +279,27 @@ def knn_label_purity(
     neighborhoods agree with their own label (purity).
 
     Exact and oracle-checkable: scores come from the blocked
-    all-pairs scan (:func:`cosine_neardup_pairs` with no threshold —
-    the unavoidable O(N²/block_rows) footprint of an exact audit),
-    ranking key is (cosine rounded to 6, neighbor id) and the
-    majority vote breaks ties by (count desc, label asc), so every
-    step is a total order and engine-independent. At corpus scale the
-    same report runs on a stratified sample (q35) or swaps the scorer
-    for :func:`lsh_topk` buckets — identical vote/purity tail.
+    all-pairs scan, but each group emits only per-query top-k
+    CANDIDATE rows (``make_self_block_topk_scorer`` — N·blocks·k rows
+    with a slack band provably containing the global top-k, instead
+    of all N²/2 pairs), ranking key is (cosine rounded to 6, neighbor
+    id) and the majority vote breaks ties by (count desc, label asc),
+    so every step is a total order and engine-independent. At corpus
+    scale the same report runs on a stratified sample (q35) or swaps
+    the scorer for :func:`lsh_topk` buckets — identical vote/purity
+    tail.
 
     Returns (label, n_vecs, n_agree, purity).
     """
-    pairs = cosine_neardup_pairs(
-        vectors, threshold=-2.0, id_col=id_col, vec_col=vec_col, block_rows=block_rows
-    )
-    # each unordered pair once from the blocked scan → both kNN
-    # orientations (cosine is fold-symmetric, so one score serves both)
-    sym = pairs.select(
-        F.col("vec_a").alias("query_id"),
-        F.col("vec_b").alias("neighbor_id"),
-        "cos_sim",
-    ).unionByName(
-        pairs.select(
-            F.col("vec_b").alias("query_id"),
-            F.col("vec_a").alias("neighbor_id"),
-            "cos_sim",
-        )
-    )
+    from ..functions._pandas_udfs import make_self_block_topk_scorer
+
+    exploded = _self_block_pairs_exploded(vectors, id_col, vec_col, block_rows)
+    cands = exploded.groupBy("gi", "gj").applyInPandas(
+        make_self_block_topk_scorer(k),
+        schema="query_id bigint, neighbor_id bigint, cos_sim double",
+    ).select("query_id", "neighbor_id", F.round("cos_sim", 6).alias("cos_sim"))
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
-    topk = sym.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)
+    topk = cands.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)
     labels = vectors.select(F.col(id_col), F.col(label_col))
     nb_labels = labels.withColumnRenamed(id_col, "neighbor_id").withColumnRenamed(
         label_col, "nb_label"
