@@ -5066,28 +5066,13 @@ def q111_rag_chunks(spark, sf_dir):
     previous chunk adds no new tokens and is dropped. The plan is
     pure narrow Catalyst (tokenize → sequence → explode → slice →
     md5): ZERO shuffles, so at 100 TB it is embarrassingly parallel
-    and scales with input splits alone."""
-    from ..functions.text import tokens
+    and scales with input splits alone — and the same code path runs
+    unchanged on a streaming DataFrame (operators/chunking.py,
+    parity-pinned in tests/test_streaming_chunking.py)."""
+    from ..operators.chunking import sliding_chunks
 
-    W, S = RAG_CHUNK_TOKENS, RAG_CHUNK_STRIDE
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    tk = (
-        docs.select("doc_id", tokens(F.col("text")).alias("tk"))
-        .withColumn("n", F.size("tk"))
-        .filter(F.col("n") > 0)
-    )
-    starts = tk.select(
-        "doc_id",
-        "tk",
-        "n",
-        F.explode(F.sequence(F.lit(0), F.col("n") - 1, F.lit(S))).alias("s"),
-    ).filter((F.col("s") == 0) | (F.col("s") - S + W < F.col("n")))
-    return starts.select(
-        "doc_id",
-        (F.col("s") / S).cast("bigint").alias("chunk_idx"),
-        F.least(F.lit(W), F.col("n") - F.col("s")).cast("bigint").alias("n_tokens"),
-        F.md5(F.array_join(F.slice("tk", F.col("s") + 1, W), " ")).alias("chunk_hash"),
-    )
+    return sliding_chunks(docs, window=RAG_CHUNK_TOKENS, stride=RAG_CHUNK_STRIDE)
 
 
 Q111_SQL = """
@@ -5130,50 +5115,13 @@ def q112_cdc_chunks(spark, sf_dir):
     downstream dedup consumes either chunker. Plan is pure narrow
     Catalyst (tokenize → filter-positions → zip starts/ends →
     posexplode → slice → md5): ZERO shuffles — at 100 TB it scales
-    with input splits alone."""
-    from ..functions.text import hash60, tokens
+    with input splits alone — and the same code path runs unchanged
+    on a streaming DataFrame (operators/chunking.py, parity-pinned in
+    tests/test_streaming_chunking.py)."""
+    from ..operators.chunking import content_defined_chunks
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    d = (
-        docs.select("doc_id", tokens(F.col("text")).alias("tk"))
-        .withColumn("n", F.size("tk"))
-        .filter(F.col("n") > 0)
-    )
-    # 0-based cut positions: token index i in [1, n) opens a new chunk
-    # iff its content hash hits the divisor (position 0 always starts
-    # chunk 0). n == 1 guard: sequence(1, 0) would generate DESCENDING.
-    cuts = F.when(
-        F.col("n") >= 2,
-        F.filter(
-            F.sequence(F.lit(1), F.col("n") - 1),
-            lambda i: hash60(F.concat(F.lit("cdc:"), F.get("tk", i)))
-            % CDC_DIVISOR
-            == 0,
-        ),
-    ).otherwise(F.array().cast("array<int>"))
-    starts = F.concat(F.array(F.lit(0)), cuts)
-    spans = d.withColumn("starts", starts).withColumn(
-        "ends",
-        F.concat(
-            F.slice("starts", 2, F.size("starts") - 1), F.array(F.col("n"))
-        ),
-    )
-    ex = spans.select(
-        "doc_id",
-        "tk",
-        F.posexplode(F.arrays_zip(F.col("starts").alias("s"), F.col("ends").alias("e"))),
-    )
-    return ex.select(
-        "doc_id",
-        F.col("pos").cast("bigint").alias("chunk_idx"),
-        F.col("col.s").cast("bigint").alias("start_tok"),
-        (F.col("col.e") - F.col("col.s")).cast("bigint").alias("n_tokens"),
-        F.md5(
-            F.concat_ws(
-                " ", F.slice("tk", F.col("col.s") + 1, F.col("col.e") - F.col("col.s"))
-            )
-        ).alias("chunk_hash"),
-    )
+    return content_defined_chunks(docs, divisor=CDC_DIVISOR)
 
 
 Q112_SQL = """
