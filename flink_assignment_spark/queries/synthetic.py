@@ -5210,6 +5210,142 @@ REGISTRY.update(
 )
 
 
+VOCAB_COVERAGE_PCT = 95
+
+
+def q114_vocab_coverage(spark, sf_dir):
+    """Tokenizer vocabulary budget per source — the coverage curve a
+    tokenizer-design pass computes before fixing a vocab size: order
+    each source's distinct tokens by frequency (count desc, token asc
+    — a total order) and report how many are needed to cover 95% of
+    all token OCCURRENCES, next to the source's total occurrence and
+    distinct-token counts. All arithmetic is integer (the coverage
+    test is cum·100 ≥ 95·total — no ratios), so the report is exact
+    on both engines. Plan: one explode + (source, token) hash
+    aggregate, then ONE window shuffle on source serving both the
+    rank and the running sum (same partition/order), then a tiny
+    per-source aggregate — three exchanges total, each keyed by a
+    column with bounded cardinality growth."""
+    from ..functions.text import tokens
+
+    docs = _t(spark, sf_dir, "documents").select("source", "text")
+    counts = (
+        docs.select("source", F.explode(tokens(F.col("text"))).alias("t"))
+        .groupBy("source", "t")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("cnt"), F.asc("t"))
+    cum = counts.select(
+        "source",
+        "cnt",
+        F.row_number().over(w).alias("rnk"),
+        F.sum("cnt")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("cum"),
+        F.sum("cnt").over(Window.partitionBy("source")).alias("total"),
+    )
+    return cum.groupBy("source").agg(
+        F.max("total").alias("total_occurrences"),
+        F.count("*").alias("n_distinct_tokens"),
+        F.min(
+            F.when(
+                F.col("cum") * 100 >= F.lit(VOCAB_COVERAGE_PCT) * F.col("total"),
+                F.col("rnk"),
+            )
+        ).alias("vocab_95"),
+    )
+
+
+Q114_SQL = """
+WITH counts AS (
+  SELECT source, t, count(*) AS cnt
+  FROM (SELECT source,
+               unnest(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS t
+        FROM documents)
+  GROUP BY 1, 2
+), cum AS (
+  SELECT source, cnt,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY cnt DESC, t) AS rnk,
+         SUM(cnt) OVER (PARTITION BY source ORDER BY cnt DESC, t
+                        ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(cnt) OVER (PARTITION BY source) AS total
+  FROM counts
+)
+SELECT source,
+       CAST(max(total) AS BIGINT) AS total_occurrences,
+       CAST(count(*) AS BIGINT) AS n_distinct_tokens,
+       CAST(min(CASE WHEN cum * 100 >= 95 * total THEN rnk END) AS BIGINT) AS vocab_95
+FROM cum GROUP BY 1
+"""
+
+
+def q115_skew_audit(spark, sf_dir):
+    """Join/aggregation-key skew audit — the pre-flight report that
+    sizes operators/skew.py's salting (and decides whether AQE skew
+    handling suffices): for each candidate shuffle key, row count,
+    distinct-key count, the hottest key's row count, and its corpus
+    share in ppm (integer DIV — exact). A key whose top share is
+    orders of magnitude above 1/n_keys serializes one reducer at
+    100 TB; this audit is how a pipeline finds that out BEFORE the
+    shuffle, on cheap whole-stage-codegen aggregates."""
+    audits = []
+    for table, col in [
+        ("events", "user_id"),
+        ("events", "event_type"),
+        ("orders", "o_custkey"),
+        ("lineitem", "l_orderkey"),
+    ]:
+        per_key = (
+            _t(spark, sf_dir, table)
+            .groupBy(F.col(col).cast("string").alias("k"))
+            .agg(F.count("*").alias("cnt"))
+        )
+        audits.append(
+            per_key.agg(
+                F.sum("cnt").alias("n_rows"),
+                F.count("*").alias("n_keys"),
+                F.max("cnt").alias("max_key_rows"),
+            ).select(
+                F.lit(f"{table}.{col}").alias("key"),
+                "n_rows",
+                "n_keys",
+                "max_key_rows",
+                F.expr("max_key_rows * 1000000L DIV n_rows").alias("top_share_ppm"),
+            )
+        )
+    out = audits[0]
+    for a in audits[1:]:
+        out = out.unionByName(a)
+    return out
+
+
+Q115_SQL = """
+WITH per AS (
+  SELECT 'events.user_id' AS key, count(*) AS cnt FROM events GROUP BY CAST(user_id AS VARCHAR)
+  UNION ALL
+  SELECT 'events.event_type', count(*) FROM events GROUP BY CAST(event_type AS VARCHAR)
+  UNION ALL
+  SELECT 'orders.o_custkey', count(*) FROM orders GROUP BY CAST(o_custkey AS VARCHAR)
+  UNION ALL
+  SELECT 'lineitem.l_orderkey', count(*) FROM lineitem GROUP BY CAST(l_orderkey AS VARCHAR)
+)
+SELECT key,
+       CAST(sum(cnt) AS BIGINT) AS n_rows,
+       CAST(count(*) AS BIGINT) AS n_keys,
+       CAST(max(cnt) AS BIGINT) AS max_key_rows,
+       CAST(max(cnt) * 1000000 // sum(cnt) AS BIGINT) AS top_share_ppm
+FROM per GROUP BY 1
+"""
+
+
+REGISTRY.update(
+    {
+        "q114_vocab_coverage": QuerySpec(q114_vocab_coverage, Q114_SQL),
+        "q115_skew_audit": QuerySpec(q115_skew_audit, Q115_SQL),
+    }
+)
+
+
 # ------------------------------------------------------------------------
 # Registry ordering contract: the driver's correctness harness records at
 # most 50 entries per round (CORRECTNESS_r02 stopped at exactly 50 while

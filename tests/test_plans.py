@@ -344,6 +344,29 @@ def test_q113_knn_purity_no_nested_loop(spark):
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan, plan
 
 
+def test_q114_vocab_coverage_one_window_shuffle(spark):
+    """q114's rank and running-sum windows share one (source)
+    partition/order, so the plan carries the (source, token)
+    aggregate exchange, ONE window exchange, and the final per-source
+    aggregate exchange — not one shuffle per window function."""
+    df = REGISTRY["q114_vocab_coverage"].spark(spark, SF_DIR)
+    plan = physical_plan(df)
+    assert "NestedLoop" not in plan, plan
+    assert count_exchanges(df) <= 4, plan
+
+
+def test_q115_skew_audit_pruned_single_column_scans(spark):
+    """The skew audit must read ONLY the audited key column from each
+    scan (it is a pre-flight over 100 TB tables — a wide scan would
+    cost more than the skew it prevents)."""
+    df = REGISTRY["q115_skew_audit"].spark(spark, SF_DIR)
+    plan = physical_plan(df)
+    assert "NestedLoop" not in plan, plan
+    schema = scan_read_schema(df, "orders")
+    assert "o_custkey" in schema, schema
+    assert "o_totalprice" not in schema and "o_orderdate" not in schema, schema
+
+
 def test_q111_rag_chunks_zero_exchange_pruned_scan(spark):
     """q111's chunker is pure narrow Catalyst (tokenize → sequence →
     explode → slice → md5): the plan must contain NO exchange at all
