@@ -264,6 +264,40 @@ def cosine_neardup_pairs(
     )
 
 
+def knn_topk(
+    vectors: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_rows: int = 2048,
+) -> DataFrame:
+    """EXACT all-corpus kNN: every vector's k nearest neighbors by
+    cosine (self excluded) — the corpus-wide counterpart of
+    :func:`cosine_topk`'s bounded-query-set contract. Returns
+    (query_id, neighbor_id, cos_sim, rnk) under the engine-independent
+    total order (cosine rounded to 6 DESC, neighbor id ASC).
+
+    Scale shape: the blocked all-pairs scan, but each block-pair group
+    emits only per-query top-k CANDIDATE rows with a slack band
+    provably containing the global top-k
+    (``make_self_block_topk_scorer``), so the global ranking window
+    reads N·blocks·k rows, not N²/2 — linear, not quadratic, in the
+    corpus for a fixed block size (measured 8.2× at 8k vectors,
+    SCALING.md). The O(N²/block_rows) scoring shuffle itself remains
+    the exact-audit footprint; :func:`lsh_topk`/:func:`ivf_topk` are
+    the approximate corpus-scale paths.
+    """
+    from ..functions._pandas_udfs import make_self_block_topk_scorer
+
+    exploded = _self_block_pairs_exploded(vectors, id_col, vec_col, block_rows)
+    cands = exploded.groupBy("gi", "gj").applyInPandas(
+        make_self_block_topk_scorer(k),
+        schema="query_id bigint, neighbor_id bigint, cos_sim double",
+    ).select("query_id", "neighbor_id", F.round("cos_sim", 6).alias("cos_sim"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return cands.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)
+
+
 def knn_label_purity(
     vectors: DataFrame,
     k: int = 5,
@@ -291,15 +325,7 @@ def knn_label_purity(
 
     Returns (label, n_vecs, n_agree, purity).
     """
-    from ..functions._pandas_udfs import make_self_block_topk_scorer
-
-    exploded = _self_block_pairs_exploded(vectors, id_col, vec_col, block_rows)
-    cands = exploded.groupBy("gi", "gj").applyInPandas(
-        make_self_block_topk_scorer(k),
-        schema="query_id bigint, neighbor_id bigint, cos_sim double",
-    ).select("query_id", "neighbor_id", F.round("cos_sim", 6).alias("cos_sim"))
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
-    topk = cands.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)
+    topk = knn_topk(vectors, k, id_col=id_col, vec_col=vec_col, block_rows=block_rows)
     labels = vectors.select(F.col(id_col), F.col(label_col))
     nb_labels = labels.withColumnRenamed(id_col, "neighbor_id").withColumnRenamed(
         label_col, "nb_label"
