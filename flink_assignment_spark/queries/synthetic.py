@@ -5346,6 +5346,72 @@ REGISTRY.update(
 )
 
 
+QUALITY_KEEP_PER_5 = 1  # keep top 1-in-5 (20%) per source
+
+
+def q116_quality_prune(spark, sf_dir):
+    """Quality-threshold pruning — the FineWeb-style gate that
+    composes q32's scoring with an actionable cut: per SOURCE, keep
+    the top 20% of documents by composite quality score. The cut is
+    proportional and integer-exact (keep rnk·5 ≤ n_docs — no float
+    quantile), and the ranking key (quality_score desc, doc_id asc)
+    is a total order whose score values are themselves int/int
+    ratios, so the kept set is bit-identical across engines. Plan:
+    narrow scoring map, then ONE window shuffle on source serving
+    both the rank and the per-source count."""
+    from ..functions.text import stopword_ratio, tokens
+
+    text = F.col("text")
+    punct = F.length(F.regexp_replace(text, r"[\w\s]", ""))
+    punct_ratio = punct.cast("double") / F.length(text).cast("double")
+    score = F.round(
+        F.lit(0.5) * stopword_ratio(tokens(text))
+        + F.lit(0.5) * (F.lit(1.0) - punct_ratio),
+        6,
+    )
+    scored = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", score.alias("quality_score")
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.desc("quality_score"), F.asc("doc_id")
+    )
+    ranked = scored.select(
+        "doc_id",
+        "source",
+        "quality_score",
+        F.row_number().over(w).alias("rnk"),
+        F.count("*").over(Window.partitionBy("source")).alias("n_docs"),
+    )
+    return ranked.filter(F.col("rnk") * 5 <= F.col("n_docs")).select(
+        "doc_id", "source", "quality_score", F.col("rnk").cast("bigint").alias("rnk")
+    )
+
+
+Q116_SQL = f"""
+WITH scored AS (
+  SELECT doc_id, source,
+         round(0.5 * (CAST(len(list_filter(tk, t -> list_contains({_STOP_SQL}, t))) AS DOUBLE)
+                      / CAST(len(tk) AS DOUBLE))
+               + 0.5 * (1.0 - CAST(length(regexp_replace(text, '[\\w\\s]', '', 'g')) AS DOUBLE)
+                              / CAST(length(text) AS DOUBLE)), 6) AS quality_score
+  FROM (SELECT doc_id, source, text,
+               list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS tk
+        FROM documents)
+), ranked AS (
+  SELECT doc_id, source, quality_score,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY quality_score DESC, doc_id) AS rnk,
+         COUNT(*) OVER (PARTITION BY source) AS n_docs
+  FROM scored
+)
+SELECT doc_id, source, quality_score, CAST(rnk AS BIGINT) AS rnk
+FROM ranked WHERE rnk * 5 <= n_docs
+"""
+
+
+REGISTRY.update({"q116_quality_prune": QuerySpec(q116_quality_prune, Q116_SQL)})
+
+
 # ------------------------------------------------------------------------
 # Registry ordering contract: the driver's correctness harness records at
 # most 50 entries per round (CORRECTNESS_r02 stopped at exactly 50 while

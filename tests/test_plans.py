@@ -367,6 +367,16 @@ def test_q115_skew_audit_pruned_single_column_scans(spark):
     assert "o_totalprice" not in schema and "o_orderdate" not in schema, schema
 
 
+def test_q116_quality_prune_one_window_shuffle(spark):
+    """q116's rank and per-source count windows share the (source)
+    partition, so the plan carries ONE window exchange over the
+    narrow scoring map — not one per window function."""
+    df = REGISTRY["q116_quality_prune"].spark(spark, SF_DIR)
+    plan = physical_plan(df)
+    assert "NestedLoop" not in plan, plan
+    assert count_exchanges(df) <= 2, plan
+
+
 def test_q111_rag_chunks_zero_exchange_pruned_scan(spark):
     """q111's chunker is pure narrow Catalyst (tokenize → sequence →
     explode → slice → md5): the plan must contain NO exchange at all
