@@ -94,7 +94,7 @@ def make_block_pair_scorer(block_ids, block_matrix):
     return score
 
 
-def make_self_block_pair_scorer():
+def make_self_block_pair_scorer(min_cos: float | None = None):
     """applyInPandas kernel for blocked all-pairs self-scoring.
 
     One group = one unordered block pair (gi, gj) of the corpus; the
@@ -104,6 +104,14 @@ def make_self_block_pair_scorer():
     partition the ids), emitted once as (id_a = min, id_b = max).
     Exactness per :func:`_pair_cos` (cosine is dim-fold symmetric in
     its arguments, so pair orientation cannot change the value).
+
+    ``min_cos`` pushes the near-dup threshold INTO the kernel: only
+    pairs with raw cosine ≥ min_cos are emitted, cutting Arrow
+    emission from N²/2 rows to the near-dup count. The caller passes
+    ``threshold − 2e-6``: any pair the engine-side
+    ``round(cos, 6) ≥ threshold`` filter would keep has raw cosine
+    ≥ threshold − 5e-7 > min_cos, so the pre-filter is a provable
+    superset of the final result and exactness is unchanged.
     """
 
     def _empty():
@@ -125,6 +133,8 @@ def make_self_block_pair_scorer():
             R = np.stack(A["_v"].values).astype(np.float64)
             cos = _pair_cos(R, R)
             mask = ids_a[:, None] < ids_a[None, :]
+            if min_cos is not None:
+                mask &= cos >= min_cos
             ii, jj = np.nonzero(mask)
             return pd.DataFrame(
                 {"id_a": ids_a[ii], "id_b": ids_a[jj], "cos_sim": cos[ii, jj]}
@@ -136,7 +146,11 @@ def make_self_block_pair_scorer():
         R = np.stack(A["_v"].values).astype(np.float64)
         C = np.stack(B["_v"].values).astype(np.float64)
         cos = _pair_cos(R, C)
-        ii, jj = np.nonzero(np.ones((len(ids_a), len(ids_b)), dtype=bool))
+        if min_cos is not None:
+            mask = cos >= min_cos
+        else:
+            mask = np.ones((len(ids_a), len(ids_b)), dtype=bool)
+        ii, jj = np.nonzero(mask)
         ia, ib = ids_a[ii], ids_b[jj]
         return pd.DataFrame(
             {

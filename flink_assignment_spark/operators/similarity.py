@@ -252,7 +252,11 @@ def cosine_neardup_pairs(
 
     exploded = _self_block_pairs_exploded(vectors, id_col, vec_col, block_rows)
     scored = exploded.groupBy("gi", "gj").applyInPandas(
-        make_self_block_pair_scorer(), schema="id_a bigint, id_b bigint, cos_sim double"
+        # threshold − 2e-6 pre-filter inside the kernel: a provable
+        # superset of the engine-side round(cos,6) ≥ threshold cut,
+        # so Arrow emission is the near-dup count, not N²/2 rows
+        make_self_block_pair_scorer(min_cos=threshold - 2e-6),
+        schema="id_a bigint, id_b bigint, cos_sim double",
     )
     return (
         scored.select(
