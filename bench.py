@@ -88,13 +88,22 @@ def main() -> None:
     # noisy-neighbor swings; min-of-5 restores a trustworthy signal
     reps = max(int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5")), 1)
     timings: dict[str, float] = {}
+    # per-query max/min rep ratio for queries whose reps spread > 2x —
+    # the box-noise fingerprint (r9's 5 flagged >2x rows were all
+    # noise; this field makes the next diagnosis data-backed instead
+    # of inferred from cross-round deltas). Full-name line only; the
+    # driver-facing compact line stays small.
+    noisy: dict[str, float] = {}
     for name, spec in REGISTRY.items():
-        best = float("inf")
+        best, worst = float("inf"), 0.0
         for _ in range(reps):
             t0 = time.monotonic()
             run_query(spec.spark(spark, SF_DIR))
-            best = min(best, time.monotonic() - t0)
+            sec = time.monotonic() - t0
+            best, worst = min(best, sec), max(worst, sec)
         timings[name] = round(best, 3)
+        if reps > 1 and worst > 2 * best:
+            noisy[name] = round(worst / best, 1)
         # several queries cache working frames (shingle indexes, LM
         # occurrence streams) without a consumer-side unpersist hook;
         # dropping them per query keeps the 80+-query × reps session
@@ -114,9 +123,11 @@ def main() -> None:
         "queries": timings,
         "sf": sf_value(SF_DIR),
         "reps_per_query": reps,
+        "noisy_rep_ratio": noisy,
     }
     # full-name record first (humans, cross-round diffs) ...
     print(json.dumps(payload))
+    payload = {k: v for k, v in payload.items() if k != "noisy_rep_ratio"}
     # ... then a COMPACT line LAST: the driver records only a ~2 KB
     # tail of stdout, and with 90+ queries the full-name line exceeds
     # it (BENCH_r05 recorded `parsed: null` for exactly this reason).
