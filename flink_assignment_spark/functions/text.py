@@ -74,6 +74,22 @@ def stopword_ratio(toks: Column) -> Column:
 
 # char-trigram profiles per language (tiny embedded models; shared
 # literals with the q33 DuckDB oracle)
+def composite_quality_score(text: Column) -> Column:
+    """The q32/q116 composite quality score, rounded to 6:
+    0.5·stopword_ratio + 0.5·(1 − punct_ratio). Every term is an
+    int/int ratio in double, so the value is bit-identical across
+    engines — which is what lets q116's proportional cut and the
+    frozen-cutoff streaming gate (streaming/gates_stream.py) agree
+    exactly."""
+    punct = F.length(F.regexp_replace(text, r"[\w\s]", ""))
+    punct_ratio = punct.cast("double") / F.length(text).cast("double")
+    return F.round(
+        F.lit(0.5) * stopword_ratio(tokens(text))
+        + F.lit(0.5) * (F.lit(1.0) - punct_ratio),
+        6,
+    )
+
+
 LANG_PROFILES = {
     "en": ("the", "ing", "and", "ion", "ent"),
     "fr": ("les", "ent", "de ", "ion", "que"),

@@ -5358,19 +5358,14 @@ def q116_quality_prune(spark, sf_dir):
     is a total order whose score values are themselves int/int
     ratios, so the kept set is bit-identical across engines. Plan:
     narrow scoring map, then ONE window shuffle on source serving
-    both the rank and the per-source count."""
-    from ..functions.text import stopword_ratio, tokens
+    both the rank and the per-source count. The deployable streaming
+    form exports the kept set's exact per-source boundary
+    (quality_cutoffs) and gates arriving docs statelessly — parity
+    pinned in tests/test_streaming_gates.py."""
+    from ..functions.text import composite_quality_score
 
-    text = F.col("text")
-    punct = F.length(F.regexp_replace(text, r"[\w\s]", ""))
-    punct_ratio = punct.cast("double") / F.length(text).cast("double")
-    score = F.round(
-        F.lit(0.5) * stopword_ratio(tokens(text))
-        + F.lit(0.5) * (F.lit(1.0) - punct_ratio),
-        6,
-    )
     scored = _t(spark, sf_dir, "documents").select(
-        "doc_id", "source", score.alias("quality_score")
+        "doc_id", "source", composite_quality_score(F.col("text")).alias("quality_score")
     )
     w = Window.partitionBy("source").orderBy(
         F.desc("quality_score"), F.asc("doc_id")

@@ -56,3 +56,68 @@ def compression_gate_stream(
     from ..operators.gates import compression_stats
 
     return compression_stats(docs, text_col, id_col)
+
+
+def quality_cutoffs(docs: DataFrame, keep_per_5: int = 1) -> DataFrame:
+    """Batch half of the deployable quality-prune gate: compute
+    q116's exact per-source kept-set boundary — (cutoff_score,
+    cutoff_doc_id) of the LAST kept row under the (quality_score
+    desc, doc_id asc) total order — as a tiny one-row-per-source
+    frame. Sources too small to keep anything (n_docs < 5) emit no
+    row, which the gate reads as keep-nothing.
+
+    This is the frozen-stats pattern (same as BM25's
+    export/score split): the expensive global ranking runs once in
+    batch; streams apply the frozen boundary statelessly."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ..functions.text import composite_quality_score
+
+    scored = docs.select(
+        "doc_id", "source", composite_quality_score(F.col("text")).alias("quality_score")
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.desc("quality_score"), F.asc("doc_id")
+    )
+    ranked = scored.select(
+        "doc_id",
+        "source",
+        "quality_score",
+        F.row_number().over(w).alias("rnk"),
+        F.count("*").over(Window.partitionBy("source")).alias("n_docs"),
+    ).filter(F.col("rnk") * 5 <= F.col("n_docs") * keep_per_5)
+    boundary = F.max_by(
+        F.struct(
+            F.col("quality_score").alias("cutoff_score"),
+            F.col("doc_id").alias("cutoff_doc_id"),
+        ),
+        F.col("rnk"),
+    ).alias("b")
+    return ranked.groupBy("source").agg(boundary).select(
+        "source", "b.cutoff_score", "b.cutoff_doc_id"
+    )
+
+
+def quality_prune_stream(docs: DataFrame, cutoffs: DataFrame) -> DataFrame:
+    """Streaming half: score each arriving doc with the same
+    expression and keep it iff it clears the frozen boundary —
+    score > cutoff, or score == cutoff and doc_id ≤ the boundary
+    doc_id (the exact tie rule of the batch total order, so the gate
+    equals batch q116 row-for-row on a replayed corpus). Stateless:
+    one stream-static broadcast join on source, no watermark. An
+    unknown source (no cutoff row) keeps nothing — the conservative
+    read of "the batch pass never ranked this source"."""
+    from pyspark.sql import functions as F
+
+    from ..functions.text import composite_quality_score
+
+    scored = docs.select(
+        "doc_id", "source", composite_quality_score(F.col("text")).alias("quality_score")
+    )
+    joined = scored.join(F.broadcast(cutoffs), "source", "inner")
+    kept = (F.col("quality_score") > F.col("cutoff_score")) | (
+        (F.col("quality_score") == F.col("cutoff_score"))
+        & (F.col("doc_id") <= F.col("cutoff_doc_id"))
+    )
+    return joined.filter(kept).select("doc_id", "source", "quality_score")

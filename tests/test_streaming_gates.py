@@ -112,3 +112,53 @@ def test_pii_gate_stream_matches_batch(spark, tmp_path):
     got = {tuple(r) for r in spark.sql("SELECT * FROM pii").collect()}
     want = {tuple(r) for r in REGISTRY["q59_pii_scrub"].spark(spark, SF_DIR).collect()}
     assert got == want and len(want) > 0
+
+
+def test_quality_prune_stream_equals_batch_q116(spark, tmp_path):
+    """The frozen-cutoff stream gate keeps EXACTLY batch q116's kept
+    set on a replayed corpus — the boundary tie rule (score equal,
+    doc_id <= boundary id) reproduces the batch total order's cut."""
+    from flink_assignment_spark.streaming.gates_stream import (
+        quality_cutoffs,
+        quality_prune_stream,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "source", "text")
+    batch_kept = {
+        (r.doc_id, r.source, r.quality_score)
+        for r in REGISTRY["q116_quality_prune"].spark(spark, SF_DIR).collect()
+    }
+    cutoffs = quality_cutoffs(docs)
+    d = str(tmp_path / "docs_q")
+    docs.write.parquet(d)
+    stream = (
+        spark.readStream.schema("doc_id long, source string, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    run_stream(quality_prune_stream(stream, cutoffs), "qprune")
+    stream_kept = {
+        (r.doc_id, r.source, r.quality_score) for r in spark.table("qprune").collect()
+    }
+    assert len(batch_kept) > 0
+    assert stream_kept == batch_kept
+
+
+def test_quality_cutoffs_tiny_source_keeps_nothing(spark):
+    """A source with fewer than 5 docs emits NO cutoff row (floor of
+    20% is zero kept), and the gate drops all its docs."""
+    from flink_assignment_spark.streaming.gates_stream import (
+        quality_cutoffs,
+        quality_prune_stream,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "tiny", "the a of and to in is it plain words") for i in range(3)]
+        + [(100 + i, "big", f"w{i} the a of and to text body") for i in range(10)],
+        "doc_id long, source string, text string",
+    )
+    cut = quality_cutoffs(docs)
+    assert {r.source for r in cut.collect()} == {"big"}
+    kept = quality_prune_stream(docs, cut).collect()
+    assert all(r.source == "big" for r in kept)
+    assert len(kept) == 2  # floor(10 / 5)
