@@ -5407,6 +5407,50 @@ FROM ranked WHERE rnk * 5 <= n_docs
 REGISTRY.update({"q116_quality_prune": QuerySpec(q116_quality_prune, Q116_SQL)})
 
 
+def q117_source_overlap(spark, sf_dir):
+    """Cross-SOURCE near-dup overlap matrix — the provenance report a
+    curation pass reads before deciding source weights: for every
+    unordered source pair, how many near-duplicate document pairs
+    (q15's word-3-gram Jaccard ≥ 0.3, same capped inverted index)
+    straddle the two, and the strongest overlap seen (max of the
+    rounded Jaccards — max is fold-order-free, so exact). A source
+    pair with heavy overlap means one mirrors the other and its
+    mixture weight double-counts. Composition: the q15 operator
+    feeds two keyed source joins and a tiny (source, source)
+    aggregate — no new shuffle class."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.3, max_doc_freq=MAX_SHINGLE_DF)
+    src = docs.select("doc_id", "source")
+    a = src.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("source", "sa")
+    b = src.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("source", "sb")
+    return (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .groupBy(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+        )
+        .agg(F.count("*").alias("n_pairs"), F.max("jaccard").alias("max_jaccard"))
+    )
+
+
+Q117_SQL = _SHINGLE_CTES + """
+, sp AS (
+  SELECT round(j.j, 6) AS jac, da.source AS sa, db.source AS sb
+  FROM jac j JOIN documents da ON j.doc_a = da.doc_id
+             JOIN documents db ON j.doc_b = db.doc_id
+  WHERE j.j >= 0.3
+)
+SELECT least(sa, sb) AS source_a, greatest(sa, sb) AS source_b,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       max(jac) AS max_jaccard
+FROM sp GROUP BY 1, 2
+"""
+
+
+REGISTRY.update({"q117_source_overlap": QuerySpec(q117_source_overlap, Q117_SQL)})
+
+
 # ------------------------------------------------------------------------
 # Registry ordering contract: the driver's correctness harness records at
 # most 50 entries per round (CORRECTNESS_r02 stopped at exactly 50 while
