@@ -377,6 +377,15 @@ def test_q116_quality_prune_one_window_shuffle(spark):
     assert count_exchanges(df) <= 2, plan
 
 
+def test_q117_source_overlap_no_nested_loop(spark):
+    """q117 composes q15's capped inverted-index join with two keyed
+    source joins — every join must stay equi (hash/sort-merge), never
+    a nested loop over doc pairs."""
+    df = REGISTRY["q117_source_overlap"].spark(spark, SF_DIR)
+    plan = physical_plan(df)
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan, plan
+
+
 def test_q111_rag_chunks_zero_exchange_pruned_scan(spark):
     """q111's chunker is pure narrow Catalyst (tokenize → sequence →
     explode → slice → md5): the plan must contain NO exchange at all
