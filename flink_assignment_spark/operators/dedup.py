@@ -204,6 +204,7 @@ def containment_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     max_doc_freq: int | None = None,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Pairs where the SMALLER document's shingle set is mostly inside
     the larger one: ``containment = |A∩B| / min(|A|,|B|) ≥ threshold``.
@@ -215,8 +216,18 @@ def containment_pairs(
     needing substring-level treatment. Same inverted-index join and
     skew caps as :func:`ngram_jaccard_pairs` (one extra column in the
     output: the pair's Jaccard, to show what the symmetric rule would
-    have scored it)."""
-    sh = doc_shingles(docs, text_col, id_col, n, max_doc_freq).cache()
+    have scored it), and the same prebuilt-``shingles`` mutual
+    exclusion."""
+    if shingles is not None and max_doc_freq is not None:
+        raise ValueError(
+            "pass max_doc_freq when building the index, not alongside a "
+            "prebuilt `shingles` frame — the cap would be silently ignored"
+        )
+    sh = (
+        shingles
+        if shingles is not None
+        else doc_shingles(docs, text_col, id_col, n, max_doc_freq).cache()
+    )
     inter = _pair_intersections(sh)
     cont = F.col("inter").cast("double") / F.least("na", "nb").cast("double")
     jac = F.col("inter").cast("double") / (F.col("na") + F.col("nb") - F.col("inter")).cast("double")
@@ -311,6 +322,7 @@ def minhash_lsh_pairs(
     rows_per_band: int = 2,
     max_doc_freq: int | None = None,
     max_bucket: int | None = None,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash + LSH banding near-dup pairs, verified by exact Jaccard.
 
@@ -332,9 +344,20 @@ def minhash_lsh_pairs(
     signatures, candidates AND verification, so the reported Jaccard
     is consistently over the capped sets); ``max_bucket`` drops
     degenerate LSH buckets before pair expansion (see module-level
-    cap rationale).
+    cap rationale). A prebuilt (already-capped, persisted) ``shingles``
+    frame may be passed instead of ``max_doc_freq`` — same mutual
+    exclusion as :func:`ngram_jaccard_pairs`.
     """
-    sh = doc_shingles(docs, text_col, id_col, n, max_doc_freq).cache()
+    if shingles is not None and max_doc_freq is not None:
+        raise ValueError(
+            "pass max_doc_freq when building the index, not alongside a "
+            "prebuilt `shingles` frame — the cap would be silently ignored"
+        )
+    sh = (
+        shingles
+        if shingles is not None
+        else doc_shingles(docs, text_col, id_col, n, max_doc_freq).cache()
+    )
     sigs = minhash_signatures(docs, text_col, id_col, n, shingles=sh)
     banded = band_keys(sigs, rows_per_band)
     buckets = (

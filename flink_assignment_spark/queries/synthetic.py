@@ -90,6 +90,34 @@ def _shared_occ(spark: SparkSession, sf_dir: str) -> DataFrame:
     return occ
 
 
+# Per-(session, corpus) memo of the capped word-3-gram shingle index —
+# the _OCC_MEMO pattern applied to the OTHER shared index: q15
+# (Jaccard), q16 (MinHash-LSH), q94 (containment), and q117 (source
+# overlap) all consume the identical doc_shingles(cap=MAX_SHINGLE_DF)
+# frame, so one build per session replaces four. Session-lifetime by
+# design (same contract as _OCC_MEMO); the storage-level recheck
+# restores the cache after bench.py's per-query clearCache().
+_SHINGLE_MEMO: dict[tuple[str, str], DataFrame] = {}
+
+
+def _shared_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark import StorageLevel
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    sh = _SHINGLE_MEMO.get(key)
+    if sh is None:
+        from ..operators.dedup import doc_shingles
+
+        docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+        sh = doc_shingles(docs, max_doc_freq=MAX_SHINGLE_DF).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        _SHINGLE_MEMO[key] = sh
+    elif sh.storageLevel == StorageLevel.NONE:
+        sh.persist(StorageLevel.MEMORY_AND_DISK)
+    return sh
+
+
 # ---------------------------------------------------------------- P1/P2: Q1
 def q01_filter_project(spark, sf_dir):
     """Reference Q1 (FlinkAssignment.scala:62-66): filter + project."""
@@ -621,9 +649,13 @@ WITH toks AS (
 def q15_dedup_ngram_jaccard(spark, sf_dir):
     """Near-dup pairs by word-3-gram Jaccard ≥ 0.3 via inverted-index
     join (no N² cross join; hot-shingle posting lists capped at
-    MAX_SHINGLE_DF so no join key fans out quadratically)."""
+    MAX_SHINGLE_DF so no join key fans out quadratically). Reads the
+    session-shared shingle index (_shared_shingles) — one build feeds
+    q15/q16/q94/q117."""
     return ngram_jaccard_pairs(
-        _t(spark, sf_dir, "documents"), threshold=0.3, max_doc_freq=MAX_SHINGLE_DF
+        _t(spark, sf_dir, "documents"),
+        threshold=0.3,
+        shingles=_shared_shingles(spark, sf_dir),
     )
 
 
@@ -662,12 +694,13 @@ def q16_dedup_minhash_lsh(spark, sf_dir):
     """MinHash(16)+LSH(8 bands × 2) candidate pairs, verified by exact
     Jaccard ≥ 0.3. Hashing is md5-derived so the oracle reproduces the
     identical signatures. Posting lists and LSH buckets are capped
-    (MAX_SHINGLE_DF / MAX_LSH_BUCKET) against degenerate-corpus skew."""
+    (MAX_SHINGLE_DF / MAX_LSH_BUCKET) against degenerate-corpus skew.
+    Reads the session-shared shingle index (_shared_shingles)."""
     return minhash_lsh_pairs(
         _t(spark, sf_dir, "documents"),
         threshold=0.3,
-        max_doc_freq=MAX_SHINGLE_DF,
         max_bucket=MAX_LSH_BUCKET,
+        shingles=_shared_shingles(spark, sf_dir),
     )
 
 
@@ -4109,13 +4142,14 @@ def q94_containment_neardup(spark, sf_dir):
     inclusion rule. A short doc embedded in a long one has tiny
     symmetric Jaccard (the union is long-doc-sized) but containment
     ≈ 1; the output carries both scores so the gap is visible. Same
-    capped inverted-index join as q15 (operators/dedup.py)."""
-    from ..operators.dedup import MAX_SHINGLE_DF, containment_pairs
+    capped inverted-index join as q15 (operators/dedup.py), reading
+    the session-shared shingle index (_shared_shingles)."""
+    from ..operators.dedup import containment_pairs
 
     return containment_pairs(
         _t(spark, sf_dir, "documents"),
         threshold=0.6,
-        max_doc_freq=MAX_SHINGLE_DF,
+        shingles=_shared_shingles(spark, sf_dir),
     )
 
 
@@ -5417,9 +5451,12 @@ def q117_source_overlap(spark, sf_dir):
     pair with heavy overlap means one mirrors the other and its
     mixture weight double-counts. Composition: the q15 operator
     feeds two keyed source joins and a tiny (source, source)
-    aggregate — no new shuffle class."""
+    aggregate — no new shuffle class. Reads the session-shared
+    shingle index (_shared_shingles)."""
     docs = _t(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(docs, threshold=0.3, max_doc_freq=MAX_SHINGLE_DF)
+    pairs = ngram_jaccard_pairs(
+        docs, threshold=0.3, shingles=_shared_shingles(spark, sf_dir)
+    )
     src = docs.select("doc_id", "source")
     a = src.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("source", "sa")
     b = src.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("source", "sb")

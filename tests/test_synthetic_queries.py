@@ -42,3 +42,24 @@ def test_shared_occ_survives_clear_cache(spark):
     # leave the session clean for other tests
     spark.catalog.clearCache()
     _OCC_MEMO.clear()
+
+
+def test_shared_shingles_survives_clear_cache(spark):
+    """The q15/q16/q94/q117 shared shingle index carries the same
+    clearCache-survival contract as the substring index memo."""
+    from pyspark import StorageLevel
+
+    from flink_assignment_spark.queries.synthetic import (
+        _SHINGLE_MEMO,
+        _shared_shingles,
+    )
+
+    first = _shared_shingles(spark, SF_DIR)
+    assert first.storageLevel != StorageLevel.NONE
+    spark.catalog.clearCache()
+    assert first.storageLevel == StorageLevel.NONE
+    again = _shared_shingles(spark, SF_DIR)
+    assert again is first
+    assert again.storageLevel != StorageLevel.NONE
+    spark.catalog.clearCache()
+    _SHINGLE_MEMO.clear()
