@@ -1107,11 +1107,14 @@ REGISTRY.update(
 def q29_dedup_clusters(spark, sf_dir):
     """End-to-end dedup: near-dup pairs (n-gram Jaccard ≥ 0.3) →
     connected components (iterative min-label propagation; each round
-    one distributed join) → cluster representative + size per doc."""
+    one distributed join) → cluster representative + size per doc.
+    Reads the session-shared shingle index (_shared_shingles)."""
     from ..operators.components import dedup_clusters
 
     pairs = ngram_jaccard_pairs(
-        _t(spark, sf_dir, "documents"), threshold=0.3, max_doc_freq=MAX_SHINGLE_DF
+        _t(spark, sf_dir, "documents"),
+        threshold=0.3,
+        shingles=_shared_shingles(spark, sf_dir),
     )
     return dedup_clusters(pairs)
 
@@ -5486,6 +5489,50 @@ FROM sp GROUP BY 1, 2
 
 
 REGISTRY.update({"q117_source_overlap": QuerySpec(q117_source_overlap, Q117_SQL)})
+
+
+def q118_semantic_dedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023): semantic deduplication in
+    EMBEDDING space — the dedup family's answer to paraphrases and
+    re-renders that share no n-grams. Pipeline: exact cosine near-dup
+    pairs (q18's blocked kernel with the in-kernel threshold
+    pre-filter) → connected components (q29's iterative min-label
+    propagation) → every clustered vector with its cluster
+    representative (min vec_id) and cluster size. The paper clusters
+    with k-means first to bound the pair scan — here the blocked
+    exact scan plays that role at audit scale, and the IVF/LSH paths
+    (q31/q43) are the corpus-scale candidate generators."""
+    from ..operators.components import dedup_clusters
+    from ..operators.similarity import cosine_neardup_pairs
+
+    pairs = cosine_neardup_pairs(
+        _t(spark, sf_dir, "embeddings"), threshold=0.4
+    ).select(F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b"))
+    return dedup_clusters(pairs).select(
+        F.col("doc_id").alias("vec_id"), "keep_id", "cluster_size"
+    )
+
+
+Q118_SQL = f"""
+WITH RECURSIVE cand AS (
+  SELECT a.vec_id AS va, b.vec_id AS vb
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE round({_cos_sql('a.embedding', 'b.embedding')}, 6) >= 0.4
+), edges AS (
+  SELECT va AS a, vb AS b FROM cand UNION SELECT vb, va FROM cand
+), reach(a, b) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+), comp AS (
+  SELECT a AS vec_id, MIN(b) AS keep_id FROM reach GROUP BY a
+)
+SELECT c.vec_id, c.keep_id, CAST(s.n AS BIGINT) AS cluster_size
+FROM comp c JOIN (SELECT keep_id, count(*) AS n FROM comp GROUP BY 1) s USING (keep_id)
+"""
+
+
+REGISTRY.update({"q118_semantic_dedup": QuerySpec(q118_semantic_dedup, Q118_SQL)})
 
 
 # ------------------------------------------------------------------------

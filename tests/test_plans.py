@@ -386,6 +386,16 @@ def test_q117_source_overlap_no_nested_loop(spark):
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan, plan
 
 
+def test_q118_semantic_dedup_no_nested_loop(spark):
+    """SemDeDup composes the blocked pair kernel with iterative CC —
+    the embedding pair scan must stay on the applyInPandas block
+    groups (never a nested-loop vectors × vectors theta join) and the
+    CC joins stay equi."""
+    df = REGISTRY["q118_semantic_dedup"].spark(spark, SF_DIR)
+    plan = physical_plan(df)
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan, plan
+
+
 def test_q111_rag_chunks_zero_exchange_pruned_scan(spark):
     """q111's chunker is pure narrow Catalyst (tokenize → sequence →
     explode → slice → md5): the plan must contain NO exchange at all
