@@ -5414,7 +5414,9 @@ def q116_quality_prune(spark, sf_dir):
         F.row_number().over(w).alias("rnk"),
         F.count("*").over(Window.partitionBy("source")).alias("n_docs"),
     )
-    return ranked.filter(F.col("rnk") * 5 <= F.col("n_docs")).select(
+    return ranked.filter(
+        F.col("rnk") * 5 <= F.col("n_docs") * QUALITY_KEEP_PER_5
+    ).select(
         "doc_id", "source", "quality_score", F.col("rnk").cast("bigint").alias("rnk")
     )
 
@@ -5437,7 +5439,7 @@ WITH scored AS (
   FROM scored
 )
 SELECT doc_id, source, quality_score, CAST(rnk AS BIGINT) AS rnk
-FROM ranked WHERE rnk * 5 <= n_docs
+FROM ranked WHERE rnk * 5 <= n_docs * {QUALITY_KEEP_PER_5}
 """
 
 

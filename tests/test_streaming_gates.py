@@ -128,7 +128,9 @@ def test_quality_prune_stream_equals_batch_q116(spark, tmp_path):
         (r.doc_id, r.source, r.quality_score)
         for r in REGISTRY["q116_quality_prune"].spark(spark, SF_DIR).collect()
     }
-    cutoffs = quality_cutoffs(docs)
+    from flink_assignment_spark.queries.synthetic import QUALITY_KEEP_PER_5
+
+    cutoffs = quality_cutoffs(docs, keep_per_5=QUALITY_KEEP_PER_5)
     d = str(tmp_path / "docs_q")
     docs.write.parquet(d)
     stream = (
