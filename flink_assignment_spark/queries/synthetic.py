@@ -5540,6 +5540,212 @@ FROM comp c JOIN (SELECT keep_id, count(*) AS n FROM comp GROUP BY 1) s USING (k
 REGISTRY.update({"q118_semantic_dedup": QuerySpec(q118_semantic_dedup, Q118_SQL)})
 
 
+def q119_split_assign(spark, sf_dir):
+    """Leakage-free train/val/test split assignment — GROUP-ATOMIC
+    routing: every doc whose canonical (q74-normalized) text matches
+    another doc's lands in the SAME split, so exact duplicates can
+    never straddle train and eval (the contamination mode q97 only
+    MEASURES; this query prevents it by construction). Group key =
+    min doc_id of the normalized-text group (one window shuffle on
+    the norm hash); split = md5-derived 60-bit hash of the group key
+    mod 10 → 0-7 train / 8 val / 9 test. The split hash is
+    functions.text.hash60, so the oracle reproduces the routing
+    bit-for-bit, and re-running on a grown corpus keeps every
+    existing group's split stable (the hash reads only the group's
+    canonical member, not corpus size)."""
+    from ..functions.text import hash60
+
+    docs = _t(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9\s]", ""),
+            r"\s+",
+            " ",
+        )
+    )
+    keyed = docs.select("doc_id", "source", F.md5(norm).alias("norm_hash"))
+    w = Window.partitionBy("norm_hash")
+    grouped = keyed.select(
+        "doc_id",
+        "source",
+        F.min("doc_id").over(w).alias("group_id"),
+        F.count("*").over(w).alias("group_size"),
+    )
+    bucket = F.pmod(hash60(F.col("group_id").cast("string")), F.lit(10))
+    split = (
+        F.when(bucket <= 7, "train").when(bucket == 8, "val").otherwise("test")
+    )
+    return grouped.select(
+        "doc_id",
+        "source",
+        F.col("group_id").cast("bigint").alias("group_id"),
+        F.col("group_size").cast("bigint").alias("group_size"),
+        split.alias("split"),
+    )
+
+
+Q119_SQL = r"""
+WITH keyed AS (
+  SELECT doc_id, source,
+         md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'),
+                                 '\s+', ' ', 'g'))) AS norm_hash
+  FROM documents
+), grouped AS (
+  SELECT doc_id, source,
+         MIN(doc_id) OVER (PARTITION BY norm_hash) AS group_id,
+         COUNT(*) OVER (PARTITION BY norm_hash) AS group_size
+  FROM keyed
+)
+SELECT doc_id, source,
+       CAST(group_id AS BIGINT) AS group_id,
+       CAST(group_size AS BIGINT) AS group_size,
+       CASE WHEN CAST('0x' || substring(md5(CAST(group_id AS VARCHAR)), 1, 15) AS BIGINT) % 10 <= 7 THEN 'train'
+            WHEN CAST('0x' || substring(md5(CAST(group_id AS VARCHAR)), 1, 15) AS BIGINT) % 10 = 8 THEN 'val'
+            ELSE 'test' END AS split
+FROM grouped
+"""
+
+
+def q120_token_fertility(spark, sf_dir):
+    """Per-language tokenizer fertility — the vocabulary-fit report a
+    multilingual pipeline reads before committing to a tokenizer:
+    per lang, whitespace words vs BPE-ish subwords (q57's
+    pre-tokenizer), fertility = subwords per word (high fertility =
+    the tokenizer fragments that language), and chars per subword.
+    Narrow per-doc maps (two regex scans staged once per row) into
+    ONE groupBy(lang) — all ratios are corpus-level int/int divisions
+    rounded to 6, so the values are bit-identical across engines."""
+    docs = _t(spark, sf_dir, "documents")
+    tk = docs.select(
+        "lang",
+        F.size(tokens(F.col("text"))).alias("n_words"),
+        F.regexp_extract_all("text", F.lit(BPE_RE), 0).alias("sw"),
+    ).select(
+        "lang",
+        "n_words",
+        F.size("sw").alias("n_subwords"),
+        F.aggregate(
+            F.transform("sw", lambda t: F.length(t)),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        ).alias("sw_chars"),
+    )
+    return tk.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_words").cast("bigint").alias("total_words"),
+        F.sum("n_subwords").cast("bigint").alias("total_subwords"),
+        F.round(
+            F.sum("n_subwords").cast("double") / F.sum("n_words").cast("double"), 6
+        ).alias("fertility"),
+        F.round(
+            F.sum("sw_chars").cast("double") / F.sum("n_subwords").cast("double"), 6
+        ).alias("chars_per_subword"),
+    )
+
+
+Q120_SQL = r"""
+WITH tk AS (
+  SELECT lang,
+         len(list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '')) AS n_words,
+         regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+', 0) AS sw
+  FROM documents
+), st AS (
+  SELECT lang, n_words, len(sw) AS n_subwords,
+         list_sum(list_transform(sw, x -> length(x))) AS sw_chars
+  FROM tk
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_words) AS BIGINT) AS total_words,
+       CAST(SUM(n_subwords) AS BIGINT) AS total_subwords,
+       round(CAST(SUM(n_subwords) AS DOUBLE) / CAST(SUM(n_words) AS DOUBLE), 6) AS fertility,
+       round(CAST(SUM(sw_chars) AS DOUBLE) / CAST(SUM(n_subwords) AS DOUBLE), 6) AS chars_per_subword
+FROM st GROUP BY lang
+"""
+
+
+def q121_dedup_survivorship(spark, sf_dir):
+    """Per-source dedup survivorship funnel — the attribution report
+    behind a curation run: how many of each source's docs fall to
+    exact dedup (keep-first on raw text, q14's rule), how many of the
+    exact survivors fall to near-dup (the doc is the LATER id in at
+    least one q15 word-3-gram Jaccard >= 0.3 pair — the keep-earliest
+    convention), and what survives, with an exact integer retention
+    ppm. Composition: one window over the text hash, the shared
+    shingle index (_shared_shingles) through ngram_jaccard_pairs, a
+    distinct on the pairs' later side, one left join, one tiny
+    groupBy(source) — no new shuffle class beyond q15 itself."""
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy(F.md5(F.col("text")))
+    flagged = docs.select(
+        "doc_id",
+        "source",
+        (F.col("doc_id") != F.min("doc_id").over(w)).cast("int").alias("exact_removed"),
+    )
+    pairs = ngram_jaccard_pairs(
+        docs, threshold=0.3, shingles=_shared_shingles(spark, sf_dir)
+    )
+    later = (
+        pairs.select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+        .withColumn("near_flag", F.lit(1))
+    )
+    joined = flagged.join(later, "doc_id", "left").fillna({"near_flag": 0})
+    per = joined.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("exact_removed").cast("bigint").alias("n_exact_removed"),
+        F.sum(
+            F.when((F.col("exact_removed") == 0) & (F.col("near_flag") == 1), 1)
+            .otherwise(0)
+        ).cast("bigint").alias("n_neardup_removed"),
+    )
+    survivors = F.col("n_docs") - F.col("n_exact_removed") - F.col("n_neardup_removed")
+    return per.select(
+        "source",
+        "n_docs",
+        "n_exact_removed",
+        "n_neardup_removed",
+        survivors.cast("bigint").alias("n_survivors"),
+        F.floor(survivors * 1000000 / F.col("n_docs")).cast("bigint").alias("retention_ppm"),
+    )
+
+
+Q121_SQL = _SHINGLE_CTES + """, later AS (
+  SELECT DISTINCT doc_b AS doc_id FROM jac WHERE j >= 0.3
+), ex_flag AS (
+  SELECT doc_id, source,
+         CASE WHEN doc_id <> MIN(doc_id) OVER (PARTITION BY md5(text))
+              THEN 1 ELSE 0 END AS exact_removed
+  FROM documents
+), fl AS (
+  SELECT e.doc_id, e.source, e.exact_removed,
+         CASE WHEN l.doc_id IS NOT NULL THEN 1 ELSE 0 END AS near_flag
+  FROM ex_flag e LEFT JOIN later l ON e.doc_id = l.doc_id
+), per AS (
+  SELECT source, count(*) AS n_docs,
+         SUM(exact_removed) AS n_exact_removed,
+         SUM(CASE WHEN exact_removed = 0 AND near_flag = 1 THEN 1 ELSE 0 END) AS n_neardup_removed
+  FROM fl GROUP BY source
+)
+SELECT source,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(n_exact_removed AS BIGINT) AS n_exact_removed,
+       CAST(n_neardup_removed AS BIGINT) AS n_neardup_removed,
+       CAST(n_docs - n_exact_removed - n_neardup_removed AS BIGINT) AS n_survivors,
+       CAST((n_docs - n_exact_removed - n_neardup_removed) * 1000000 // n_docs AS BIGINT) AS retention_ppm
+FROM per
+"""
+
+
+REGISTRY.update(
+    {
+        "q119_split_assign": QuerySpec(q119_split_assign, Q119_SQL),
+        "q120_token_fertility": QuerySpec(q120_token_fertility, Q120_SQL),
+        "q121_dedup_survivorship": QuerySpec(q121_dedup_survivorship, Q121_SQL),
+    }
+)
+
+
 # ------------------------------------------------------------------------
 # Registry ordering contract: the driver's correctness harness records at
 # most 50 entries per round (CORRECTNESS_r02 stopped at exactly 50 while
