@@ -30,6 +30,19 @@ def tokens(text: Column) -> Column:
     return F.filter(F.split(text, r"\s+"), lambda t: t != F.lit(""))
 
 
+def canonical_text(text: Column) -> Column:
+    """THE canonical normalization (lowercase → strip
+    non-alphanumerics → collapse whitespace runs → trim) that exact
+    dedup, split routing, and the q74 cleaning report all key on.
+    One definition so batch and streaming consumers cannot drift;
+    DuckDB mirrors it with the same two regexp_replace calls."""
+    return F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(text), r"[^a-z0-9\s]", ""), r"\s+", " "
+        )
+    )
+
+
 def word_shingles(toks: Column, n: int = 3) -> Column:
     """Distinct word n-gram shingles of a token array.
 

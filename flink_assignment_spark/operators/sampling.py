@@ -46,6 +46,20 @@ def stratified_sample(
     return df.filter(u < rate.otherwise(F.lit(0.0)))
 
 
+def group_split(group_id: Column) -> Column:
+    """q119's GROUP-ATOMIC split routing: md5-derived 60-bit hash of
+    the group key (rendered as a string) mod 10 → buckets 0-7 train,
+    8 val, 9 test. One definition shared by the batch query and
+    ``streaming.split_stream`` so a group's split can never differ
+    between a backfill and the live stream; the hash reads only the
+    group's canonical member, so assignments are stable as the
+    corpus grows."""
+    bucket = F.pmod(hash60(group_id.cast("string")), F.lit(10))
+    return (
+        F.when(bucket <= 7, "train").when(bucket == 8, "val").otherwise("test")
+    )
+
+
 def assign_split(
     df: DataFrame,
     key: str,

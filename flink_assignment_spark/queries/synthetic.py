@@ -3082,14 +3082,10 @@ def q74_normalize_text(spark, sf_dir):
     normalized length, the chars removed, and the canonical md5 that
     downstream exact-dedup would key on. Pure narrow map, zero
     shuffles; Java regex and RE2 agree on this pattern subset."""
+    from ..functions.text import canonical_text
+
     docs = _t(spark, sf_dir, "documents")
-    norm = F.trim(
-        F.regexp_replace(
-            F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9\s]", ""),
-            r"\s+",
-            " ",
-        )
-    )
+    norm = canonical_text(F.col("text"))
     return docs.select(
         "doc_id",
         F.length(norm).alias("norm_len"),
@@ -5552,18 +5548,18 @@ def q119_split_assign(spark, sf_dir):
     functions.text.hash60, so the oracle reproduces the routing
     bit-for-bit, and re-running on a grown corpus keeps every
     existing group's split stable (the hash reads only the group's
-    canonical member, not corpus size)."""
-    from ..functions.text import hash60
+    canonical member, not corpus size). The streaming twin
+    (streaming/split_stream.py) folds the same (norm_hash ->
+    group_id, split) mapping incrementally and shares both the
+    normalization (functions.text.canonical_text) and the routing
+    (operators.sampling.group_split) definitions."""
+    from ..functions.text import canonical_text
+    from ..operators.sampling import group_split
 
     docs = _t(spark, sf_dir, "documents")
-    norm = F.trim(
-        F.regexp_replace(
-            F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9\s]", ""),
-            r"\s+",
-            " ",
-        )
+    keyed = docs.select(
+        "doc_id", "source", F.md5(canonical_text(F.col("text"))).alias("norm_hash")
     )
-    keyed = docs.select("doc_id", "source", F.md5(norm).alias("norm_hash"))
     w = Window.partitionBy("norm_hash")
     grouped = keyed.select(
         "doc_id",
@@ -5571,10 +5567,7 @@ def q119_split_assign(spark, sf_dir):
         F.min("doc_id").over(w).alias("group_id"),
         F.count("*").over(w).alias("group_size"),
     )
-    bucket = F.pmod(hash60(F.col("group_id").cast("string")), F.lit(10))
-    split = (
-        F.when(bucket <= 7, "train").when(bucket == 8, "val").otherwise("test")
-    )
+    split = group_split(F.col("group_id"))
     return grouped.select(
         "doc_id",
         "source",

@@ -1,0 +1,166 @@
+"""Incremental group-atomic split assignment — the streaming twin of
+q119.
+
+A live ingestion pipeline must route each arriving document to
+train/val/test the moment it lands, while PRESERVING the batch
+query's leakage guarantee: two docs with the same canonical text must
+always share a split, even when they arrive months apart. That needs
+state — the (norm_hash → group_id, split) mapping of every group seen
+so far — maintained under a ``foreachBatch`` sink:
+
+- ``groups/`` — one row per normalized-text group:
+  ``(bucket, norm_hash, group_id, split)``, HASH-BUCKET-PARTITIONED
+  (``bucket = hash60(norm_hash) % N_BUCKETS`` directories). Per
+  micro-batch only the buckets receiving NEW groups are rewritten,
+  through the shared backend seam ``streaming._state`` (same
+  delta-append fold shape as ``novelty_stream``; the production form
+  is the same call against a Delta/Iceberg ``MERGE INTO`` backend).
+  Single-writer assumption: one query owns ``state_dir``.
+- ``assignments/`` — appended per-doc routing:
+  ``(batch_id, doc_id, source, group_id, split)``.
+
+Batch parity: normalization is ``functions.text.canonical_text`` and
+routing is ``operators.sampling.group_split`` — the SAME column
+expressions batch q119 compiles, so a frozen corpus replayed in
+doc_id order yields byte-identical (doc_id, group_id, split) rows
+(pinned by tests/test_streaming_splits.py). ``group_id`` is the
+minimum doc_id the group has ever shown; under the in-order replay
+contract shared with the other streaming operators that equals the
+batch query's global min. Out-of-order arrival keeps every GUARANTEE
+(group-atomicity, split stability) — only the group_id label can
+differ from a batch backfill's, because a later-arriving smaller id
+cannot rename a group that already routed (renaming would move the
+group's split, which is exactly what the gate must never do).
+
+Replay semantics (foreachBatch is at-least-once): fold groups →
+append assignments → commit the ``_applied_batch`` marker. A
+fully-applied redelivered batch is skipped via the marker; a
+redelivery that raced the marker re-joins against state that already
+contains its own groups, reproduces the identical assignment rows,
+and at worst appends duplicates — ``read_assignments`` drops them by
+(batch_id, doc_id). State convergence is idempotent by construction
+(the group mapping is insert-only; re-merging the same groups is a
+set union).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import canonical_text, hash60
+from ..operators.sampling import group_split
+from ._state import DEFAULT_BACKEND, applied_batch, commit_marker
+
+N_BUCKETS = 64
+
+
+def _groups_path(state_dir: str) -> str:
+    return os.path.join(state_dir, "groups")
+
+
+def _assign_path(state_dir: str) -> str:
+    return os.path.join(state_dir, "assignments")
+
+
+def merge_split_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    state_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    backend=None,
+) -> None:
+    """Route one micro-batch: docs whose canonical text matches a
+    known group inherit its (group_id, split); the rest found new
+    groups (group_id = min doc_id within the batch, split =
+    ``group_split``), which are folded into the state (touched
+    buckets only) before the assignments append and the replay
+    marker — see the module docstring for the crash/replay
+    contract."""
+    if batch_id <= applied_batch(state_dir):
+        return
+    backend = backend or DEFAULT_BACKEND
+    spark = batch_df.sparkSession
+    groups_path, assign_path = _groups_path(state_dir), _assign_path(state_dir)
+
+    keyed = batch_df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col("source"),
+        F.md5(canonical_text(F.col(text_col))).alias("norm_hash"),
+    ).withColumn(
+        "bucket", F.pmod(hash60(F.col("norm_hash")), F.lit(N_BUCKETS)).cast("int")
+    )
+    state = backend.read(spark, groups_path, "bucket")
+    if state is not None:
+        # bucket rides along as an equi-key: at scale the probe is
+        # partition-pruned to the buckets this batch touches
+        matched = keyed.join(state, ["bucket", "norm_hash"], "left")
+    else:
+        matched = keyed.withColumn("group_id", F.lit(None).cast("bigint")).withColumn(
+            "split", F.lit(None).cast("string")
+        )
+    matched = matched.cache()
+    matched.count()  # materialize once; known/new both read the cache
+
+    known = matched.filter(F.col("group_id").isNotNull())
+    w = Window.partitionBy("norm_hash")
+    fresh = (
+        matched.filter(F.col("group_id").isNull())
+        .drop("group_id", "split")
+        .withColumn("group_id", F.min("doc_id").over(w).cast("bigint"))
+        .withColumn("split", group_split(F.col("group_id")))
+    )
+    fresh = fresh.cache()
+    n_fresh_docs = fresh.count()  # materialize: state fold + append both read it
+
+    if n_fresh_docs:
+        new_groups = fresh.select("bucket", "norm_hash", "group_id", "split").distinct()
+        touched = [int(r.bucket) for r in new_groups.select("bucket").distinct().collect()]
+        if state is not None:
+            existing = state.filter(F.col("bucket").isin(touched))
+            out = existing.unionByName(new_groups)
+        else:
+            out = new_groups
+        backend.fold(out.select("norm_hash", "group_id", "split", "bucket"),
+                     groups_path, "bucket", touched)
+
+    cols = ["doc_id", "source", "group_id", "split"]
+    assignments = (
+        known.select(*cols)
+        .unionByName(fresh.select(*cols))
+        .withColumn("batch_id", F.lit(int(batch_id)).cast("bigint"))
+    )
+    backend.append(assignments, assign_path, None)
+    matched.unpersist()
+    fresh.unpersist()
+    commit_marker(state_dir, batch_id)
+
+
+def incremental_split_assign(
+    docs: DataFrame,
+    state_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    backend=None,
+):
+    """Start the split-assignment query; returns the StreamingQuery."""
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        merge_split_batch(batch_df, batch_id, state_dir, text_col, id_col, backend)
+
+    return docs.writeStream.outputMode("append").foreachBatch(_sink).start()
+
+
+def read_assignments(
+    spark: SparkSession, state_dir: str, backend=None
+) -> DataFrame:
+    """Per-doc routing accumulated so far. Duplicate (batch_id,
+    doc_id) rows (an at-least-once replay that raced the marker) are
+    identical by construction — the replay re-derives the same
+    (group_id, split) from state — so a plain dropDuplicates
+    resolves them."""
+    raw = (backend or DEFAULT_BACKEND).read(spark, _assign_path(state_dir))
+    return raw.dropDuplicates(["batch_id", "doc_id"])
