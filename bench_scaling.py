@@ -435,6 +435,54 @@ def stream_cc_sweep(spark, scales: list[int], n_batches: int = 10) -> dict:
     return out
 
 
+def stream_split_sweep(spark, scales: list[int], n_batches: int = 10) -> dict:
+    """Per-batch latency of the incremental split assignment
+    (streaming/split_stream.py) as the group-map state grows. The
+    generator's docs all have distinct canonical texts, so every
+    batch inserts batch-size NEW groups — the worst case for the
+    state fold. The claim under test: the insert-only delta-append
+    keeps per-batch cost tracking BATCH volume while the group map
+    grows 10× (a bucket-swap fold would instead rewrite the whole
+    state every batch once new groups hash into all buckets)."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from flink_assignment_spark.streaming.split_stream import (
+        merge_split_batch,
+        read_assignments,
+    )
+
+    out = {}
+    for n in scales:
+        base = f"/tmp/fas_docscale_{n}"
+        ensure_documents(spark, n, os.path.join(base, "documents.parquet"))
+        docs = spark.read.parquet(os.path.join(base, "documents.parquet"))
+        state_dir = f"/tmp/fas_split_stream_{n}"
+        if os.path.exists(state_dir):
+            shutil.rmtree(state_dir)
+        bsz = n // n_batches
+        per_batch = []
+        for b in range(n_batches):
+            batch = docs.filter(
+                (F.col("doc_id") >= b * bsz) & (F.col("doc_id") < (b + 1) * bsz)
+            )
+            t0 = time.monotonic()
+            merge_split_batch(batch, b, state_dir)
+            per_batch.append(round(time.monotonic() - t0, 2))
+        assigned = read_assignments(spark, state_dir)
+        out[str(n)] = {
+            "per_batch_sec": per_batch,
+            "batch_docs": bsz,
+            "assigned_rows": assigned.count(),
+            "group_rows": spark.read.parquet(
+                os.path.join(state_dir, "groups")
+            ).count(),
+        }
+        shutil.rmtree(state_dir)
+    return out
+
+
 def bm25_point(spark, n_docs: int, reps: int = 3) -> dict:
     """BM25 scaling point: train-and-score (the q110 shape) vs the
     frozen-stats narrow-map scorer on the same synthetic corpus. The
@@ -720,6 +768,12 @@ def main() -> None:
         help="run ONLY the incremental connected-components sweep "
         "(pair counts from --doc-scales)",
     )
+    ap.add_argument(
+        "--stream-split",
+        action="store_true",
+        help="run ONLY the incremental split-assignment sweep "
+        "(doc counts from --doc-scales)",
+    )
     args = ap.parse_args()
 
     from flink_assignment_spark.queries.synthetic import REGISTRY  # noqa: F401
@@ -817,6 +871,18 @@ def main() -> None:
                 {
                     "metric": "incremental-CC per-batch latency vs mapping state",
                     "stream_cc": stream_cc_sweep(spark, args.doc_scales),
+                }
+            )
+        )
+        return
+    if args.stream_split:
+        print(
+            json.dumps(
+                {
+                    "metric": "incremental split-assignment per-batch latency vs group state",
+                    "stream_split": stream_split_sweep(
+                        spark, args.doc_scales, n_batches=args.n_batches
+                    ),
                 }
             )
         )

@@ -28,18 +28,14 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .functions.text import tokens, word_shingles
+from .functions.text import canonical_text, tokens, word_shingles
 from .operators.gates import shingle_hash_array
 
 
 def normalize_text(col: Column) -> Column:
-    """Canonical cleaning (the q74 transform): lowercase → strip
-    non-alphanumerics → collapse whitespace runs → trim."""
-    return F.trim(
-        F.regexp_replace(
-            F.regexp_replace(F.lower(col), r"[^a-z0-9\s]", ""), r"\s+", " "
-        )
-    )
+    """Canonical cleaning (the q74 transform) — delegates to THE
+    shared definition in ``functions.text.canonical_text``."""
+    return canonical_text(col)
 
 
 class CorpusPipeline:
@@ -282,6 +278,23 @@ class CorpusPipeline:
 
         out = stratified_sample(self._df, self.id_col, stratum, rates, salt)
         return self._next(out, "sample_stratified")
+
+    def assign_splits(self, out_col: str = "split") -> "CorpusPipeline":
+        """Group-atomic train/val/test routing (q119): docs sharing a
+        canonical text always land in the same split, so exact
+        duplicates can never straddle train and eval. One window
+        shuffle on the canonical hash; routing is the shared
+        ``operators.sampling.group_split`` hash of the group's min
+        id — stable as the corpus grows and identical to the
+        streaming gate (streaming/split_stream.py)."""
+        from pyspark.sql import Window
+
+        from .operators.sampling import group_split
+
+        w = Window.partitionBy(F.md5(canonical_text(F.col(self.text_col))))
+        grp = F.min(self.id_col).over(w)
+        out = self._df.withColumn(out_col, group_split(grp))
+        return self._next(out, "assign_splits")
 
     # ----------------------------------------------------------- audit
     def yield_summary(self, group_col: str = "source") -> DataFrame:

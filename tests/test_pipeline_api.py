@@ -240,3 +240,20 @@ def test_scrub_pii_and_gate_lang_stages(spark):
     }
     assert got == want and 2 not in got and len(got) > 0
     assert kept.lineage == ("gate_lang(en)",)
+
+
+def test_assign_splits_matches_q119(spark):
+    """The pipeline stage reproduces q119's per-doc routing exactly
+    (same canonical hash, same group hash), and duplicates never
+    straddle splits."""
+    docs = load_table(spark, SF_DIR, "documents")
+    want = {
+        r.doc_id: r.split
+        for r in REGISTRY["q119_split_assign"].spark(spark, SF_DIR).collect()
+    }
+    got = {
+        r.doc_id: r.split
+        for r in CorpusPipeline(docs.select("doc_id", "text")).assign_splits().df.collect()
+    }
+    assert got == want
+    assert set(got.values()) <= {"train", "val", "test"}

@@ -407,3 +407,33 @@ def test_q111_rag_chunks_zero_exchange_pruned_scan(spark):
     schema = scan_read_schema(df, "documents")
     assert "doc_id" in schema and "text" in schema, schema
     assert "source" not in schema, schema
+
+
+def test_q119_split_assign_one_window_shuffle(spark):
+    """q119's group_id and group_size windows share the (norm_hash)
+    partition, so the whole split assignment is one exchange over a
+    narrow hashing map — routing adds no shuffle (the split hash is
+    a per-row expression on the window output)."""
+    df = REGISTRY["q119_split_assign"].spark(spark, SF_DIR)
+    plan = physical_plan(df)
+    assert "NestedLoop" not in plan, plan
+    assert count_exchanges(df) <= 2, plan
+
+
+def test_q120_token_fertility_single_agg_shuffle(spark):
+    """q120 is two staged regex maps into one groupBy(lang): a single
+    partial-aggregated exchange, and the scan reads only (lang, text)."""
+    df = REGISTRY["q120_token_fertility"].spark(spark, SF_DIR)
+    plan = physical_plan(df)
+    assert count_exchanges(df) <= 1, plan
+    schema = scan_read_schema(df, "documents")
+    assert "doc_id" not in schema and "source" not in schema, schema
+
+
+def test_q121_dedup_survivorship_no_nested_loop(spark):
+    """q121 composes q15's capped inverted-index join with the exact-
+    dup window and a per-source rollup — every join must stay equi,
+    never a nested loop over doc pairs."""
+    df = REGISTRY["q121_dedup_survivorship"].spark(spark, SF_DIR)
+    plan = physical_plan(df)
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan, plan

@@ -104,3 +104,30 @@ def test_split_replay_is_idempotent(spark, tmp_path):
     assert before == after
     groups = spark.read.parquet(os.path.join(state_dir, "groups"))
     assert groups.count() == groups.select("norm_hash").distinct().count() == 2
+
+
+def test_split_compaction_preserves_state(spark, tmp_path):
+    """compact_groups merges the per-batch delta files (and any exact
+    replay duplicates) without changing the mapping or future routing."""
+    from flink_assignment_spark.streaming.split_stream import compact_groups
+
+    state_dir = str(tmp_path / "state")
+    for b in range(4):
+        batch = spark.createDataFrame(
+            [(b * 10 + i, f"text body number {b * 10 + i}", "en", "web", 20) for i in range(3)],
+            DOCS_SCHEMA,
+        )
+        merge_split_batch(batch, b, state_dir)
+    before = {
+        (r.norm_hash, r.group_id, r.split)
+        for r in spark.read.parquet(os.path.join(state_dir, "groups")).collect()
+    }
+    compact_groups(spark, state_dir)
+    after_df = spark.read.parquet(os.path.join(state_dir, "groups"))
+    after = {(r.norm_hash, r.group_id, r.split) for r in after_df.collect()}
+    assert after == before and after_df.count() == len(before)
+    # routing still works against the compacted state
+    b5 = spark.createDataFrame([(99, "text body number 0", "en", "web", 18)], DOCS_SCHEMA)
+    merge_split_batch(b5, 4, state_dir)
+    rows = {r.doc_id: (r.group_id, r.split) for r in read_assignments(spark, state_dir).collect()}
+    assert rows[99] == rows[0]
