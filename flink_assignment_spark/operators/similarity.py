@@ -388,6 +388,93 @@ def _kmeans_centroids(matrix, n_cells: int, n_iter: int = 10):
     return centroids
 
 
+def ivf_train(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 8,
+    max_train: int = 65_536,
+):
+    """Train the IVF centroid artifact (a ``n_cells × dim`` numpy
+    array) from a bounded, deterministic corpus sample: k-means only
+    needs a representative sample, so the driver NEVER collects more
+    than ``max_train`` vectors no matter the corpus size (md5-hash
+    selection — repartition-invariant and identical every run; below
+    the bound the whole corpus trains, unchanged). Seedless init ⇒
+    the artifact is reproducible, so a backfill and a live stream
+    probing the same corpus agree exactly."""
+    import numpy as np
+
+    train = corpus.select(F.col(id_col), F.col(vec_col))
+    n_corpus = train.count()
+    if n_corpus > max_train:
+        bucket = F.conv(
+            F.substring(F.md5(F.concat(F.lit("ivf:"), F.col(id_col).cast("string"))), 1, 15),
+            16,
+            10,
+        ).cast("long") % 1_000_000
+        train = train.filter(bucket < int(1_000_000 * max_train / n_corpus))
+    collected = train.orderBy(id_col).collect()
+    matrix = np.array([list(r[1]) for r in collected], dtype=np.float64)
+    return _kmeans_centroids(matrix, n_cells)
+
+
+def ivf_index(
+    corpus: DataFrame,
+    centroids,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign every corpus vector to its nearest centroid cell — the
+    inverted-file half of the index, ``(neighbor_id, cv, cell)``.
+    One mapInPandas matmul pass; persist the result (plain parquet,
+    partitioned by cell if desired) to freeze the searchable index
+    next to the centroid artifact."""
+    from ..functions._pandas_udfs import make_cell_assign_udf
+
+    assign_udf = make_cell_assign_udf(centroids, 1)
+    return _spread(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    ).withColumn("cell", assign_udf(F.col("cv"))[0])
+
+
+def ivf_probe(
+    queries: DataFrame,
+    centroids,
+    index: DataFrame,
+    k: int,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Score queries against a FROZEN (centroids, index) pair: each
+    query explodes to its ``n_probe`` nearest cells, equi-joins the
+    index on the cell id, and exact cosine re-ranks the candidates.
+    Candidate volume is corpus × n_probe / n_cells. The batch/stream
+    portability point: this half touches no training state, so the
+    streaming deployment (streaming/ann_stream.py) runs it verbatim
+    per micro-batch against the static index."""
+    from ..functions._pandas_udfs import make_cell_assign_udf
+
+    probe_udf = make_cell_assign_udf(centroids, n_probe)
+    qb = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    ).withColumn("cell", F.explode(probe_udf(F.col("qv"))))
+    cand = qb.join(index, "cell").filter(F.col("query_id") != F.col("neighbor_id"))
+    pair_dot = make_pair_dot_udf()
+    qn = cand.select(
+        "query_id",
+        "neighbor_id",
+        F.round(
+            pair_dot(F.col("qv"), F.col("cv"))
+            / (norm(F.col("qv"), None) * norm(F.col("cv"), None)),
+            6,
+        ).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return qn.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -400,7 +487,10 @@ def ivf_topk(
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: partition the corpus into
     ``n_cells`` k-means cells; each query scans only its ``n_probe``
-    nearest cells.
+    nearest cells. Composition of :func:`ivf_train` →
+    :func:`ivf_index` → :func:`ivf_probe` (train-and-score in one
+    job; production freezes the first two and reuses them — the same
+    export/score split as BM25's frozen-stats scorer).
 
     Plan shape: corpus → cell assignment (mapInPandas matmul, one pass)
     → equi-join with the query's probed cells (a plain shuffle join on
@@ -414,47 +504,24 @@ def ivf_topk(
     little there. Real embedding corpora cluster; use
     n_cells ≈ √N and n_probe ≈ n_cells/8 as a starting point.
     """
+    centroids = ivf_train(corpus, id_col, vec_col, n_cells, max_train)
+    index = ivf_index(corpus, centroids, id_col, vec_col)
+    return ivf_probe(queries, centroids, index, k, n_probe, id_col, vec_col)
+
+
+def save_centroids(path: str, centroids) -> None:
+    """Persist the centroid artifact as JSON (small — n_cells × dim
+    doubles; exact round-trip via repr-precision floats)."""
+    import json
+
+    with open(path, "w") as f:
+        json.dump([[float(x) for x in row] for row in centroids], f)
+
+
+def load_centroids(path: str):
+    import json
+
     import numpy as np
 
-    from ..functions._pandas_udfs import make_cell_assign_udf
-
-    # Bounded, deterministic training sample: k-means only needs a
-    # representative sample, so the driver NEVER collects more than
-    # ``max_train`` vectors no matter the corpus size (md5-hash
-    # selection — repartition-invariant and identical every run; below
-    # the bound the whole corpus trains, unchanged).
-    train = corpus.select(F.col(id_col), F.col(vec_col))
-    n_corpus = train.count()
-    if n_corpus > max_train:
-        bucket = F.conv(
-            F.substring(F.md5(F.concat(F.lit("ivf:"), F.col(id_col).cast("string"))), 1, 15),
-            16,
-            10,
-        ).cast("long") % 1_000_000
-        train = train.filter(bucket < int(1_000_000 * max_train / n_corpus))
-    collected = train.orderBy(id_col).collect()
-    matrix = np.array([list(r[1]) for r in collected], dtype=np.float64)
-    centroids = _kmeans_centroids(matrix, n_cells)
-
-    assign_udf = make_cell_assign_udf(centroids, 1)
-    probe_udf = make_cell_assign_udf(centroids, n_probe)
-
-    cb = _spread(corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))).withColumn(
-        "cell", assign_udf(F.col("cv"))[0]
-    )
-    qb = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")).withColumn(
-        "cell", F.explode(probe_udf(F.col("qv")))
-    )
-    cand = qb.join(cb, "cell").filter(F.col("query_id") != F.col("neighbor_id"))
-    pair_dot = make_pair_dot_udf()
-    qn = cand.select(
-        "query_id",
-        "neighbor_id",
-        F.round(
-            pair_dot(F.col("qv"), F.col("cv"))
-            / (norm(F.col("qv"), None) * norm(F.col("cv"), None)),
-            6,
-        ).alias("cos_sim"),
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
-    return qn.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    with open(path) as f:
+        return np.array(json.load(f), dtype=np.float64)
