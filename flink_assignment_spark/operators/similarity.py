@@ -81,6 +81,54 @@ def cosine_topk(
     )
 
 
+def semantic_contamination(
+    corpus: DataFrame,
+    probes: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_probe_block: int = 65_536,
+) -> DataFrame:
+    """Embedding-space decontamination: for every corpus vector, the
+    max cosine against a bounded eval/probe set, flagged at
+    ``threshold`` — the semantic complement of the n-gram probe
+    (q60 catches verbatim leakage; paraphrased eval items only
+    surface in embedding space). Returns
+    (id, max_cos, contaminated).
+
+    Same scale contract as :func:`cosine_topk`: the PROBE set is the
+    bounded side (an eval benchmark, thousands of rows), collected
+    once under the ``max_probe_block`` guard and closure-shipped; the
+    corpus streams through ``mapInPandas`` fully distributed —
+    O(N·|probe|) work, zero joins, zero shuffles before the per-id
+    max aggregate. max() over round(cos, 6) is fold-order-free, so
+    the result is oracle-exact (cos itself via the shared in-order
+    ``_pair_cos`` fold)."""
+    import numpy as np
+
+    from ..functions._pandas_udfs import make_block_pair_scorer
+
+    collected = probes.select(F.col(id_col), F.col(vec_col)).limit(
+        max_probe_block + 1
+    ).collect()
+    if len(collected) > max_probe_block:
+        raise ValueError(
+            f"semantic_contamination probe block exceeds "
+            f"max_probe_block={max_probe_block}; shard the probe set"
+        )
+    p_ids = np.array([r[0] for r in collected], dtype=np.int64)
+    p_matrix = np.array([list(r[1]) for r in collected], dtype=np.float64)
+    kernel = make_block_pair_scorer(p_ids, p_matrix)
+    scored = _spread(corpus.select(F.col(id_col), F.col(vec_col))).mapInPandas(
+        kernel, schema="id_a bigint, id_b bigint, cos_sim double"
+    )
+    return (
+        scored.groupBy(F.col("id_a").alias(id_col))
+        .agg(F.max(F.round("cos_sim", 6)).alias("max_cos"))
+        .withColumn("contaminated", F.col("max_cos") >= F.lit(threshold))
+    )
+
+
 def plane_weight(table: int, plane: int, d: int) -> float:
     """Deterministic pseudo-random hyperplane weight in [-1000, 1000],
     derived from md5 at plan-build time (no RNG state; identical for

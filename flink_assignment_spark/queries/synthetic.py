@@ -5739,6 +5739,52 @@ REGISTRY.update(
 )
 
 
+SEM_CONTAM_TAU = 0.35  # flags ~5% of the test corpus (max pair cos ~0.5)
+
+
+def q122_semantic_decontamination(spark, sf_dir):
+    """Embedding-space eval decontamination — the semantic complement
+    of q60's n-gram probe: paraphrased benchmark items share no
+    13-gram but sit close in embedding space. For every corpus
+    vector, the max cosine against the probe set (vec_id < 20 plays
+    the eval benchmark), flagged at SEM_CONTAM_TAU. The probe block
+    is closure-shipped and the corpus streams through ONE
+    mapInPandas pass (operators/similarity.py::semantic_contamination
+    — zero joins; the only exchange is the per-id max). max over
+    round(cos, 6) is fold-order-free and the kernel folds dot
+    products in the shared cumsum order, so the driver compare is
+    exact."""
+    from ..operators.similarity import semantic_contamination
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return semantic_contamination(
+        emb.filter(F.col("vec_id") >= 20),
+        emb.filter(F.col("vec_id") < 20),
+        threshold=SEM_CONTAM_TAU,
+    ).select("vec_id", "max_cos", "contaminated")
+
+
+Q122_SQL = f"""
+WITH probe AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 20),
+corp AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 20),
+m AS (
+  SELECT b.vec_id AS vec_id,
+         max(round({_cos_sql('a.embedding', 'b.embedding')}, 6)) AS max_cos
+  FROM probe a CROSS JOIN corp b GROUP BY b.vec_id
+)
+SELECT vec_id, max_cos, max_cos >= {SEM_CONTAM_TAU} AS contaminated FROM m
+"""
+
+
+REGISTRY.update(
+    {
+        "q122_semantic_decontamination": QuerySpec(
+            q122_semantic_decontamination, Q122_SQL
+        ),
+    }
+)
+
+
 # ------------------------------------------------------------------------
 # Registry ordering contract: the driver's correctness harness records at
 # most 50 entries per round (CORRECTNESS_r02 stopped at exactly 50 while

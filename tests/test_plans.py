@@ -437,3 +437,13 @@ def test_q121_dedup_survivorship_no_nested_loop(spark):
     df = REGISTRY["q121_dedup_survivorship"].spark(spark, SF_DIR)
     plan = physical_plan(df)
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan, plan
+
+
+def test_q122_semantic_decontamination_no_join(spark):
+    """The probe block is closure-shipped into one mapInPandas pass —
+    the plan must contain NO join of any kind; the only exchanges are
+    _spread's round-robin fan-out and the per-id max aggregate."""
+    df = REGISTRY["q122_semantic_decontamination"].spark(spark, SF_DIR)
+    plan = physical_plan(df)
+    assert "Join" not in plan, plan
+    assert count_exchanges(df) <= 2, plan
