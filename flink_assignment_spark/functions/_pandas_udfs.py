@@ -94,6 +94,31 @@ def make_block_pair_scorer(block_ids, block_matrix):
     return score
 
 
+def make_block_max_scorer(block_ids, block_matrix):
+    """mapInPandas kernel emitting ONE row per stream row: its max
+    raw cosine against the closure-shipped block (self-matches
+    masked). The per-row reduction happens INSIDE the kernel, so the
+    consumer needs no aggregate exchange at all — a stateless narrow
+    map, batch/stream portable verbatim. Exactness: the unrounded
+    cosines follow :func:`_pair_cos`'s shared fold; max is exact
+    selection (no fold), and rounding is monotone, so the engine-side
+    ``round(max_cos, 6)`` equals the oracle's ``max(round(cos, 6))``.
+    """
+    B = block_matrix.astype(np.float64)
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rows_id = pdf.iloc[:, 0].values.astype(np.int64)
+            R = np.stack(pdf.iloc[:, 1].values).astype(np.float64)
+            cos = _pair_cos(R, B)
+            cos[block_ids[None, :] == rows_id[:, None]] = -np.inf
+            yield pd.DataFrame({"id": rows_id, "max_cos": cos.max(axis=1)})
+
+    return score
+
+
 def make_self_block_pair_scorer(min_cos: float | None = None):
     """applyInPandas kernel for blocked all-pairs self-scoring.
 

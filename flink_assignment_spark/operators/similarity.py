@@ -100,13 +100,16 @@ def semantic_contamination(
     bounded side (an eval benchmark, thousands of rows), collected
     once under the ``max_probe_block`` guard and closure-shipped; the
     corpus streams through ``mapInPandas`` fully distributed —
-    O(N·|probe|) work, zero joins, zero shuffles before the per-id
-    max aggregate. max() over round(cos, 6) is fold-order-free, so
-    the result is oracle-exact (cos itself via the shared in-order
-    ``_pair_cos`` fold)."""
+    O(N·|probe|) work, zero joins, ZERO shuffles: the per-row max
+    happens inside the kernel, so this is a stateless narrow map that
+    runs verbatim on a streaming frame
+    (streaming.gates_stream.semantic_gate_stream). Exact vs the
+    oracle: the kernel folds dot products in the shared in-order
+    ``_pair_cos`` convention, max is exact selection, and rounding is
+    monotone — ``round(max) == max(round)``."""
     import numpy as np
 
-    from ..functions._pandas_udfs import make_block_pair_scorer
+    from ..functions._pandas_udfs import make_block_max_scorer
 
     collected = probes.select(F.col(id_col), F.col(vec_col)).limit(
         max_probe_block + 1
@@ -118,14 +121,14 @@ def semantic_contamination(
         )
     p_ids = np.array([r[0] for r in collected], dtype=np.int64)
     p_matrix = np.array([list(r[1]) for r in collected], dtype=np.float64)
-    kernel = make_block_pair_scorer(p_ids, p_matrix)
+    kernel = make_block_max_scorer(p_ids, p_matrix)
     scored = _spread(corpus.select(F.col(id_col), F.col(vec_col))).mapInPandas(
-        kernel, schema="id_a bigint, id_b bigint, cos_sim double"
+        kernel, schema="id bigint, max_cos double"
     )
-    return (
-        scored.groupBy(F.col("id_a").alias(id_col))
-        .agg(F.max(F.round("cos_sim", 6)).alias("max_cos"))
-        .withColumn("contaminated", F.col("max_cos") >= F.lit(threshold))
+    return scored.select(
+        F.col("id").alias(id_col),
+        F.round("max_cos", 6).alias("max_cos"),
+        (F.round("max_cos", 6) >= F.lit(threshold)).alias("contaminated"),
     )
 
 

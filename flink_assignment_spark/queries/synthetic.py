@@ -5750,10 +5750,11 @@ def q122_semantic_decontamination(spark, sf_dir):
     the eval benchmark), flagged at SEM_CONTAM_TAU. The probe block
     is closure-shipped and the corpus streams through ONE
     mapInPandas pass (operators/similarity.py::semantic_contamination
-    — zero joins; the only exchange is the per-id max). max over
-    round(cos, 6) is fold-order-free and the kernel folds dot
-    products in the shared cumsum order, so the driver compare is
-    exact."""
+    — zero joins, zero shuffles: the per-row max reduces inside the
+    kernel, which also makes the op a stateless streaming gate). The
+    kernel folds dot products in the shared cumsum order, max is
+    exact selection, and rounding is monotone (round(max) ==
+    max(round)), so the driver compare is exact."""
     from ..operators.similarity import semantic_contamination
 
     emb = _t(spark, sf_dir, "embeddings")

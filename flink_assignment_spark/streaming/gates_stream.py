@@ -58,6 +58,25 @@ def compression_gate_stream(
     return compression_stats(docs, text_col, id_col)
 
 
+def semantic_gate_stream(
+    vectors: DataFrame,
+    probes: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-space decontamination gate for a streamed corpus —
+    the batch q122 operator applied UNCHANGED to a streaming frame:
+    the probe block is bounded and closure-shipped, and the per-row
+    max cosine reduces inside the mapInPandas kernel, so the whole op
+    is a stateless narrow map (no aggregate state, append mode).
+    ``probes`` must be a STATIC frame (the eval benchmark); refresh =
+    restart with the new block, same as the BM25 frozen stats."""
+    from ..operators.similarity import semantic_contamination
+
+    return semantic_contamination(vectors, probes, threshold, id_col, vec_col)
+
+
 def quality_cutoffs(docs: DataFrame, keep_per_5: int = 1) -> DataFrame:
     """Batch half of the deployable quality-prune gate: compute
     q116's exact per-source kept-set boundary — (cutoff_score,

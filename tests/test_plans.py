@@ -441,9 +441,10 @@ def test_q121_dedup_survivorship_no_nested_loop(spark):
 
 def test_q122_semantic_decontamination_no_join(spark):
     """The probe block is closure-shipped into one mapInPandas pass —
-    the plan must contain NO join of any kind; the only exchanges are
-    _spread's round-robin fan-out and the per-id max aggregate."""
+    the plan must contain NO join and NO aggregate (the per-row max
+    reduces inside the kernel); the only exchange is _spread's
+    round-robin fan-out of the small local file."""
     df = REGISTRY["q122_semantic_decontamination"].spark(spark, SF_DIR)
     plan = physical_plan(df)
-    assert "Join" not in plan, plan
-    assert count_exchanges(df) <= 2, plan
+    assert "Join" not in plan and "HashAggregate" not in plan, plan
+    assert count_exchanges(df) <= 1, plan

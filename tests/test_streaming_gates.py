@@ -164,3 +164,27 @@ def test_quality_cutoffs_tiny_source_keeps_nothing(spark):
     kept = quality_prune_stream(docs, cut).collect()
     assert all(r.source == "big" for r in kept)
     assert len(kept) == 2  # floor(10 / 5)
+
+
+def test_semantic_gate_stream_matches_batch_q122(spark, tmp_path):
+    """The embedding decontamination gate is a stateless narrow map:
+    streamed over the corpus it emits exactly batch q122's rows."""
+    from flink_assignment_spark.queries.synthetic import SEM_CONTAM_TAU
+    from flink_assignment_spark.streaming.gates_stream import semantic_gate_stream
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    want = {
+        tuple(r)
+        for r in REGISTRY["q122_semantic_decontamination"].spark(spark, SF_DIR).collect()
+    }
+    d = str(tmp_path / "emb_s")
+    emb.filter(F.col("vec_id") >= 20).select("vec_id", "embedding").write.parquet(d)
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<float>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    probes = emb.filter(F.col("vec_id") < 20)
+    run_stream(semantic_gate_stream(stream, probes, SEM_CONTAM_TAU), "semgate")
+    got = {tuple(r) for r in spark.table("semgate").collect()}
+    assert got == want and len(want) > 0
