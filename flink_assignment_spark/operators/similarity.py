@@ -142,6 +142,50 @@ def plane_weight(table: int, plane: int, d: int) -> float:
     return float(h % 2001 - 1000)
 
 
+def lsh_bucketize_self(
+    corpus: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 4,
+    n_tables: int = 16,
+    query_pred=None,
+) -> DataFrame:
+    """One bucketize pass over the corpus for the self-query LSH form:
+    (neighbor_id, cv, __qsel, tbl, bkt), cached and materialized
+    (two branches of one action race on a lazy cache and each
+    recompute it). This frame is the LSH analogue of the IVF index —
+    build once per session (or persist to storage) and pass to
+    :func:`lsh_topk` as ``base``."""
+    import numpy as np
+
+    from ..functions._pandas_udfs import make_lsh_buckets_udf
+
+    weights = np.array(
+        [
+            [[plane_weight(t, p, d) for d in range(dim)] for p in range(n_planes)]
+            for t in range(n_tables)
+        ],
+        dtype=np.float64,
+    )
+    buckets_udf = make_lsh_buckets_udf(weights)
+    qsel = query_pred if query_pred is not None else F.lit(False)
+    base = (
+        _spread(
+            corpus.select(
+                F.col(id_col).alias("neighbor_id"),
+                F.col(vec_col).alias("cv"),
+                qsel.alias("__qsel"),
+            )
+        )
+        .withColumn("__buckets", buckets_udf(F.col("cv")))
+        .select("neighbor_id", "cv", "__qsel", F.posexplode("__buckets").alias("tbl", "bkt"))
+    )
+    base = base.cache()
+    base.count()
+    return base
+
+
 def lsh_topk(
     queries: DataFrame | None,
     corpus: DataFrame,
@@ -152,6 +196,7 @@ def lsh_topk(
     n_planes: int = 4,
     n_tables: int = 16,
     query_pred=None,
+    base: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate top-k: compare only bucket-colliding pairs.
 
@@ -171,7 +216,11 @@ def lsh_topk(
     (a Column over the corpus' columns) instead of a ``queries``
     DataFrame: the corpus is bucketized ONCE, materialized in the
     cache, and the query side filters that cache — halving the
-    Python-UDF passes and keeping both join sides co-derived.
+    Python-UDF passes and keeping both join sides co-derived. A
+    prebuilt ``base`` (from :func:`lsh_bucketize_self`, e.g. a
+    session-shared or persisted-to-storage copy) skips the bucketize
+    pass entirely — the index half of the same train-once/probe-always
+    split the IVF path has.
     """
     import numpy as np
 
@@ -197,22 +246,11 @@ def lsh_topk(
             )
         )
 
-    if query_pred is not None:
-        # one bucketize pass; cache + count BEFORE fan-out (two branches
-        # of one action race on a lazy cache and each recompute it)
-        base = (
-            _spread(
-                corpus.select(
-                    F.col(id_col).alias("neighbor_id"),
-                    F.col(vec_col).alias("cv"),
-                    query_pred.alias("__qsel"),
-                )
+    if query_pred is not None or base is not None:
+        if base is None:
+            base = lsh_bucketize_self(
+                corpus, dim, id_col, vec_col, n_planes, n_tables, query_pred
             )
-            .withColumn("__buckets", buckets_udf(F.col("cv")))
-            .select("neighbor_id", "cv", "__qsel", F.posexplode("__buckets").alias("tbl", "bkt"))
-        )
-        base = base.cache()
-        base.count()
         cb = base.drop("__qsel")
         qb = (
             base.filter(F.col("__qsel"))

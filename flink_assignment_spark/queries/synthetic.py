@@ -127,6 +127,35 @@ def _shared_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
 # plain numpy array, so clearCache() cannot invalidate it.
 _IVF_MEMO: dict[tuple[str, str], object] = {}
 
+# Per-(session, corpus) memo of q43's bucketized LSH corpus — the LSH
+# analogue of the IVF artifact (one pandas-UDF bucketize pass feeds
+# every probe). DataFrame-backed, so the storage-level recheck
+# restores the cache after bench.py's per-query clearCache(), same as
+# _SHINGLE_MEMO.
+_LSH_MEMO: dict[tuple[str, str], DataFrame] = {}
+
+
+def _shared_lsh_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark import StorageLevel
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    base = _LSH_MEMO.get(key)
+    if base is None:
+        from ..operators.similarity import lsh_bucketize_self
+
+        base = lsh_bucketize_self(
+            _t(spark, sf_dir, "embeddings"), dim=64, query_pred=F.col("vec_id") < 20
+        )
+        _LSH_MEMO[key] = base
+    elif base.storageLevel == StorageLevel.NONE:
+        # re-materialize eagerly: the probe join fans into two branches
+        # of ONE job, which would race on a lazy re-persisted cache and
+        # each re-run the bucketize UDF (the same reason the initial
+        # build counts before returning)
+        base.persist(StorageLevel.MEMORY_AND_DISK)
+        base.count()
+    return base
+
 
 def _shared_centroids(spark: SparkSession, sf_dir: str):
     key = (spark.sparkContext.applicationId, sf_dir)
@@ -1637,12 +1666,14 @@ def q43_lsh_ann(spark, sf_dir):
     literals (operators/similarity.py::plane_weight) — fully
     deterministic, but the bucketing itself is not SQL-expressible →
     rows-only driver check; recall >= 0.6@5 and determinism are
-    pytest-verified (tests/test_operators.py::test_lsh_topk_recall)."""
+    pytest-verified (tests/test_operators.py::test_lsh_topk_recall).
+    The bucketized corpus comes from the session-shared frame
+    (_shared_lsh_base — the index half of the train-once split)."""
     from ..operators.similarity import lsh_topk
 
     emb = _t(spark, sf_dir, "embeddings")
     return lsh_topk(
-        None, emb, k=5, dim=64, query_pred=F.col("vec_id") < 20
+        None, emb, k=5, dim=64, base=_shared_lsh_base(spark, sf_dir)
     ).select("query_id", "neighbor_id", "cos_sim", F.col("rank").cast("int").alias("rank"))
 
 
