@@ -20,13 +20,26 @@ from .lm import bigram_lm_scores, export_lm, score_with_broadcast_lm
 from .packing import pack_stats
 from .sampling import (
     assign_split,
+    group_split,
     mixture_rates,
     mixture_rebalance,
     stratified_sample,
     uniform_from_key,
 )
 from .sessionize import session_stats, sessionize
-from .similarity import cosine_neardup_pairs, cosine_topk, ivf_topk, lsh_topk
+from .similarity import (
+    cosine_neardup_pairs,
+    cosine_topk,
+    ivf_index,
+    ivf_probe,
+    ivf_topk,
+    ivf_train,
+    load_centroids,
+    lsh_bucketize_self,
+    lsh_topk,
+    save_centroids,
+    semantic_contamination,
+)
 from .skew import salted_agg, salted_join
 
 __all__ = [
@@ -45,9 +58,15 @@ __all__ = [
     "exact_dedup",
     "export_lm",
     "followed_by",
+    "group_split",
     "heavy_hitters",
     "interval_join",
+    "ivf_index",
+    "ivf_probe",
     "ivf_topk",
+    "ivf_train",
+    "load_centroids",
+    "lsh_bucketize_self",
     "lsh_topk",
     "minhash_lsh_pairs",
     "minhash_signatures",
@@ -59,7 +78,9 @@ __all__ = [
     "repetition_stats",
     "salted_agg",
     "salted_join",
+    "save_centroids",
     "score_with_broadcast_lm",
+    "semantic_contamination",
     "session_stats",
     "sessionize",
     "simhash_fingerprints",
