@@ -14,7 +14,14 @@ from .dedup import (
     substring_scrub,
 )
 from .frequent import heavy_hitters
-from .gates import compression_stats, contaminated_counts, pii_stats, repetition_stats
+from .gates import (
+    bloom_contaminated_counts,
+    build_bloom,
+    compression_stats,
+    contaminated_counts,
+    pii_stats,
+    repetition_stats,
+)
 from .interval_join import bucketed_interval_join, interval_join
 from .lm import bigram_lm_scores, export_lm, score_with_broadcast_lm
 from .packing import pack_stats
@@ -46,6 +53,8 @@ __all__ = [
     "asof_join",
     "assign_split",
     "bigram_lm_scores",
+    "bloom_contaminated_counts",
+    "build_bloom",
     "bucketed_interval_join",
     "chunk_occurrences",
     "compression_stats",

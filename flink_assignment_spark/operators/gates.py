@@ -100,6 +100,100 @@ def contaminated_counts(
     ).withColumn("contaminated", F.col("n_contaminated_shingles") > 0)
 
 
+# ---- Bloom-filter contamination probe: the bounded-memory scale path.
+# contaminated_counts broadcasts the probe shingles as a Python set —
+# exact, but the memory per executor grows linearly with the eval
+# suite (a 10^9-shingle benchmark union is tens of GB as a set). The
+# Bloom form bounds it at bits_per_element/8 bytes per shingle (16
+# bits ⇒ 2 bytes; FP ≈ (1−e^{−k·m/n})^k ≈ 0.24% at k=4) with ZERO
+# false negatives — a flagged-doc superset, which is the correct
+# failure direction for a contamination gate (review the flags, never
+# miss one). Hashing is multiply-shift (Dietzfelbinger et al.) over
+# the shingle's 60-bit md5-derived hash: odd 64-bit multipliers, top
+# log2(n_bits) bits — deterministic, vectorizable, no RNG state.
+_BLOOM_MULT = (
+    0x9E3779B97F4A7C15,
+    0xC2B2AE3D27D4EB4F,
+    0x165667B19E3779F9,
+    0xD6E8FEB86659FD93,
+)
+
+
+def build_bloom(
+    probe_hashes: set[int] | frozenset[int],
+    bits_per_element: int = 16,
+    k: int = 4,
+) -> tuple[bytes, int]:
+    """Pack the probe shingle hashes into a Bloom filter; returns
+    (bitmap bytes, n_bits). n_bits rounds up to a power of two so the
+    multiply-shift hash is a plain top-bits take."""
+    import math
+
+    import numpy as np
+
+    if k > len(_BLOOM_MULT):
+        raise ValueError(f"k <= {len(_BLOOM_MULT)} supported")
+    m = max(1, len(probe_hashes))
+    log2bits = max(6, math.ceil(math.log2(m * bits_per_element)))
+    n_bits = 1 << log2bits
+    bits = np.zeros(n_bits // 8, dtype=np.uint8)
+    if probe_hashes:
+        arr = np.fromiter(probe_hashes, dtype=np.uint64, count=len(probe_hashes))
+        shift = np.uint64(64 - log2bits)
+        for mult in _BLOOM_MULT[:k]:
+            idx = ((arr * np.uint64(mult)) >> shift).astype(np.int64)
+            np.bitwise_or.at(bits, idx >> 3, (1 << (idx & 7)).astype(np.uint8))
+    return bits.tobytes(), n_bits
+
+
+def bloom_contaminated_counts(
+    docs: DataFrame,
+    bloom_bits: bytes,
+    n_bits: int,
+    k: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """(id, n_contaminated_shingles, contaminated) per document via
+    the Bloom probe — same shape as :func:`contaminated_counts`, a
+    stateless narrow map that runs unchanged on streams, but the
+    broadcast is the fixed-size bitmap instead of the probe set.
+    Counts are an upper bound (false positives only, never
+    negatives): every exactly-contaminated doc is flagged, plus an
+    FP-rate-bounded remainder (measured in
+    tests/test_state_and_guards.py)."""
+    import math
+
+    import numpy as np
+
+    bc = docs.sparkSession.sparkContext.broadcast(bloom_bits)
+    log2bits = int(math.log2(n_bits))
+    shift = np.uint64(64 - log2bits)
+    mults = [np.uint64(m) for m in _BLOOM_MULT[:k]]
+
+    @F.pandas_udf("int")
+    def _n_hits(shingle_arrays: pd.Series) -> pd.Series:
+        bits = np.frombuffer(bc.value, dtype=np.uint8)
+
+        def count(arr):
+            if arr is None or not len(arr):
+                return 0
+            h = np.asarray(arr, dtype=np.uint64)
+            hit = np.ones(len(h), dtype=bool)
+            for mult in mults:
+                idx = ((h * mult) >> shift).astype(np.int64)
+                hit &= (bits[idx >> 3] & (1 << (idx & 7)).astype(np.uint8)) != 0
+            return int(hit.sum())
+
+        return shingle_arrays.apply(count)
+
+    return docs.select(
+        id_col,
+        _n_hits(shingle_hash_array(F.col(text_col), n)).alias("n_contaminated_shingles"),
+    ).withColumn("contaminated", F.col("n_contaminated_shingles") > 0)
+
+
 # PCRE subset shared by Spark (Java regex) and DuckDB (RE2): no
 # backrefs, no lookaround, so both engines match identical spans.
 EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"

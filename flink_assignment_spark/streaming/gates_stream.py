@@ -37,6 +37,26 @@ def contamination_gate_stream(
     return contaminated_counts(docs, probe_hashes, text_col, id_col, n)
 
 
+def bloom_contamination_gate_stream(
+    docs: DataFrame,
+    bloom_bits: bytes,
+    n_bits: int,
+    k: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """The bounded-memory contamination gate for streams whose probe
+    set outgrew a broadcast Python set: the fixed-size Bloom bitmap
+    (operators.gates.build_bloom) ships once per executor; counts are
+    a zero-false-negative upper bound (flag superset — the correct
+    failure direction for a gate). Same stateless narrow map as the
+    exact form."""
+    from ..operators.gates import bloom_contaminated_counts
+
+    return bloom_contaminated_counts(docs, bloom_bits, n_bits, k, text_col, id_col, n)
+
+
 def pii_gate_stream(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -197,3 +197,66 @@ def test_read_bucket_state_empty_schema_matches_folded(spark, tmp_path):
     )
     # and the schemas must union cleanly (the caller operation that broke)
     assert folded.unionByName(empty).count() == folded.count()
+
+
+def test_bloom_gate_superset_and_fp_bound(spark):
+    """The Bloom contamination gate flags EVERY exactly-contaminated
+    doc (zero false negatives) with per-doc counts >= the exact ones,
+    and the extra (false-positive) shingle hits stay under a loose 2%
+    of scanned shingles (theoretical ~0.24% at 16 bits/element, k=4)."""
+    from pyspark.sql import functions as F
+
+    from flink_assignment_spark.operators.dedup import doc_shingles
+    from flink_assignment_spark.operators.gates import (
+        bloom_contaminated_counts,
+        build_bloom,
+        contaminated_counts,
+    )
+    from flink_assignment_spark.sources.loaders import load_table
+
+    from .conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    probe = {
+        r.h
+        for r in doc_shingles(docs)
+        .filter(F.col("doc_id") < 20)
+        .select("h")
+        .distinct()
+        .collect()
+    }
+    corpus = docs.filter(F.col("doc_id") >= 20)
+    exact = {
+        r.doc_id: r.n_contaminated_shingles
+        for r in contaminated_counts(corpus, probe).collect()
+    }
+    bits, n_bits = build_bloom(probe)
+    assert len(bits) * 8 == n_bits
+    bloom = {
+        r.doc_id: r.n_contaminated_shingles
+        for r in bloom_contaminated_counts(corpus, bits, n_bits).collect()
+    }
+    assert set(bloom) == set(exact)
+    assert all(bloom[d] >= exact[d] for d in exact)  # no false negatives
+    flagged_exact = {d for d, c in exact.items() if c > 0}
+    flagged_bloom = {d for d, c in bloom.items() if c > 0}
+    assert flagged_exact <= flagged_bloom  # flag superset
+    total_exact = sum(exact.values())
+    total_bloom = sum(bloom.values())
+    total_shingles = doc_shingles(corpus).count()
+    assert total_bloom - total_exact <= max(1, int(0.02 * total_shingles))
+
+
+def test_bloom_empty_probe_flags_nothing(spark):
+    from flink_assignment_spark.operators.gates import (
+        bloom_contaminated_counts,
+        build_bloom,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "some plain words here repeated words here")],
+        "doc_id long, text string",
+    )
+    bits, n_bits = build_bloom(set())
+    out = bloom_contaminated_counts(docs, bits, n_bits).collect()
+    assert out[0].n_contaminated_shingles == 0 and not out[0].contaminated

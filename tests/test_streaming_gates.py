@@ -188,3 +188,25 @@ def test_semantic_gate_stream_matches_batch_q122(spark, tmp_path):
     run_stream(semantic_gate_stream(stream, probes, SEM_CONTAM_TAU), "semgate")
     got = {tuple(r) for r in spark.table("semgate").collect()}
     assert got == want and len(want) > 0
+
+
+def test_bloom_contamination_gate_stream_flags_superset(spark, tmp_path):
+    """Streamed Bloom gate: zero false negatives vs the exact q60
+    flags, same stateless narrow-map deployment."""
+    from flink_assignment_spark.operators.gates import build_bloom
+    from flink_assignment_spark.streaming.gates_stream import (
+        bloom_contamination_gate_stream,
+    )
+
+    bits, n_bits = build_bloom(_probe_hashes(spark))
+    d = str(tmp_path / "docs_bc")
+    _docs(spark).filter(F.col("doc_id") >= 20).write.parquet(d)
+    stream = spark.readStream.schema(DOCS_SCHEMA).option("maxFilesPerTrigger", 1).parquet(d)
+    run_stream(bloom_contamination_gate_stream(stream, bits, n_bits), "bcontam")
+    flagged = {
+        r.doc_id for r in spark.sql("SELECT doc_id FROM bcontam WHERE contaminated").collect()
+    }
+    exact_flagged = {
+        r.doc_id for r in REGISTRY["q60_contamination"].spark(spark, SF_DIR).collect()
+    }
+    assert exact_flagged <= flagged and len(exact_flagged) > 0
