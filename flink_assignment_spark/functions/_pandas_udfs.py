@@ -94,27 +94,39 @@ def make_block_pair_scorer(block_ids, block_matrix):
     return score
 
 
-def make_block_max_scorer(block_ids, block_matrix):
-    """mapInPandas kernel emitting ONE row per stream row: its max
-    raw cosine against the closure-shipped block (self-matches
-    masked). The per-row reduction happens INSIDE the kernel, so the
-    consumer needs no aggregate exchange at all — a stateless narrow
-    map, batch/stream portable verbatim. Exactness: the unrounded
-    cosines follow :func:`_pair_cos`'s shared fold; max is exact
-    selection (no fold), and rounding is monotone, so the engine-side
-    ``round(max_cos, 6)`` equals the oracle's ``max(round(cos, 6))``.
-    """
-    B = block_matrix.astype(np.float64)
+def make_block_max_scorer(bc_blocks):
+    """mapInPandas kernel emitting ONE row per stream row: its max raw
+    cosine against a BROADCAST list of probe matrix blocks, folded with
+    a running max — per-task memory is bounded by ONE
+    (batch_rows × block_rows) cosine matrix no matter how many blocks
+    the probe set sharded into. The per-row reduction happens INSIDE
+    the kernel, so the consumer needs no aggregate exchange at all —
+    a stateless narrow map, batch/stream portable verbatim.
+
+    No id masking: probes and corpus are DISTINCT datasets by contract
+    (an eval benchmark vs a training corpus), so id equality across
+    them is meaningless — masking on it silently dropped a real probe
+    whenever the two tables' id spaces collided (both commonly start
+    at 0), a false NEGATIVE in a never-miss gate.
+
+    Exactness: the unrounded cosines follow :func:`_pair_cos`'s shared
+    fold; per-block max and the cross-block running max are exact
+    selection (no arithmetic fold), so
+    ``max(blocks, max(rows))  ==  max(all rows)`` and the engine-side
+    ``round(max_cos, 6)`` equals the oracle's ``max(round(cos, 6))``
+    (rounding is monotone)."""
 
     def score(batches):
+        blocks = bc_blocks.value
         for pdf in batches:
             if not len(pdf):
                 continue
             rows_id = pdf.iloc[:, 0].values.astype(np.int64)
             R = np.stack(pdf.iloc[:, 1].values).astype(np.float64)
-            cos = _pair_cos(R, B)
-            cos[block_ids[None, :] == rows_id[:, None]] = -np.inf
-            yield pd.DataFrame({"id": rows_id, "max_cos": cos.max(axis=1)})
+            best = np.full(len(rows_id), -np.inf, dtype=np.float64)
+            for B in blocks:
+                np.maximum(best, _pair_cos(R, B).max(axis=1), out=best)
+            yield pd.DataFrame({"id": rows_id, "max_cos": best})
 
     return score
 

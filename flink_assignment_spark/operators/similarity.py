@@ -88,40 +88,61 @@ def semantic_contamination(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_probe_block: int = 65_536,
+    max_probe_total: int = 1_048_576,
 ) -> DataFrame:
     """Embedding-space decontamination: for every corpus vector, the
     max cosine against a bounded eval/probe set, flagged at
     ``threshold`` — the semantic complement of the n-gram probe
     (q60 catches verbatim leakage; paraphrased eval items only
     surface in embedding space). Returns
-    (id, max_cos, contaminated).
+    (id, max_cos, contaminated). An EMPTY probe set short-circuits to
+    (id, null, false) — nothing to be contaminated by.
 
     Same scale contract as :func:`cosine_topk`: the PROBE set is the
-    bounded side (an eval benchmark, thousands of rows), collected
-    once under the ``max_probe_block`` guard and closure-shipped; the
+    bounded side (an eval-benchmark union), collected once, SHARDED
+    into ≤ ``max_probe_block``-row matrix blocks, and broadcast; the
     corpus streams through ``mapInPandas`` fully distributed —
-    O(N·|probe|) work, zero joins, ZERO shuffles: the per-row max
-    happens inside the kernel, so this is a stateless narrow map that
-    runs verbatim on a streaming frame
-    (streaming.gates_stream.semantic_gate_stream). Exact vs the
-    oracle: the kernel folds dot products in the shared in-order
-    ``_pair_cos`` convention, max is exact selection, and rounding is
-    monotone — ``round(max) == max(round)``."""
+    O(N·|probe|) work, zero joins, ZERO shuffles: the kernel folds a
+    running per-row max across the blocks, so per-task memory is
+    bounded by one (batch × block) matrix regardless of probe size
+    and the whole op stays a stateless narrow map that runs verbatim
+    on a streaming frame (streaming.gates_stream.semantic_gate_stream).
+    ``max_probe_total`` guards the one genuinely bounded resource —
+    driver + broadcast memory (1M × dim-64 float64 ≈ 512 MB); a probe
+    set past it is no longer the "bounded side" and the right tool is
+    the join-based :func:`cosine_neardup_pairs` family.
+
+    Probes and corpus are distinct datasets by contract; ids are NOT
+    compared across them (no self-masking — see
+    ``make_block_max_scorer``), matching the oracle's unmasked cross
+    join. Exact vs the oracle: the kernel folds dot products in the
+    shared in-order ``_pair_cos`` convention, per-block and
+    cross-block max are exact selection, and rounding is monotone —
+    ``round(max) == max(round)``."""
     import numpy as np
 
     from ..functions._pandas_udfs import make_block_max_scorer
 
-    collected = probes.select(F.col(id_col), F.col(vec_col)).limit(
-        max_probe_block + 1
-    ).collect()
-    if len(collected) > max_probe_block:
+    collected = probes.select(F.col(vec_col)).limit(max_probe_total + 1).collect()
+    if len(collected) > max_probe_total:
         raise ValueError(
-            f"semantic_contamination probe block exceeds "
-            f"max_probe_block={max_probe_block}; shard the probe set"
+            f"semantic_contamination probe set exceeds max_probe_total="
+            f"{max_probe_total} rows — that is no longer a broadcastable "
+            "bounded side; use a distributed pairwise scan instead"
         )
-    p_ids = np.array([r[0] for r in collected], dtype=np.int64)
-    p_matrix = np.array([list(r[1]) for r in collected], dtype=np.float64)
-    kernel = make_block_max_scorer(p_ids, p_matrix)
+    if not collected:
+        return corpus.select(
+            F.col(id_col),
+            F.lit(None).cast("double").alias("max_cos"),
+            F.lit(False).alias("contaminated"),
+        )
+    p_matrix = np.array([list(r[0]) for r in collected], dtype=np.float64)
+    blocks = [
+        p_matrix[i : i + max_probe_block]
+        for i in range(0, len(p_matrix), max_probe_block)
+    ]
+    bc = corpus.sparkSession.sparkContext.broadcast(blocks)
+    kernel = make_block_max_scorer(bc)
     scored = _spread(corpus.select(F.col(id_col), F.col(vec_col))).mapInPandas(
         kernel, schema="id bigint, max_cos double"
     )

@@ -781,3 +781,84 @@ def test_dup_spans_property_matches_reference_merge(spark, pos, k):
     got = [(s["s"], s["e"]) for s in row["sp"]]
     assert got == want
     assert sum(e - s for s, e in got) == row["cov"]
+
+
+# ------------------------- semantic_contamination (q122's operator)
+def _emb_rows(ids, dim=8, seed=0):
+    """Deterministic unit-ish vectors (hash-derived, no RNG state)."""
+    import hashlib
+
+    rows = []
+    for i in ids:
+        v = [
+            (int(hashlib.md5(f"{seed}:{i}:{d}".encode()).hexdigest()[:8], 16) % 2001 - 1000)
+            / 1000.0
+            for d in range(dim)
+        ]
+        rows.append((i, v))
+    return rows
+
+
+def test_semantic_contamination_block_fold_exact(spark):
+    """Sharding the probe set into many blocks (running max across
+    blocks) must produce byte-identical max_cos to the single-block
+    form — the scale path past the old 65,536-row cap."""
+    from flink_assignment_spark.operators.similarity import semantic_contamination
+
+    corpus = spark.createDataFrame(_emb_rows(range(100, 140), seed=1), "vec_id long, embedding array<double>")
+    probes = spark.createDataFrame(_emb_rows(range(0, 150), seed=2), "vec_id long, embedding array<double>")
+    one = semantic_contamination(corpus, probes, 0.5, max_probe_block=10_000)
+    many = semantic_contamination(corpus, probes, 0.5, max_probe_block=16)
+    a = {r.vec_id: (r.max_cos, r.contaminated) for r in one.collect()}
+    b = {r.vec_id: (r.max_cos, r.contaminated) for r in many.collect()}
+    assert a == b and len(a) == 40
+
+
+def test_semantic_contamination_overlapping_ids_not_masked(spark):
+    """Probe and corpus are DISTINCT tables; an id collision between
+    them must NOT suppress the probe (regression: the old kernel
+    masked on id equality, silently forcing a false negative when
+    both tables' id spaces started at the same origin)."""
+    import numpy as np
+
+    from flink_assignment_spark.operators.similarity import semantic_contamination
+
+    # corpus id 7 collides with probe id 7, and that probe is the
+    # corpus row's NEAREST probe (identical vector => cos 1.0)
+    vec = [1.0, 0.0, 0.0, 0.0]
+    far = [0.0, 1.0, 0.0, 0.0]
+    corpus = spark.createDataFrame([(7, vec)], "vec_id long, embedding array<double>")
+    probes = spark.createDataFrame(
+        [(7, vec), (8, far)], "vec_id long, embedding array<double>"
+    )
+    got = semantic_contamination(corpus, probes, 0.9).collect()
+    assert len(got) == 1
+    assert got[0].max_cos == 1.0 and bool(got[0].contaminated)
+    del np
+
+
+def test_semantic_contamination_empty_probe_flags_nothing(spark):
+    """An empty probe frame short-circuits to (id, null, false) rows
+    instead of crashing in the kernel — mirror of
+    test_bloom_empty_probe_flags_nothing."""
+    from flink_assignment_spark.operators.similarity import semantic_contamination
+
+    corpus = spark.createDataFrame(_emb_rows(range(5)), "vec_id long, embedding array<double>")
+    probes = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    got = semantic_contamination(corpus, probes, 0.5).collect()
+    assert len(got) == 5
+    assert all(r.max_cos is None and not r.contaminated for r in got)
+
+
+def test_semantic_contamination_total_guard(spark):
+    """The driver/broadcast-memory guard still refuses a probe set
+    that is no longer a bounded side — but only past max_probe_total,
+    not per-block."""
+    import pytest
+
+    from flink_assignment_spark.operators.similarity import semantic_contamination
+
+    corpus = spark.createDataFrame(_emb_rows(range(3)), "vec_id long, embedding array<double>")
+    probes = spark.createDataFrame(_emb_rows(range(9)), "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="max_probe_total"):
+        semantic_contamination(corpus, probes, 0.5, max_probe_block=2, max_probe_total=8)
