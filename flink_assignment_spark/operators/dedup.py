@@ -323,6 +323,7 @@ def minhash_lsh_pairs(
     max_doc_freq: int | None = None,
     max_bucket: int | None = None,
     shingles: DataFrame | None = None,
+    banded: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash + LSH banding near-dup pairs, verified by exact Jaccard.
 
@@ -346,20 +347,34 @@ def minhash_lsh_pairs(
     degenerate LSH buckets before pair expansion (see module-level
     cap rationale). A prebuilt (already-capped, persisted) ``shingles``
     frame may be passed instead of ``max_doc_freq`` — same mutual
-    exclusion as :func:`ngram_jaccard_pairs`.
+    exclusion as :func:`ngram_jaccard_pairs`. A prebuilt ``banded``
+    frame (``band_keys(minhash_signatures(...))`` over the SAME
+    shingle index — e.g. a session-shared or persisted-to-storage
+    artifact) additionally skips the signature aggregation, the LSH
+    analogue of passing a prebuilt ``base`` to similarity.lsh_topk;
+    the Jaccard verification still reads ``shingles``, so both
+    artifacts must derive from one index for the reported value to be
+    consistent.
     """
     if shingles is not None and max_doc_freq is not None:
         raise ValueError(
             "pass max_doc_freq when building the index, not alongside a "
             "prebuilt `shingles` frame — the cap would be silently ignored"
         )
+    if banded is not None and shingles is None:
+        raise ValueError(
+            "a prebuilt `banded` frame requires the `shingles` index it "
+            "was derived from — verification Jaccard must use the same "
+            "capped shingle sets the signatures hashed"
+        )
     sh = (
         shingles
         if shingles is not None
         else doc_shingles(docs, text_col, id_col, n, max_doc_freq).cache()
     )
-    sigs = minhash_signatures(docs, text_col, id_col, n, shingles=sh)
-    banded = band_keys(sigs, rows_per_band)
+    if banded is None:
+        sigs = minhash_signatures(docs, text_col, id_col, n, shingles=sh)
+        banded = band_keys(sigs, rows_per_band)
     buckets = (
         banded.groupBy("band", "key")
         .agg(F.collect_list("doc_id").alias("ids"))

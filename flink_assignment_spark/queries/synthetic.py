@@ -157,6 +157,33 @@ def _shared_lsh_base(spark: SparkSession, sf_dir: str) -> DataFrame:
     return base
 
 
+# Per-(session, corpus) memo of q16's MinHash band-key frame —
+# (doc_id, band, key), the signature/bucket artifact derived from the
+# shared shingle index. q16 re-derived it on every call while every
+# other near-dup family member already had an artifact split (q43's
+# LSH base, q31's centroids); one persisted build per session replaces
+# that. Single-consumer per action (banded → bucket groupBy), so a
+# lazy persist is safe — the first candidate job materializes it.
+_MINHASH_MEMO: dict[tuple[str, str], DataFrame] = {}
+
+
+def _shared_minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark import StorageLevel
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    b = _MINHASH_MEMO.get(key)
+    if b is None:
+        from ..operators.dedup import band_keys, minhash_signatures
+
+        docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+        sigs = minhash_signatures(docs, shingles=_shared_shingles(spark, sf_dir))
+        b = band_keys(sigs, rows_per_band=2).persist(StorageLevel.MEMORY_AND_DISK)
+        _MINHASH_MEMO[key] = b
+    elif b.storageLevel == StorageLevel.NONE:
+        b.persist(StorageLevel.MEMORY_AND_DISK)
+    return b
+
+
 def _shared_centroids(spark: SparkSession, sf_dir: str):
     key = (spark.sparkContext.applicationId, sf_dir)
     c = _IVF_MEMO.get(key)
@@ -745,12 +772,15 @@ def q16_dedup_minhash_lsh(spark, sf_dir):
     Jaccard ≥ 0.3. Hashing is md5-derived so the oracle reproduces the
     identical signatures. Posting lists and LSH buckets are capped
     (MAX_SHINGLE_DF / MAX_LSH_BUCKET) against degenerate-corpus skew.
-    Reads the session-shared shingle index (_shared_shingles)."""
+    Reads the session-shared shingle index (_shared_shingles) AND the
+    session-shared signature/band artifact (_shared_minhash_bands) —
+    the same build-once/probe-always split as q43's LSH base."""
     return minhash_lsh_pairs(
         _t(spark, sf_dir, "documents"),
         threshold=0.3,
         max_bucket=MAX_LSH_BUCKET,
         shingles=_shared_shingles(spark, sf_dir),
+        banded=_shared_minhash_bands(spark, sf_dir),
     )
 
 
