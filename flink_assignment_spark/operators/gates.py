@@ -163,6 +163,17 @@ def bloom_contaminated_counts(
     negatives): every exactly-contaminated doc is flagged, plus an
     FP-rate-bounded remainder (measured in
     tests/test_state_and_guards.py)."""
+    _n_hits = _make_bloom_hits_udf(docs, bloom_bits, n_bits, k)
+    return docs.select(
+        id_col,
+        _n_hits(shingle_hash_array(F.col(text_col), n)).alias("n_contaminated_shingles"),
+    ).withColumn("contaminated", F.col("n_contaminated_shingles") > 0)
+
+
+def _make_bloom_hits_udf(docs: DataFrame, bloom_bits: bytes, n_bits: int, k: int):
+    """The shared Bloom membership counter: per shingle array, how
+    many of its hashes hit the broadcast bitmap (an upper bound on
+    exact membership — FPs only, never FNs)."""
     import math
 
     import numpy as np
@@ -188,10 +199,27 @@ def bloom_contaminated_counts(
 
         return shingle_arrays.apply(count)
 
-    return docs.select(
-        id_col,
-        _n_hits(shingle_hash_array(F.col(text_col), n)).alias("n_contaminated_shingles"),
-    ).withColumn("contaminated", F.col("n_contaminated_shingles") > 0)
+    return _n_hits
+
+
+def bloom_clean_filter(
+    docs: DataFrame,
+    bloom_bits: bytes,
+    n_bits: int,
+    k: int = 4,
+    text_col: str = "text",
+    n: int = 3,
+) -> Column:
+    """Boolean keep-predicate: True iff NONE of the doc's word-n-gram
+    shingle hashes hits the Bloom bitmap. Because the filter has no
+    false negatives, every doc exactly sharing a probe shingle tests
+    False (dropped) — the kept set is a subset of the exact gate's —
+    while FPs only drop an FP-rate-bounded remainder. A narrow
+    per-row predicate (one Arrow UDF + an equality), so
+    ``CorpusPipeline.decontaminate(strategy='bloom')`` applies it
+    unchanged to batch and streaming frames."""
+    _n_hits = _make_bloom_hits_udf(docs, bloom_bits, n_bits, k)
+    return _n_hits(shingle_hash_array(F.col(text_col), n)) == 0
 
 
 # PCRE subset shared by Spark (Java regex) and DuckDB (RE2): no

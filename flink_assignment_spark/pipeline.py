@@ -124,20 +124,58 @@ class CorpusPipeline:
         )
         return self._next(out, f"gate_lang({','.join(sorted(keep))})")
 
-    def decontaminate(self, probe_docs: DataFrame) -> "CorpusPipeline":
+    def decontaminate(
+        self,
+        probe_docs: DataFrame,
+        strategy: str = "exact",
+        bits_per_element: int = 16,
+        bloom_k: int = 4,
+    ) -> "CorpusPipeline":
         """Drop every doc sharing a word-3-gram with ``probe_docs``
         (same text column name; probe sets are eval-suite-bounded by
-        contract). Batch plans the q60/q83 broadcast probe anti-join
-        (JVM-side); a streaming frame can't anti-join against a set
-        derived from itself, so it takes the ``gates_stream`` shape
-        instead — the probe SET broadcast into one Arrow UDF, a
-        stateless narrow filter. Same kept set either way."""
+        contract).
+
+        ``strategy="exact"``: batch plans the q60/q83 broadcast probe
+        anti-join (JVM-side); a streaming frame can't anti-join
+        against a set derived from itself, so it takes the
+        ``gates_stream`` shape instead — the probe SET broadcast into
+        one Arrow UDF, a stateless narrow filter. Same kept set either
+        way.
+
+        ``strategy="bloom"``: the bounded-memory scale path for probe
+        sets that outgrow a broadcast Python set — the probe shingles
+        pack into a fixed-size Bloom bitmap
+        (``operators.gates.build_bloom``: ~16x smaller than the set at
+        500k docs, SCALING.md) and each doc is kept iff NONE of its
+        shingles hits the filter. Zero false negatives by
+        construction, so the DROPPED set is a superset of exact's and
+        the KEPT set a subset — the safe failure direction for a
+        decontamination gate (never train on a missed leak; the
+        FP-rate-bounded extra drops are the price of bounded memory).
+        A stateless narrow map, identical on batch and streaming
+        frames."""
+        if strategy not in ("exact", "bloom"):
+            raise ValueError(f"unknown decontaminate strategy {strategy!r}")
         probe = (
             probe_docs.select(
                 F.explode(shingle_hash_array(F.col(self.text_col))).alias("h")
             )
             .distinct()
         )
+        if strategy == "bloom":
+            from .operators.gates import bloom_clean_filter, build_bloom
+
+            bits, n_bits = build_bloom(
+                frozenset(r["h"] for r in probe.collect()),
+                bits_per_element=bits_per_element,
+                k=bloom_k,
+            )
+            out = self._df.filter(
+                bloom_clean_filter(
+                    self._df, bits, n_bits, bloom_k, text_col=self.text_col
+                )
+            )
+            return self._next(out, "decontaminate[bloom]")
         if self._df.isStreaming:
             # UDF lives in _pandas_udfs (a module without postponed
             # annotations — pandas_udf cannot resolve stringized hints)

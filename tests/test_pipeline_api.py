@@ -257,3 +257,65 @@ def test_assign_splits_matches_q119(spark):
     }
     assert got == want
     assert set(got.values()) <= {"train", "val", "test"}
+
+
+def test_pipeline_bloom_decontaminate(spark):
+    """strategy='bloom' keeps a SUBSET of exact's kept set (zero false
+    negatives: every exactly-contaminated doc is dropped by bloom too),
+    the lineage records the strategy, and the q123 registry row routes
+    through this exact path."""
+    docs = load_table(spark, SF_DIR, "documents")
+    corpus = docs.filter(F.col("doc_id") >= 20)
+    probe = docs.filter(F.col("doc_id") < 20)
+
+    exact = CorpusPipeline(corpus).decontaminate(probe)
+    bloom = CorpusPipeline(corpus).decontaminate(probe, strategy="bloom")
+    assert exact.lineage == ("decontaminate",)
+    assert bloom.lineage == ("decontaminate[bloom]",)
+
+    kept_exact = {r.doc_id for r in exact.df.select("doc_id").collect()}
+    kept_bloom = {r.doc_id for r in bloom.df.select("doc_id").collect()}
+    assert kept_bloom <= kept_exact  # FPs only drop extra, never keep a leak
+    assert kept_bloom  # and it isn't vacuously empty
+
+    q123 = {r.doc_id for r in REGISTRY["q123_bloom_decontaminate"].spark(spark, SF_DIR).collect()}
+    assert q123 == kept_bloom
+
+    import pytest
+
+    with pytest.raises(ValueError, match="strategy"):
+        CorpusPipeline(corpus).decontaminate(probe, strategy="nope")
+
+
+def test_pipeline_bloom_decontaminate_on_stream(spark, tmp_path):
+    """The bloom strategy is a stateless narrow predicate, so the SAME
+    pipeline stage applies to a streaming frame and keeps exactly the
+    batch rows."""
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text", "source")
+    corpus = docs.filter(F.col("doc_id") >= 20)
+    probe = docs.filter(F.col("doc_id") < 20)
+
+    batch_kept = {
+        r.doc_id
+        for r in CorpusPipeline(corpus)
+        .decontaminate(probe, strategy="bloom")
+        .df.select("doc_id")
+        .collect()
+    }
+
+    src = str(tmp_path / "src")
+    corpus.write.parquet(src)
+    stream = spark.readStream.schema(corpus.schema).parquet(src)
+    out = CorpusPipeline(stream).decontaminate(probe, strategy="bloom").df
+    q = (
+        out.writeStream.format("memory")
+        .queryName("bloom_pipe")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    stream_kept = {
+        r.doc_id for r in spark.sql("SELECT doc_id FROM bloom_pipe").collect()
+    }
+    assert stream_kept == batch_kept
