@@ -171,13 +171,20 @@ def lsh_bucketize_self(
     n_planes: int = 4,
     n_tables: int = 16,
     query_pred=None,
+    materialize: bool = True,
 ) -> DataFrame:
-    """One bucketize pass over the corpus for the self-query LSH form:
-    (neighbor_id, cv, __qsel, tbl, bkt), cached and materialized
-    (two branches of one action race on a lazy cache and each
-    recompute it). This frame is the LSH analogue of the IVF index —
-    build once per session (or persist to storage) and pass to
-    :func:`lsh_topk` as ``base``."""
+    """One bucketize pass over the corpus for the LSH index:
+    (neighbor_id, cv, __qsel, tbl, bkt). This frame is the LSH
+    analogue of the IVF index — build once per session (or persist to
+    storage via :func:`save_lsh_base`) and pass to :func:`lsh_topk`
+    as ``base``.
+
+    ``materialize=True`` (default) caches AND counts the frame — the
+    probe join fans it into two branches of one action, which would
+    race on a lazy cache and each recompute the bucketize UDF. Pass
+    ``materialize=False`` when the very next action is a single-pass
+    sink (``save_lsh_base``) — caching there would only double-write
+    the rows."""
     import numpy as np
 
     from ..functions._pandas_udfs import make_lsh_buckets_udf
@@ -202,14 +209,44 @@ def lsh_bucketize_self(
         .withColumn("__buckets", buckets_udf(F.col("cv")))
         .select("neighbor_id", "cv", "__qsel", F.posexplode("__buckets").alias("tbl", "bkt"))
     )
-    base = base.cache()
-    base.count()
+    if materialize:
+        base = base.cache()
+        base.count()
     return base
+
+
+def save_lsh_base(base: DataFrame, path: str) -> None:
+    """Persist a bucketized LSH base as parquet PARTITIONED BY
+    (tbl, bkt) — the storage half of the train-once/probe-always
+    split, mirroring :func:`save_centroids` for IVF. Partitioning on
+    the join key means a probe against the loaded base prunes to the
+    bucket directories its queries actually hash into."""
+    base.select("neighbor_id", "cv", "__qsel", "tbl", "bkt").write.mode(
+        "overwrite"
+    ).partitionBy("tbl", "bkt").parquet(path)
+
+
+def load_lsh_base(spark, path: str, materialize: bool = True) -> DataFrame:
+    """Load a persisted LSH base for :func:`lsh_topk`'s ``base`` /
+    the streaming probe. Partition-directory columns come back as
+    inferred types, so tbl/bkt are re-cast to the int the bucketize
+    pass emits — output is column-identical to the in-memory frame."""
+    df = spark.read.parquet(path).select(
+        "neighbor_id",
+        "cv",
+        "__qsel",
+        F.col("tbl").cast("int").alias("tbl"),
+        F.col("bkt").cast("int").alias("bkt"),
+    )
+    if materialize:
+        df = df.cache()
+        df.count()
+    return df
 
 
 def lsh_topk(
     queries: DataFrame | None,
-    corpus: DataFrame,
+    corpus: DataFrame | None,
     k: int,
     dim: int,
     id_col: str = "vec_id",
@@ -238,25 +275,48 @@ def lsh_topk(
     DataFrame: the corpus is bucketized ONCE, materialized in the
     cache, and the query side filters that cache — halving the
     Python-UDF passes and keeping both join sides co-derived. A
-    prebuilt ``base`` (from :func:`lsh_bucketize_self`, e.g. a
-    session-shared or persisted-to-storage copy) skips the bucketize
-    pass entirely — the index half of the same train-once/probe-always
-    split the IVF path has.
+    prebuilt ``base`` (from :func:`lsh_bucketize_self` /
+    :func:`load_lsh_base` — a session-shared or persisted-to-storage
+    index) skips the bucketize pass entirely — the index half of the
+    same train-once/probe-always split the IVF path has; the query
+    side is then either the base's baked-in ``__qsel`` selection
+    (``queries=None``) or an EXTERNAL ``queries`` frame, bucketized
+    with the same deterministic hyperplanes (the streaming-probe
+    shape: a frozen corpus index, fresh query vectors every batch —
+    streaming/ann_stream.py::lsh_probe_stream). ``query_pred``
+    alongside a prebuilt ``base`` is an error — the selection was
+    baked in when the base was built and a second predicate would be
+    silently ignored.
     """
     import numpy as np
 
     from ..functions._pandas_udfs import make_lsh_buckets_udf
 
-    weights = np.array(
-        [
-            [[plane_weight(t, p, d) for d in range(dim)] for p in range(n_planes)]
-            for t in range(n_tables)
-        ],
-        dtype=np.float64,
-    )
-    buckets_udf = make_lsh_buckets_udf(weights)
+    if base is not None and query_pred is not None:
+        raise ValueError(
+            "query_pred alongside a prebuilt base would be ignored — the "
+            "query selection was baked into the base at build time; pass "
+            "queries= for an external query set instead"
+        )
+    if base is None and corpus is None:
+        raise ValueError("either a corpus or a prebuilt base is required")
+    if base is None and query_pred is not None and queries is not None:
+        raise ValueError(
+            "pass queries OR query_pred, not both — query_pred selects the "
+            "query side from the corpus itself"
+        )
+    if base is None and query_pred is None and queries is None:
+        raise ValueError("no query side: pass queries, query_pred, or a base")
 
     def bucketize(df: DataFrame, id_alias: str, vec_alias: str) -> DataFrame:
+        weights = np.array(
+            [
+                [[plane_weight(t, p, d) for d in range(dim)] for p in range(n_planes)]
+                for t in range(n_tables)
+            ],
+            dtype=np.float64,
+        )
+        buckets_udf = make_lsh_buckets_udf(weights)
         return (
             _spread(df.select(F.col(id_col).alias(id_alias), F.col(vec_col).alias(vec_alias)))
             .withColumn("__buckets", buckets_udf(F.col(vec_alias)))
@@ -273,15 +333,18 @@ def lsh_topk(
                 corpus, dim, id_col, vec_col, n_planes, n_tables, query_pred
             )
         cb = base.drop("__qsel")
-        qb = (
-            base.filter(F.col("__qsel"))
-            .select(
-                F.col("neighbor_id").alias("query_id"),
-                F.col("cv").alias("qv"),
-                "tbl",
-                "bkt",
+        if queries is not None:
+            qb = bucketize(queries, "query_id", "qv")
+        else:
+            qb = (
+                base.filter(F.col("__qsel"))
+                .select(
+                    F.col("neighbor_id").alias("query_id"),
+                    F.col("cv").alias("qv"),
+                    "tbl",
+                    "bkt",
+                )
             )
-        )
     else:
         qb = bucketize(queries, "query_id", "qv")
         cb = bucketize(corpus, "neighbor_id", "cv")
