@@ -81,8 +81,14 @@ def ann_probe_stream(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     backend=None,
+    checkpoint: str | None = None,
 ):
-    """Start the streaming ANN probe; returns the StreamingQuery."""
+    """Start the streaming ANN probe; returns the StreamingQuery.
+    Pass ``checkpoint`` (a Structured Streaming checkpointLocation)
+    when the query must survive restarts — the blue/green index swap
+    restarts the probe against new artifacts and the checkpoint is
+    what lets the restarted query resume the source offsets instead
+    of replaying from scratch."""
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         probe_ann_batch(
@@ -98,7 +104,88 @@ def ann_probe_stream(
             backend,
         )
 
-    return queries.writeStream.outputMode("append").foreachBatch(_sink).start()
+    w = queries.writeStream.outputMode("append").foreachBatch(_sink)
+    if checkpoint is not None:
+        w = w.option("checkpointLocation", checkpoint)
+    return w.start()
+
+
+def probe_lsh_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    state_dir: str,
+    base: DataFrame,
+    k: int,
+    dim: int,
+    n_planes: int = 4,
+    n_tables: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    backend=None,
+) -> None:
+    """Score one micro-batch of query vectors against a FROZEN LSH
+    base (``lsh_bucketize_self`` / ``load_lsh_base``) with the batch
+    ``lsh_topk`` kernel — the query side is bucketized per batch with
+    the same deterministic md5-seeded hyperplanes, so batch and stream
+    results agree by shared code path, exactly like the IVF probe."""
+    from ..operators.similarity import lsh_topk
+
+    if batch_id <= applied_batch(state_dir):
+        return
+    backend = backend or DEFAULT_BACKEND
+    out = lsh_topk(
+        batch_df,
+        None,
+        k,
+        dim,
+        id_col=id_col,
+        vec_col=vec_col,
+        n_planes=n_planes,
+        n_tables=n_tables,
+        base=base,
+    ).withColumn("batch_id", F.lit(int(batch_id)).cast("bigint"))
+    backend.append(out.coalesce(8), _results_path(state_dir), None)
+    commit_marker(state_dir, batch_id)
+
+
+def lsh_probe_stream(
+    queries: DataFrame,
+    state_dir: str,
+    base: DataFrame,
+    k: int,
+    dim: int,
+    n_planes: int = 4,
+    n_tables: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    backend=None,
+    checkpoint: str | None = None,
+):
+    """Start the streaming LSH ANN probe against a frozen bucketized
+    base; returns the StreamingQuery. Index refresh is the same
+    blue/green swap as the IVF probe: rebuild the base in batch
+    (``save_lsh_base``), restart the query pointing at the new
+    artifact — the stream holds no state to migrate."""
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        probe_lsh_batch(
+            batch_df,
+            batch_id,
+            state_dir,
+            base,
+            k,
+            dim,
+            n_planes,
+            n_tables,
+            id_col,
+            vec_col,
+            backend,
+        )
+
+    w = queries.writeStream.outputMode("append").foreachBatch(_sink)
+    if checkpoint is not None:
+        w = w.option("checkpointLocation", checkpoint)
+    return w.start()
 
 
 def read_ann_results(spark: SparkSession, state_dir: str, backend=None) -> DataFrame:

@@ -102,3 +102,185 @@ def test_q31_equals_composed_form(spark, tmp_path):
         for r in ivf_probe(queries, centroids, ivf_index(corpus, centroids), k=5).collect()
     }
     assert whole == composed and len(whole) > 0
+
+
+# ------------------------------------------------------- LSH ANN twin
+def test_lsh_base_save_load_roundtrip(spark, tmp_path):
+    """A persisted-then-loaded LSH base produces byte-identical q43
+    output to the in-memory base (same rows, same cosines, same
+    ranks)."""
+    from flink_assignment_spark.operators.similarity import (
+        load_lsh_base,
+        lsh_bucketize_self,
+        lsh_topk,
+        save_lsh_base,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    mem = lsh_bucketize_self(emb, dim=64, query_pred=F.col("vec_id") < 10)
+    want = sorted(
+        tuple(r) for r in lsh_topk(None, None, k=5, dim=64, base=mem).collect()
+    )
+
+    path = str(tmp_path / "lsh_base")
+    save_lsh_base(mem, path)
+    loaded = load_lsh_base(spark, path)
+    assert loaded.columns == mem.columns
+    got = sorted(
+        tuple(r) for r in lsh_topk(None, None, k=5, dim=64, base=loaded).collect()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_lsh_topk_arg_conflicts_raise(spark):
+    """The silent-ignore paths are now errors: query_pred alongside a
+    prebuilt base, queries alongside query_pred, and no query side at
+    all (ADVICE round 11)."""
+    import pytest
+
+    from flink_assignment_spark.operators.similarity import (
+        lsh_bucketize_self,
+        lsh_topk,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    base = lsh_bucketize_self(
+        emb.limit(50), dim=64, query_pred=F.col("vec_id") < 5, materialize=False
+    )
+    with pytest.raises(ValueError, match="query_pred alongside a prebuilt base"):
+        lsh_topk(None, None, 5, 64, base=base, query_pred=F.col("vec_id") < 5)
+    with pytest.raises(ValueError, match="queries OR query_pred"):
+        lsh_topk(emb.limit(3), emb, 5, 64, query_pred=F.col("vec_id") < 5)
+    with pytest.raises(ValueError, match="corpus or a prebuilt base"):
+        lsh_topk(emb.limit(3), None, 5, 64)
+    with pytest.raises(ValueError, match="no query side"):
+        lsh_topk(None, emb, 5, 64)
+
+
+def test_lsh_stream_probe_matches_batch(spark, tmp_path):
+    """Streamed query vectors probed against a frozen LSH base produce
+    exactly the batch lsh_topk(queries, base=...) rows — same shared
+    code path as the IVF parity pin."""
+    from flink_assignment_spark.operators.similarity import (
+        lsh_bucketize_self,
+        lsh_topk,
+    )
+    from flink_assignment_spark.streaming.ann_stream import lsh_probe_stream
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    base = lsh_bucketize_self(emb, dim=64)  # corpus-only index, no __qsel
+    queries = emb.filter(F.col("vec_id") < 12)
+    want = {
+        (r.query_id, r.rank): (r.neighbor_id, r.cos_sim)
+        for r in lsh_topk(queries, None, k=5, dim=64, base=base).collect()
+    }
+    assert want
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    rows = queries.select("vec_id", "embedding", "label").collect()
+    for i in range(0, len(rows), 4):
+        spark.createDataFrame(rows[i : i + 4], EMB_SCHEMA).coalesce(1).write.parquet(
+            str(in_dir / f"f{i:03d}")
+        )
+        time.sleep(0.02)
+    state_dir = str(tmp_path / "state")
+    stream = (
+        spark.readStream.schema(EMB_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(in_dir) + "/*")
+    )
+    q = lsh_probe_stream(stream, state_dir, base, k=5, dim=64)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r.query_id, r.rank): (r.neighbor_id, r.cos_sim)
+        for r in read_ann_results(spark, state_dir).collect()
+    }
+    assert got == want
+
+
+def test_blue_green_index_swap(spark, tmp_path):
+    """End-to-end index refresh: probe against index A, stop, rebuild
+    a LARGER index B in batch, restart the same checkpointed query
+    against B — post-swap batches score against B, pre-swap results
+    and the replay marker survive."""
+    from flink_assignment_spark.streaming._state import applied_batch
+
+    corpus = load_table(spark, SF_DIR, "embeddings")
+    # index A deliberately excludes high-id vectors so A-vs-B results
+    # differ observably once B includes them
+    corpus_a = corpus.filter(F.col("vec_id") < 60)
+    cent_a = ivf_train(corpus_a)
+    index_a = ivf_index(corpus_a, cent_a)
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    q1 = corpus.filter(F.col("vec_id") < 6).select("vec_id", "embedding", "label")
+    spark.createDataFrame(q1.collect(), EMB_SCHEMA).coalesce(1).write.parquet(
+        str(in_dir / "f000")
+    )
+    state_dir = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+
+    def start(centroids, index):
+        stream = (
+            spark.readStream.schema(EMB_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(in_dir) + "/*")
+        )
+        return ann_probe_stream(
+            stream, state_dir, centroids, index, k=5, checkpoint=ckpt
+        )
+
+    q = start(cent_a, index_a)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    marker_after_a = applied_batch(state_dir)
+    want_a = {
+        (r.query_id, r.rank): (r.neighbor_id, r.cos_sim)
+        for r in ivf_probe(q1, cent_a, index_a, k=5).collect()
+    }
+    got_a = {
+        (r.query_id, r.rank): (r.neighbor_id, r.cos_sim)
+        for r in read_ann_results(spark, state_dir).collect()
+    }
+    assert got_a == want_a and marker_after_a >= 0
+
+    # blue/green: rebuild over the FULL corpus, restart from checkpoint
+    cent_b = ivf_train(corpus)
+    index_b = ivf_index(corpus, cent_b)
+    q2 = corpus.filter((F.col("vec_id") >= 6) & (F.col("vec_id") < 12)).select(
+        "vec_id", "embedding", "label"
+    )
+    spark.createDataFrame(q2.collect(), EMB_SCHEMA).coalesce(1).write.parquet(
+        str(in_dir / "f001")
+    )
+    q = start(cent_b, index_b)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    all_rows = read_ann_results(spark, state_dir).collect()
+    got_q1 = {
+        (r.query_id, r.rank): (r.neighbor_id, r.cos_sim)
+        for r in all_rows
+        if r.query_id < 6
+    }
+    got_q2 = {
+        (r.query_id, r.rank): (r.neighbor_id, r.cos_sim)
+        for r in all_rows
+        if r.query_id >= 6
+    }
+    want_b = {
+        (r.query_id, r.rank): (r.neighbor_id, r.cos_sim)
+        for r in ivf_probe(q2, cent_b, index_b, k=5).collect()
+    }
+    assert got_q1 == want_a  # pre-swap results untouched by the swap
+    assert got_q2 == want_b and want_b  # post-swap batch scored against B
+    assert applied_batch(state_dir) > marker_after_a  # marker advanced
