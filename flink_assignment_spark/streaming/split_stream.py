@@ -79,22 +79,33 @@ def merge_split_batch(
     text_col: str = "text",
     id_col: str = "doc_id",
     backend=None,
+    source_col: str | None = "source",
 ) -> None:
     """Route one micro-batch: docs whose canonical text matches a
     known group inherit its (group_id, split); the rest found new
     groups (group_id = min doc_id within the batch, split =
     ``group_split``), which are DELTA-APPENDED to the state before
     the assignments append and the replay marker — see the module
-    docstring for the crash/replay contract."""
+    docstring for the crash/replay contract.
+
+    ``source_col`` names the provenance column carried into the
+    assignment rows; ``None`` carries a null ``source`` instead, so
+    streams without one still route (the output schema is stable
+    either way)."""
     if batch_id <= applied_batch(state_dir):
         return
     backend = backend or DEFAULT_BACKEND
     spark = batch_df.sparkSession
     groups_path, assign_path = _groups_path(state_dir), _assign_path(state_dir)
 
+    src = (
+        F.col(source_col).cast("string")
+        if source_col is not None
+        else F.lit(None).cast("string")
+    )
     keyed = batch_df.select(
         F.col(id_col).alias("doc_id"),
-        F.col("source"),
+        src.alias("source"),
         F.md5(canonical_text(F.col(text_col))).alias("norm_hash"),
     ).withColumn(
         "bucket", F.pmod(hash60(F.col("norm_hash")), F.lit(N_BUCKETS)).cast("int")
@@ -170,11 +181,14 @@ def incremental_split_assign(
     text_col: str = "text",
     id_col: str = "doc_id",
     backend=None,
+    source_col: str | None = "source",
 ):
     """Start the split-assignment query; returns the StreamingQuery."""
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
-        merge_split_batch(batch_df, batch_id, state_dir, text_col, id_col, backend)
+        merge_split_batch(
+            batch_df, batch_id, state_dir, text_col, id_col, backend, source_col
+        )
 
     return docs.writeStream.outputMode("append").foreachBatch(_sink).start()
 

@@ -131,3 +131,29 @@ def test_split_compaction_preserves_state(spark, tmp_path):
     merge_split_batch(b5, 4, state_dir)
     rows = {r.doc_id: (r.group_id, r.split) for r in read_assignments(spark, state_dir).collect()}
     assert rows[99] == rows[0]
+
+
+def test_merge_split_batch_without_source_column(spark, tmp_path):
+    """A stream lacking a `source` column still routes (source_col=None
+    carries a null), and a renamed provenance column maps through
+    source_col — the signature is fully generic (ADVICE round 11)."""
+    from flink_assignment_spark.streaming.split_stream import (
+        merge_split_batch,
+        read_assignments,
+    )
+
+    no_src = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma delta")], "doc_id long, text string"
+    )
+    d1 = str(tmp_path / "no_src")
+    merge_split_batch(no_src, 0, d1, source_col=None)
+    rows = read_assignments(spark, d1).collect()
+    assert len(rows) == 2 and all(r.source is None for r in rows)
+
+    renamed = spark.createDataFrame(
+        [(1, "alpha beta", "webA")], "doc_id long, text string, origin string"
+    )
+    d2 = str(tmp_path / "renamed")
+    merge_split_batch(renamed, 0, d2, source_col="origin")
+    rows = read_assignments(spark, d2).collect()
+    assert len(rows) == 1 and rows[0].source == "webA"
