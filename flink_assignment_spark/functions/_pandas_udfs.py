@@ -274,6 +274,53 @@ def make_self_block_topk_scorer(k: int):
     return score
 
 
+def make_block_hardneg_scorer(q_ids, q_matrix, q_labels, k):
+    """mapInPandas kernel for hard-negative mining: the corpus streams
+    through as (id, vec, label) Arrow batches; each batch scores
+    against the closure-shipped query block, masks SAME-label pairs to
+    -inf (a hard negative must be a different class; self-pairs share
+    their label so the mask subsumes self-exclusion), and emits only
+    each query's per-batch top-k candidates with the 2e-6 slack band —
+    batches x |Q| x k output rows instead of N x |Q|.
+
+    Exactness (downstream ranks by ``round(cos, 6) DESC, neighbor_id
+    ASC``): if candidate Y is not emitted for query X from Y's batch,
+    then >= k same-query candidates in that batch score raw
+    > cos(X,Y) + 2e-6, hence rounded STRICTLY greater — so Y cannot be
+    in X's global top-k and the union of per-batch emissions contains
+    every global top-k row (the make_self_block_topk_scorer argument,
+    batch-wise). Values are raw :func:`_pair_cos` cosines; rounding
+    stays engine-side."""
+    Q = q_matrix.astype(np.float64)
+    SLACK = 2e-6
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rows_id = pdf.iloc[:, 0].values.astype(np.int64)
+            R = np.stack(pdf.iloc[:, 1].values).astype(np.float64)
+            labs = pdf.iloc[:, 2].values.astype(np.int64)
+            cos = _pair_cos(R, Q)  # (rows, n_queries)
+            cos[labs[:, None] == q_labels[None, :]] = -np.inf
+            n = cos.shape[0]
+            if n > k:
+                kth = np.partition(cos, n - k, axis=0)[n - k]  # per query
+            else:
+                kth = np.full(cos.shape[1], -np.inf)
+            sel = (cos >= (kth - SLACK)[None, :]) & np.isfinite(cos)
+            ii, jj = np.nonzero(sel)
+            yield pd.DataFrame(
+                {
+                    "query_id": q_ids[jj],
+                    "neighbor_id": rows_id[ii],
+                    "cos_sim": cos[ii, jj],
+                }
+            )
+
+    return score
+
+
 def make_cell_assign_udf(centroids, n_nearest):
     """array<int> of the ``n_nearest`` centroid ids by L2 distance —
     one numpy pass per Arrow batch (IVF cell assignment / probing)."""

@@ -153,6 +153,57 @@ def semantic_contamination(
     )
 
 
+def hard_negatives(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    max_query_block: int = 65_536,
+) -> DataFrame:
+    """Hard-negative mining for contrastive/embedding training: for
+    each query vector, the ``k`` most-similar corpus vectors with a
+    DIFFERENT label — the near-miss negatives that carry the training
+    signal easy (random) negatives don't. Exact and oracle-checkable;
+    returns (query_id, neighbor_id, cos_sim, rank) under the
+    engine-independent total order (cos rounded to 6 DESC, neighbor id
+    ASC). Same-label pairs are excluded by construction (which
+    subsumes self-exclusion).
+
+    Same scale contract as :func:`cosine_topk`: the query block is
+    the bounded side (collected under ``max_query_block``,
+    closure-shipped); the corpus streams through one ``mapInPandas``
+    pass that masks same-label pairs and emits only per-batch
+    top-k candidates within a provably-sufficient 2e-6 slack band
+    (``make_block_hardneg_scorer``) — Arrow emission is
+    batches x |Q| x k, not N x |Q| — and a single ranking window cuts
+    the global top-k."""
+    import numpy as np
+
+    from ..functions._pandas_udfs import make_block_hardneg_scorer
+
+    collected = queries.select(
+        F.col(id_col), F.col(vec_col), F.col(label_col)
+    ).limit(max_query_block + 1).collect()
+    if len(collected) > max_query_block:
+        raise ValueError(
+            f"hard_negatives query block exceeds max_query_block="
+            f"{max_query_block}; mine negatives per shard instead"
+        )
+    q_ids = np.array([r[0] for r in collected], dtype=np.int64)
+    q_matrix = np.array([list(r[1]) for r in collected], dtype=np.float64)
+    q_labels = np.array([r[2] for r in collected], dtype=np.int64)
+    kernel = make_block_hardneg_scorer(q_ids, q_matrix, q_labels, k)
+    cands = _spread(
+        corpus.select(F.col(id_col), F.col(vec_col), F.col(label_col))
+    ).mapInPandas(
+        kernel, schema="query_id bigint, neighbor_id bigint, cos_sim double"
+    ).select("query_id", "neighbor_id", F.round("cos_sim", 6).alias("cos_sim"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return cands.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def plane_weight(table: int, plane: int, d: int) -> float:
     """Deterministic pseudo-random hyperplane weight in [-1000, 1000],
     derived from md5 at plan-build time (no RNG state; identical for
@@ -345,6 +396,16 @@ def lsh_topk(
                     "bkt",
                 )
             )
+            # a base built with query_pred=None has __qsel all-false;
+            # probing it without external queries would silently return
+            # an empty frame — the one-row existence check is a
+            # cache-hit scan, cheap next to the join it guards
+            if qb.limit(1).count() == 0:
+                raise ValueError(
+                    "the prebuilt base selects no query rows (__qsel is "
+                    "all false) — pass queries= or rebuild the base with "
+                    "query_pred"
+                )
     else:
         qb = bucketize(queries, "query_id", "qv")
         cb = bucketize(corpus, "neighbor_id", "cv")

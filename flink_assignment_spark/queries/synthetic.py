@@ -5902,6 +5902,46 @@ REGISTRY.update(
 )
 
 
+def q124_hard_negatives(spark, sf_dir):
+    """Hard-negative mining (contrastive-training data op): for each
+    of 20 query vectors, the top-3 cosine neighbors whose LABEL
+    differs — the near-miss negatives an embedding trainer pairs with
+    each anchor. One mapInPandas pass over the corpus (query block
+    closure-shipped), same-label pairs masked in-kernel, and only
+    per-batch top-k candidates emitted inside a provably-sufficient
+    2e-6 slack band (operators/similarity.py::hard_negatives) — the
+    ranking window reads batches x 20 x 3 candidate rows, not
+    N x 20. Exact: raw cosines use the shared in-order fold, rounding
+    stays engine-side, rank order is the engine-independent
+    (cos_sim DESC, neighbor_id ASC)."""
+    from ..operators.similarity import hard_negatives
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return hard_negatives(
+        emb.filter(F.col("vec_id") < 20), emb, k=3
+    ).select("query_id", "neighbor_id", "cos_sim", F.col("rank").cast("int").alias("rank"))
+
+
+Q124_SQL = f"""
+WITH scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round({_cos_sql('q.embedding', 'c.embedding')}, 6) AS cos_sim
+  FROM embeddings q, embeddings c
+  WHERE q.vec_id < 20 AND q.label <> c.label
+)
+SELECT query_id, neighbor_id, cos_sim, CAST(rank AS INT) AS rank
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, neighbor_id) AS rank
+      FROM scored)
+WHERE rank <= 3
+"""
+
+
+REGISTRY.update(
+    {"q124_hard_negatives": QuerySpec(q124_hard_negatives, Q124_SQL)}
+)
+
+
 # ------------------------------------------------------------------------
 # Registry ordering contract: the driver's correctness harness records
 # at most 50 entries per round, in registry order — so the order IS the

@@ -90,3 +90,56 @@ def test_purity_block_rows_invariant(spark):
     # into family 0's neighborhoods, so purity < 1.0 is expected)
     assert {r[0] for r in a} == {0, 1, 2}
     assert all(0.0 <= r[3] <= 1.0 for r in a)
+
+
+def test_hard_negatives_matches_numpy_naive(spark):
+    """The slack-band in-kernel top-k equals a naive full-matrix
+    computation, including label edge cases: a query whose label no
+    corpus row shares (every row is a candidate) and one sharing a
+    label with everything (zero candidate rows)."""
+    import numpy as np
+
+    from flink_assignment_spark.operators.similarity import hard_negatives
+
+    rng = [(i,
+            [((i * 37 + d * 11) % 19 - 9) / 9.0 for d in range(6)],
+            (i % 3))
+           for i in range(40)]
+    # id 40: unique label 7; id 41 (query only) labeled 9 shares with nobody
+    rng.append((40, [0.5, -0.2, 0.1, 0.9, -0.4, 0.3], 7))
+    corpus = spark.createDataFrame(rng, "vec_id long, embedding array<double>, label int")
+    queries = corpus.filter("vec_id < 6 OR vec_id = 40")
+
+    got = {
+        (r.query_id, r.rank): (r.neighbor_id, r.cos_sim)
+        for r in hard_negatives(queries, corpus, k=4).collect()
+    }
+
+    ids = np.array([r[0] for r in rng])
+    M = np.array([r[1] for r in rng], dtype=np.float64)
+    labels = np.array([r[2] for r in rng])
+    norms = np.sqrt((M * M).sum(axis=1))
+    want = {}
+    for qi in list(range(6)) + [40]:
+        q = M[ids == qi][0]
+        cos = np.round((M @ q) / (norms * np.sqrt((q * q).sum())), 6)
+        cand = [
+            (-c, i, c)
+            for c, i, l in zip(cos, ids, labels)
+            if l != labels[ids == qi][0]
+        ]
+        for rank, (_, nid, c) in enumerate(sorted(cand)[:4], start=1):
+            want[(qi, rank)] = (int(nid), float(c))
+    assert got == want
+    # the unique-label query ranks against the WHOLE corpus
+    assert sum(1 for (q, _) in got if q == 40) == 4
+
+
+def test_hard_negatives_all_same_label_is_empty(spark):
+    from flink_assignment_spark.operators.similarity import hard_negatives
+
+    df = spark.createDataFrame(
+        [(i, [float(i % 5), 1.0, 0.5], 1) for i in range(10)],
+        "vec_id long, embedding array<double>, label int",
+    )
+    assert hard_negatives(df.filter("vec_id < 2"), df, k=3).count() == 0

@@ -448,3 +448,14 @@ def test_q122_semantic_decontamination_no_join(spark):
     plan = physical_plan(df)
     assert "Join" not in plan and "HashAggregate" not in plan, plan
     assert count_exchanges(df) <= 1, plan
+
+
+def test_q124_hard_negatives_no_join_one_window(spark):
+    """Hard-negative mining is one mapInPandas pass (query block
+    closure-shipped, same-label mask + slack-band top-k in-kernel)
+    feeding a single ranking window — the plan must contain NO join;
+    exchanges are _spread's fan-out plus the window partition."""
+    df = REGISTRY["q124_hard_negatives"].spark(spark, SF_DIR)
+    plan = physical_plan(df)
+    assert "Join" not in plan, plan
+    assert count_exchanges(df) <= 2, plan

@@ -284,3 +284,20 @@ def test_blue_green_index_swap(spark, tmp_path):
     assert got_q1 == want_a  # pre-swap results untouched by the swap
     assert got_q2 == want_b and want_b  # post-swap batch scored against B
     assert applied_batch(state_dir) > marker_after_a  # marker advanced
+
+
+def test_lsh_base_without_query_side_raises(spark):
+    """A base built with query_pred=None probed without external
+    queries raises instead of silently returning an empty frame
+    (ADVICE round 11)."""
+    import pytest
+
+    from flink_assignment_spark.operators.similarity import (
+        lsh_bucketize_self,
+        lsh_topk,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    base = lsh_bucketize_self(emb.limit(30), dim=64)
+    with pytest.raises(ValueError, match="selects no query rows"):
+        lsh_topk(None, None, k=3, dim=64, base=base)
