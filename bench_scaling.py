@@ -550,6 +550,79 @@ def stream_split_sweep(spark, scales: list[int], n_batches: int = 10) -> dict:
     return out
 
 
+def split_file_growth_sweep(
+    spark, n_docs: int, n_batches: int = 100, compact_every: int = 0
+) -> dict:
+    """Long-horizon trickle replay of the split-assignment stream:
+    ``n_batches`` small batches (the months-of-operation shape), with
+    the GROUP-MAP FILE COUNT recorded per batch alongside latency.
+    The delta-append fold adds ~one file per touched bucket per batch
+    — uniformly-hashed trickle batches touch most of the 64 buckets,
+    so the file count grows ~linearly with batches and every probe
+    join must LIST (and read footers of) all of them: the claim under
+    test is where that listing cost starts to show and what
+    compaction cadence (``compact_every``) flattens it."""
+    import glob
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from flink_assignment_spark.streaming.split_stream import (
+        compact_groups,
+        merge_split_batch,
+        read_assignments,
+    )
+
+    base = f"/tmp/fas_docscale_{n_docs}"
+    ensure_documents(spark, n_docs, os.path.join(base, "documents.parquet"))
+    docs = spark.read.parquet(os.path.join(base, "documents.parquet"))
+    state_dir = f"/tmp/fas_split_files_{n_docs}_{compact_every}"
+    if os.path.exists(state_dir):
+        shutil.rmtree(state_dir)
+    bsz = max(1, n_docs // n_batches)
+    curve = []
+    n_compactions = 0
+    for b in range(n_batches):
+        batch = docs.filter(
+            (F.col("doc_id") >= b * bsz) & (F.col("doc_id") < (b + 1) * bsz)
+        )
+        t0 = time.monotonic()
+        merge_split_batch(batch, b, state_dir)
+        elapsed = round(time.monotonic() - t0, 2)
+        if compact_every and (b + 1) % compact_every == 0:
+            compact_groups(spark, state_dir)
+            n_compactions += 1
+        n_files = len(
+            glob.glob(os.path.join(state_dir, "groups", "**", "*.parquet"),
+                      recursive=True)
+        )
+        curve.append({"batch": b, "sec": elapsed, "group_files": n_files})
+    assigned_rows = read_assignments(spark, state_dir).count()
+    shutil.rmtree(state_dir)
+
+    def med(vals):
+        s = sorted(vals)
+        return s[len(s) // 2]
+
+    decile = max(1, n_batches // 10)
+    return {
+        "n_docs": n_docs,
+        "n_batches": n_batches,
+        "batch_docs": bsz,
+        "compact_every": compact_every,
+        "n_compactions": n_compactions,
+        "assigned_rows": assigned_rows,
+        "files_at": {
+            str(p): curve[p - 1]["group_files"]
+            for p in (10, 25, 50, 75, 100)
+            if p <= n_batches
+        },
+        "sec_first_decile_median": med([c["sec"] for c in curve[:decile]]),
+        "sec_last_decile_median": med([c["sec"] for c in curve[-decile:]]),
+        "curve_every_10": [c for c in curve if (c["batch"] + 1) % 10 == 0],
+    }
+
+
 def bm25_point(spark, n_docs: int, reps: int = 3) -> dict:
     """BM25 scaling point: train-and-score (the q110 shape) vs the
     frozen-stats narrow-map scorer on the same synthetic corpus. The
@@ -842,6 +915,12 @@ def main() -> None:
         "(doc counts from --doc-scales)",
     )
     ap.add_argument(
+        "--split-files", type=int, metavar="N_DOCS",
+        help="run ONLY the split-stream file-growth trickle sweep "
+        "(100 small batches; pair with --compact-every, shared with "
+        "the stream-lsh sweep)",
+    )
+    ap.add_argument(
         "--bloom-ab", type=int, metavar="N_DOCS",
         help="run ONLY the contamination-gate A/B at N_DOCS "
         "(exact set broadcast vs Bloom bitmap)",
@@ -853,6 +932,18 @@ def main() -> None:
 
     spark = get_spark("fas-bench-scaling")
 
+    if args.split_files:
+        print(
+            json.dumps(
+                {
+                    "metric": "split-stream group-map file growth (trickle)",
+                    "sweep": split_file_growth_sweep(
+                        spark, args.split_files, compact_every=args.compact_every
+                    ),
+                }
+            )
+        )
+        return
     if args.substring_family:
         print(
             json.dumps(
