@@ -173,7 +173,12 @@ def bloom_contaminated_counts(
 def _make_bloom_hits_udf(docs: DataFrame, bloom_bits: bytes, n_bits: int, k: int):
     """The shared Bloom membership counter: per shingle array, how
     many of its hashes hit the broadcast bitmap (an upper bound on
-    exact membership — FPs only, never FNs)."""
+    exact membership — FPs only, never FNs). One flattened numpy pass
+    per Arrow batch — the whole batch's hashes concatenate into a
+    single vector, the k multiply-shift probes run vectorized over
+    it, and per-row counts come back via a cumulative-sum segment
+    reduction (a per-row ``apply`` with per-row numpy calls measured
+    ~3x slower on the q123 corpus)."""
     import math
 
     import numpy as np
@@ -186,18 +191,22 @@ def _make_bloom_hits_udf(docs: DataFrame, bloom_bits: bytes, n_bits: int, k: int
     @F.pandas_udf("int")
     def _n_hits(shingle_arrays: pd.Series) -> pd.Series:
         bits = np.frombuffer(bc.value, dtype=np.uint8)
-
-        def count(arr):
-            if arr is None or not len(arr):
-                return 0
-            h = np.asarray(arr, dtype=np.uint64)
-            hit = np.ones(len(h), dtype=bool)
-            for mult in mults:
-                idx = ((h * mult) >> shift).astype(np.int64)
-                hit &= (bits[idx >> 3] & (1 << (idx & 7)).astype(np.uint8)) != 0
-            return int(hit.sum())
-
-        return shingle_arrays.apply(count)
+        arrs = [
+            None if a is None or not len(a) else np.asarray(a, dtype=np.uint64)
+            for a in shingle_arrays
+        ]
+        lens = np.array([0 if a is None else len(a) for a in arrs], dtype=np.int64)
+        if not lens.sum():
+            return pd.Series(np.zeros(len(lens), dtype=np.int32))
+        flat = np.concatenate([a for a in arrs if a is not None])
+        hit = np.ones(len(flat), dtype=bool)
+        for mult in mults:
+            idx = ((flat * mult) >> shift).astype(np.int64)
+            hit &= (bits[idx >> 3] & (1 << (idx & 7)).astype(np.uint8)) != 0
+        csum = np.concatenate(([0], np.cumsum(hit)))
+        ends = np.cumsum(lens)
+        out = csum[ends] - csum[ends - lens]
+        return pd.Series(out.astype(np.int32))
 
     return _n_hits
 

@@ -126,10 +126,11 @@ class CorpusPipeline:
 
     def decontaminate(
         self,
-        probe_docs: DataFrame,
+        probe_docs: DataFrame | None,
         strategy: str = "exact",
         bits_per_element: int = 16,
         bloom_k: int = 4,
+        bloom_filter: tuple[bytes, int] | None = None,
     ) -> "CorpusPipeline":
         """Drop every doc sharing a word-3-gram with ``probe_docs``
         (same text column name; probe sets are eval-suite-bounded by
@@ -153,29 +154,47 @@ class CorpusPipeline:
         decontamination gate (never train on a missed leak; the
         FP-rate-bounded extra drops are the price of bounded memory).
         A stateless narrow map, identical on batch and streaming
-        frames."""
+        frames. A PREBUILT ``bloom_filter`` — the (bits, n_bits) pair
+        from ``operators.gates.build_bloom``, e.g. a per-session or
+        persisted artifact — skips the probe shingle collect entirely
+        (the frozen-artifact split: build the bitmap once when the
+        eval suite changes, probe always)."""
         if strategy not in ("exact", "bloom"):
             raise ValueError(f"unknown decontaminate strategy {strategy!r}")
-        probe = (
-            probe_docs.select(
-                F.explode(shingle_hash_array(F.col(self.text_col))).alias("h")
-            )
-            .distinct()
-        )
+        if bloom_filter is not None and strategy != "bloom":
+            raise ValueError("bloom_filter requires strategy='bloom'")
+        if probe_docs is None and bloom_filter is None:
+            raise ValueError("pass probe_docs or a prebuilt bloom_filter")
         if strategy == "bloom":
             from .operators.gates import bloom_clean_filter, build_bloom
 
-            bits, n_bits = build_bloom(
-                frozenset(r["h"] for r in probe.collect()),
-                bits_per_element=bits_per_element,
-                k=bloom_k,
-            )
+            if bloom_filter is not None:
+                bits, n_bits = bloom_filter
+            else:
+                probe_hashes = (
+                    probe_docs.select(
+                        F.explode(shingle_hash_array(F.col(self.text_col))).alias("h")
+                    )
+                    .distinct()
+                    .collect()
+                )
+                bits, n_bits = build_bloom(
+                    frozenset(r["h"] for r in probe_hashes),
+                    bits_per_element=bits_per_element,
+                    k=bloom_k,
+                )
             out = self._df.filter(
                 bloom_clean_filter(
                     self._df, bits, n_bits, bloom_k, text_col=self.text_col
                 )
             )
             return self._next(out, "decontaminate[bloom]")
+        probe = (
+            probe_docs.select(
+                F.explode(shingle_hash_array(F.col(self.text_col))).alias("h")
+            )
+            .distinct()
+        )
         if self._df.isStreaming:
             # UDF lives in _pandas_udfs (a module without postponed
             # annotations — pandas_udf cannot resolve stringized hints)

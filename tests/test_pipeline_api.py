@@ -319,3 +319,44 @@ def test_pipeline_bloom_decontaminate_on_stream(spark, tmp_path):
         r.doc_id for r in spark.sql("SELECT doc_id FROM bloom_pipe").collect()
     }
     assert stream_kept == batch_kept
+
+
+def test_pipeline_bloom_prebuilt_filter_matches_inline_build(spark):
+    """A prebuilt (bits, n_bits) artifact passed via bloom_filter=
+    keeps exactly the rows the inline-built path keeps, and the
+    argument guards fire."""
+    import pytest
+
+    from flink_assignment_spark.operators.gates import build_bloom, shingle_hash_array
+
+    docs = load_table(spark, SF_DIR, "documents")
+    corpus = docs.filter(F.col("doc_id") >= 20)
+    probe = docs.filter(F.col("doc_id") < 20)
+
+    inline = {
+        r.doc_id
+        for r in CorpusPipeline(corpus)
+        .decontaminate(probe, strategy="bloom")
+        .df.select("doc_id")
+        .collect()
+    }
+    hashes = frozenset(
+        r.h
+        for r in probe.select(
+            F.explode(shingle_hash_array(F.col("text"))).alias("h")
+        ).distinct().collect()
+    )
+    bf = build_bloom(hashes)
+    prebuilt = {
+        r.doc_id
+        for r in CorpusPipeline(corpus)
+        .decontaminate(None, strategy="bloom", bloom_filter=bf)
+        .df.select("doc_id")
+        .collect()
+    }
+    assert prebuilt == inline
+
+    with pytest.raises(ValueError, match="probe_docs or a prebuilt"):
+        CorpusPipeline(corpus).decontaminate(None, strategy="bloom")
+    with pytest.raises(ValueError, match="requires strategy"):
+        CorpusPipeline(corpus).decontaminate(None, bloom_filter=bf)
