@@ -243,6 +243,29 @@ def containment_pairs(
     )
 
 
+def save_minhash_bands(banded: DataFrame, path: str) -> None:
+    """Persist a (doc_id, band, key) band-key frame as parquet
+    PARTITIONED BY band — the storage half of the near-dup index
+    split (mirrors similarity.save_lsh_base): build signatures once
+    per corpus snapshot, probe candidate pairs from the frozen
+    artifact. Partitioning on the band prunes a per-band bucket scan
+    to one directory."""
+    banded.select("doc_id", "key", "band").write.mode("overwrite").partitionBy(
+        "band"
+    ).parquet(path)
+
+
+def load_minhash_bands(spark, path: str) -> DataFrame:
+    """Load a persisted band-key artifact for
+    :func:`minhash_lsh_pairs`'s ``banded``. The partition-directory
+    column comes back type-inferred, so ``band`` is re-cast to the
+    int ``band_keys`` emits — column-identical to the in-memory
+    frame."""
+    return spark.read.parquet(path).select(
+        "doc_id", F.col("band").cast("int").alias("band"), "key"
+    )
+
+
 def minhash_signatures(
     docs: DataFrame,
     text_col: str = "text",

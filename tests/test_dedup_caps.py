@@ -94,3 +94,42 @@ def test_lsh_bucket_cap_drops_degenerate_bucket(spark):
     assert capped.count() == 0
     uncapped = minhash_lsh_pairs(docs, threshold=0.5)
     assert uncapped.count() == 60 * 59 // 2
+
+
+def test_minhash_bands_save_load_roundtrip(spark, tmp_path):
+    """q16 from a persisted-then-loaded band artifact equals the
+    in-memory form byte-identically (the near-dup family's storage
+    half, mirroring the LSH-base round-trip)."""
+    from flink_assignment_spark.operators.dedup import (
+        MAX_LSH_BUCKET,
+        MAX_SHINGLE_DF,
+        band_keys,
+        doc_shingles,
+        load_minhash_bands,
+        minhash_lsh_pairs,
+        minhash_signatures,
+        save_minhash_bands,
+    )
+    from flink_assignment_spark.sources.loaders import load_table
+
+    from .conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    sh = doc_shingles(docs, max_doc_freq=MAX_SHINGLE_DF).cache()
+    banded = band_keys(minhash_signatures(docs, shingles=sh), 2)
+    want = sorted(
+        tuple(r)
+        for r in minhash_lsh_pairs(
+            docs, 0.3, max_bucket=MAX_LSH_BUCKET, shingles=sh, banded=banded
+        ).collect()
+    )
+    path = str(tmp_path / "bands")
+    save_minhash_bands(banded, path)
+    loaded = load_minhash_bands(spark, path)
+    got = sorted(
+        tuple(r)
+        for r in minhash_lsh_pairs(
+            docs, 0.3, max_bucket=MAX_LSH_BUCKET, shingles=sh, banded=loaded
+        ).collect()
+    )
+    assert got == want and len(got) > 0
