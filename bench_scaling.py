@@ -724,6 +724,60 @@ def ensure_embeddings(spark, n_vecs: int, path: str) -> None:
     ).write.mode("overwrite").parquet(path)
 
 
+def semantic_probe_sweep(
+    spark, n_corpus: int, probe_sizes: list[int], reps: int = 3
+) -> dict:
+    """semantic_contamination wall time vs PROBE size over a fixed
+    corpus — the round-12 block-fold's scaling evidence. Claims under
+    test: (1) time grows ~linearly in probe rows (the O(N·|probe|)
+    scoring dominates) with NO cliff at the old 65,536-row cap, and
+    (2) at equal probe size, folding many small blocks matches one
+    larger block (the running max adds nothing measurable), so the
+    per-task memory bound is free.
+
+    one_block is only run for probes ≤ 16,384: a single block's
+    accumulator is (arrow_batch × |probe|) float64 — 10k × 262k is a
+    21 GB per-task matrix, which is exactly the degeneration the
+    4,096-row fold exists to prevent (the fold holds it at ~335 MB
+    regardless of probe size), so the unfolded form past that point
+    measures swap, not compute."""
+    import statistics
+
+    from flink_assignment_spark.operators.similarity import semantic_contamination
+
+    base = f"/tmp/fas_embscale_{n_corpus + max(probe_sizes)}"
+    ensure_embeddings(
+        spark, n_corpus + max(probe_sizes), os.path.join(base, "embeddings.parquet")
+    )
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(os.path.join(base, "embeddings.parquet"))
+    corpus = emb.filter(F.col("vec_id") < n_corpus).cache()
+    corpus.count()
+    out = {"n_corpus": n_corpus, "points": []}
+    for n_probe in probe_sizes:
+        probes = emb.filter(
+            (F.col("vec_id") >= n_corpus) & (F.col("vec_id") < n_corpus + n_probe)
+        )
+        configs = [("folded_4k_blocks", 4096)]
+        if n_probe <= 16_384:
+            configs.insert(0, ("one_block", n_probe))
+        times = {}
+        for label, block in configs:
+            secs = []
+            for _ in range(reps):
+                t0 = time.monotonic()
+                semantic_contamination(
+                    corpus, probes, 0.5, max_probe_block=block,
+                    max_probe_total=max(probe_sizes) + 1,
+                ).agg({"max_cos": "max"}).collect()
+                secs.append(round(time.monotonic() - t0, 2))
+            times[label] = round(statistics.median(secs), 2)
+        out["points"].append({"n_probe": n_probe, **times})
+    corpus.unpersist()
+    return out
+
+
 def knn_purity_ab(spark, n_vecs: int, reps: int = 3) -> dict:
     """Exact-kNN label-purity A/B (the q113 shape): the per-group
     top-k-candidate kernel (emit N·blocks·k candidate rows with the
@@ -915,6 +969,17 @@ def main() -> None:
         "(doc counts from --doc-scales)",
     )
     ap.add_argument(
+        "--semantic-probe", type=int, nargs="+", metavar="N_PROBE",
+        help="run ONLY the semantic-contamination probe-size sweep "
+        "(one-block vs folded-4k-blocks per size)",
+    )
+    ap.add_argument(
+        "--semantic-corpus", type=int, default=25_000,
+        help="corpus rows for --semantic-probe (time scales as "
+        "corpus x probe; the probe-size LINEARITY claim is "
+        "corpus-size-independent)",
+    )
+    ap.add_argument(
         "--split-files", type=int, metavar="N_DOCS",
         help="run ONLY the split-stream file-growth trickle sweep "
         "(100 small batches; pair with --compact-every, shared with "
@@ -932,6 +997,19 @@ def main() -> None:
 
     spark = get_spark("fas-bench-scaling")
 
+    if args.semantic_probe:
+        print(
+            json.dumps(
+                {
+                    "metric": "semantic_contamination probe-size sweep (block fold)",
+                    "sweep": semantic_probe_sweep(
+                        spark, args.semantic_corpus, args.semantic_probe,
+                        reps=args.reps,
+                    ),
+                }
+            )
+        )
+        return
     if args.split_files:
         print(
             json.dumps(
