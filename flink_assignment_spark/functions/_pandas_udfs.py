@@ -274,49 +274,64 @@ def make_self_block_topk_scorer(k: int):
     return score
 
 
-def make_block_hardneg_scorer(q_ids, q_matrix, q_labels, k):
+def _hardneg_block_emit(rows_id, R, labs, q_ids, Q, q_labels, k):
+    """One (corpus batch × anchor block) hard-negative emission: score,
+    mask SAME-label pairs to -inf (a hard negative must be a different
+    class; self-pairs share their label so the mask subsumes
+    self-exclusion), and emit only each anchor's per-batch top-k
+    candidates inside the 2e-6 slack band."""
+    SLACK = 2e-6
+    cos = _pair_cos(R, Q)  # (rows, block anchors)
+    cos[labs[:, None] == q_labels[None, :]] = -np.inf
+    n = cos.shape[0]
+    if n > k:
+        kth = np.partition(cos, n - k, axis=0)[n - k]  # per anchor
+    else:
+        kth = np.full(cos.shape[1], -np.inf)
+    sel = (cos >= (kth - SLACK)[None, :]) & np.isfinite(cos)
+    ii, jj = np.nonzero(sel)
+    return pd.DataFrame(
+        {
+            "query_id": q_ids[jj],
+            "neighbor_id": rows_id[ii],
+            "cos_sim": cos[ii, jj],
+        }
+    )
+
+
+def make_block_hardneg_scorer(bc_blocks, k):
     """mapInPandas kernel for hard-negative mining: the corpus streams
     through as (id, vec, label) Arrow batches; each batch scores
-    against the closure-shipped query block, masks SAME-label pairs to
-    -inf (a hard negative must be a different class; self-pairs share
-    their label so the mask subsumes self-exclusion), and emits only
-    each query's per-batch top-k candidates with the 2e-6 slack band —
-    batches x |Q| x k output rows instead of N x |Q|.
+    against a BROADCAST list of anchor (ids, matrix, labels) blocks —
+    the sharded form that lifted semantic_contamination's 65,536-row
+    probe cliff, applied to the anchor side: per-task memory is
+    bounded by ONE (batch × block) cosine matrix no matter how many
+    blocks the anchor set sharded into, and Arrow emission is
+    batches × |Q| × k rows (slack-banded per-block top-k), not
+    N × |Q|. Blocks PARTITION the anchor ids, so each anchor's
+    candidates come from exactly one block per batch and the per-block
+    emissions compose under the single downstream ranking window
+    without any cross-block fold.
 
     Exactness (downstream ranks by ``round(cos, 6) DESC, neighbor_id
-    ASC``): if candidate Y is not emitted for query X from Y's batch,
-    then >= k same-query candidates in that batch score raw
+    ASC``): if candidate Y is not emitted for anchor X from Y's batch,
+    then >= k same-anchor candidates in that batch score raw
     > cos(X,Y) + 2e-6, hence rounded STRICTLY greater — so Y cannot be
     in X's global top-k and the union of per-batch emissions contains
     every global top-k row (the make_self_block_topk_scorer argument,
     batch-wise). Values are raw :func:`_pair_cos` cosines; rounding
     stays engine-side."""
-    Q = q_matrix.astype(np.float64)
-    SLACK = 2e-6
 
     def score(batches):
+        blocks = bc_blocks.value
         for pdf in batches:
             if not len(pdf):
                 continue
             rows_id = pdf.iloc[:, 0].values.astype(np.int64)
             R = np.stack(pdf.iloc[:, 1].values).astype(np.float64)
             labs = pdf.iloc[:, 2].values.astype(np.int64)
-            cos = _pair_cos(R, Q)  # (rows, n_queries)
-            cos[labs[:, None] == q_labels[None, :]] = -np.inf
-            n = cos.shape[0]
-            if n > k:
-                kth = np.partition(cos, n - k, axis=0)[n - k]  # per query
-            else:
-                kth = np.full(cos.shape[1], -np.inf)
-            sel = (cos >= (kth - SLACK)[None, :]) & np.isfinite(cos)
-            ii, jj = np.nonzero(sel)
-            yield pd.DataFrame(
-                {
-                    "query_id": q_ids[jj],
-                    "neighbor_id": rows_id[ii],
-                    "cos_sim": cos[ii, jj],
-                }
-            )
+            for q_ids, Q, q_labels in blocks:
+                yield _hardneg_block_emit(rows_id, R, labs, q_ids, Q, q_labels, k)
 
     return score
 

@@ -342,7 +342,7 @@ def minhash_lsh_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 3,
-    rows_per_band: int = 2,
+    rows_per_band: int | None = None,
     max_doc_freq: int | None = None,
     max_bucket: int | None = None,
     shingles: DataFrame | None = None,
@@ -377,7 +377,11 @@ def minhash_lsh_pairs(
     analogue of passing a prebuilt ``base`` to similarity.lsh_topk;
     the Jaccard verification still reads ``shingles``, so both
     artifacts must derive from one index for the reported value to be
-    consistent.
+    consistent. ``rows_per_band`` (default 2) is a BUILD parameter:
+    passing it explicitly alongside ``banded`` raises — the artifact's
+    banding was fixed when it was built, and silently ignoring a
+    different value would change candidate recall with no error (the
+    same silent-ignore class as the shingles/max_doc_freq guard).
     """
     if shingles is not None and max_doc_freq is not None:
         raise ValueError(
@@ -390,6 +394,15 @@ def minhash_lsh_pairs(
             "was derived from — verification Jaccard must use the same "
             "capped shingle sets the signatures hashed"
         )
+    if banded is not None and rows_per_band is not None:
+        raise ValueError(
+            "pass rows_per_band when building the band artifact, not "
+            "alongside a prebuilt `banded` frame — the artifact's banding "
+            "was fixed at build time and the argument would be silently "
+            "ignored (a mismatched banding changes candidate recall)"
+        )
+    if rows_per_band is None:
+        rows_per_band = 2
     sh = (
         shingles
         if shingles is not None

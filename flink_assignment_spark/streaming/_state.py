@@ -62,21 +62,46 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 
 
-def applied_batch(state_dir: str) -> int:
-    """Last fully-applied foreachBatch id, or -1."""
-    marker = os.path.join(state_dir, "_applied_batch")
-    if os.path.exists(marker):
-        with open(marker) as f:
+def applied_batch(state_dir: str, marker: str = "_applied_batch") -> int:
+    """Last fully-applied foreachBatch id, or -1. ``marker`` names the
+    marker file — sinks whose folds are replay-idempotent scope it per
+    query RUN (see :func:`run_marker`) so an uncheckpointed restart,
+    whose batch ids reset to 0, cannot be silently masked by a stale
+    marker from the previous run (r12 ADVICE: silent data loss in the
+    documented blue/green refresh flow)."""
+    path = os.path.join(state_dir, marker)
+    if os.path.exists(path):
+        with open(path) as f:
             return int(f.read().strip() or -1)
     return -1
 
 
-def commit_marker(state_dir: str, batch_id: int) -> None:
+def commit_marker(
+    state_dir: str, batch_id: int, marker: str = "_applied_batch"
+) -> None:
     """Atomically record ``batch_id`` as applied (tmp + rename)."""
-    tmp = os.path.join(state_dir, "_applied_batch.tmp")
+    tmp = os.path.join(state_dir, marker + ".tmp")
     with open(tmp, "w") as f:
         f.write(str(int(batch_id)))
-    os.replace(tmp, os.path.join(state_dir, "_applied_batch"))
+    os.replace(tmp, os.path.join(state_dir, marker))
+
+
+def run_marker(checkpoint: str | None) -> str:
+    """Replay-marker name for one streaming-query run.
+
+    With a checkpoint, batch ids survive restarts, so the durable
+    default marker is correct across runs (a restarted query resumes
+    offsets and fully-applied ids stay skippable). WITHOUT a
+    checkpoint, a restarted query's batch ids reset to 0 while a
+    durable marker keeps its old high-water value — every post-restart
+    batch with id <= marker would be silently skipped. A fresh
+    per-run marker makes the uncheckpointed restart reprocess from
+    scratch instead; the sinks that use it are replay-idempotent
+    (append + read-side dedup, or a deterministic replace fold), so
+    reprocessing converges to the same table."""
+    if checkpoint is not None:
+        return "_applied_batch"
+    return f"_applied_batch-run-{uuid.uuid4().hex}"
 
 
 def _check_int_parts(touched: list[int]) -> None:

@@ -40,7 +40,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.similarity import ivf_probe
-from ._state import DEFAULT_BACKEND, applied_batch, commit_marker
+from ._state import DEFAULT_BACKEND, applied_batch, commit_marker, run_marker
 
 
 def _results_path(state_dir: str) -> str:
@@ -58,17 +58,18 @@ def probe_ann_batch(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     backend=None,
+    marker: str = "_applied_batch",
 ) -> None:
     """Score one micro-batch of query vectors with the batch
     ``ivf_probe`` kernel and append the ranked neighbors."""
-    if batch_id <= applied_batch(state_dir):
+    if batch_id <= applied_batch(state_dir, marker):
         return
     backend = backend or DEFAULT_BACKEND
     out = ivf_probe(
         batch_df, centroids, index, k, n_probe, id_col, vec_col
     ).withColumn("batch_id", F.lit(int(batch_id)).cast("bigint"))
     backend.append(out.coalesce(8), _results_path(state_dir), None)
-    commit_marker(state_dir, batch_id)
+    commit_marker(state_dir, batch_id, marker)
 
 
 def ann_probe_stream(
@@ -88,7 +89,13 @@ def ann_probe_stream(
     when the query must survive restarts — the blue/green index swap
     restarts the probe against new artifacts and the checkpoint is
     what lets the restarted query resume the source offsets instead
-    of replaying from scratch."""
+    of replaying from scratch. WITHOUT a checkpoint the replay marker
+    is scoped to THIS run (see ``_state.run_marker``): a restarted
+    query's batch ids reset to 0, and a durable marker would silently
+    mask every post-restart batch (r12 ADVICE) — the per-run marker
+    reprocesses instead, and ``read_ann_results``'s dedup collapses
+    the duplicate appends."""
+    marker = run_marker(checkpoint)
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         probe_ann_batch(
@@ -102,6 +109,7 @@ def ann_probe_stream(
             id_col,
             vec_col,
             backend,
+            marker,
         )
 
     w = queries.writeStream.outputMode("append").foreachBatch(_sink)
@@ -122,6 +130,7 @@ def probe_lsh_batch(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     backend=None,
+    marker: str = "_applied_batch",
 ) -> None:
     """Score one micro-batch of query vectors against a FROZEN LSH
     base (``lsh_bucketize_self`` / ``load_lsh_base``) with the batch
@@ -130,7 +139,7 @@ def probe_lsh_batch(
     results agree by shared code path, exactly like the IVF probe."""
     from ..operators.similarity import lsh_topk
 
-    if batch_id <= applied_batch(state_dir):
+    if batch_id <= applied_batch(state_dir, marker):
         return
     backend = backend or DEFAULT_BACKEND
     out = lsh_topk(
@@ -145,7 +154,7 @@ def probe_lsh_batch(
         base=base,
     ).withColumn("batch_id", F.lit(int(batch_id)).cast("bigint"))
     backend.append(out.coalesce(8), _results_path(state_dir), None)
-    commit_marker(state_dir, batch_id)
+    commit_marker(state_dir, batch_id, marker)
 
 
 def lsh_probe_stream(
@@ -165,7 +174,11 @@ def lsh_probe_stream(
     base; returns the StreamingQuery. Index refresh is the same
     blue/green swap as the IVF probe: rebuild the base in batch
     (``save_lsh_base``), restart the query pointing at the new
-    artifact — the stream holds no state to migrate."""
+    artifact — the stream holds no state to migrate. Uncheckpointed
+    restarts get a per-run replay marker (``_state.run_marker``) so a
+    stale durable marker cannot silently mask the restarted run's
+    reset batch ids; pass ``checkpoint`` for offset-resuming restarts."""
+    marker = run_marker(checkpoint)
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         probe_lsh_batch(
@@ -180,6 +193,7 @@ def lsh_probe_stream(
             id_col,
             vec_col,
             backend,
+            marker,
         )
 
     w = queries.writeStream.outputMode("append").foreachBatch(_sink)

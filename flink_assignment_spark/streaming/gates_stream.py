@@ -80,21 +80,28 @@ def compression_gate_stream(
 
 def semantic_gate_stream(
     vectors: DataFrame,
-    probes: DataFrame,
+    probes: DataFrame | None,
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    probe_blocks=None,
 ) -> DataFrame:
     """Embedding-space decontamination gate for a streamed corpus —
     the batch q122 operator applied UNCHANGED to a streaming frame:
-    the probe block is bounded and closure-shipped, and the per-row
+    the probe block is bounded and broadcast, and the per-row
     max cosine reduces inside the mapInPandas kernel, so the whole op
     is a stateless narrow map (no aggregate state, append mode).
     ``probes`` must be a STATIC frame (the eval benchmark); refresh =
-    restart with the new block, same as the BM25 frozen stats."""
+    restart with the new block, same as the BM25 frozen stats.
+    ``probe_blocks`` is the frozen-artifact restart path: persist the
+    collected probe set once (operators.similarity.save_probe_blocks)
+    and a gate restart loads it (load_probe_blocks) instead of
+    re-collecting the eval union through Spark."""
     from ..operators.similarity import semantic_contamination
 
-    return semantic_contamination(vectors, probes, threshold, id_col, vec_col)
+    return semantic_contamination(
+        vectors, probes, threshold, id_col, vec_col, probe_blocks=probe_blocks
+    )
 
 
 def quality_cutoffs(docs: DataFrame, keep_per_5: int = 1) -> DataFrame:

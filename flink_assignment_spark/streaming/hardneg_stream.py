@@ -2,9 +2,10 @@
 
 The production shape mirrors the ANN probes but inverts which side
 streams: the ANCHOR set (the training queries whose negatives we are
-mining) is small and FROZEN — ids, vectors, and labels closure-shipped
-once into the same ``make_block_hardneg_scorer`` kernel batch q124
-uses — while the CORPUS arrives continuously, and every anchor's
+mining) is bounded and FROZEN — ids, vectors, and labels sharded into
+broadcast blocks feeding the same ``make_block_hardneg_scorer`` kernel
+batch q124 uses — while the CORPUS arrives continuously, and every
+anchor's
 current best-k different-label negatives must reflect everything seen
 so far. That needs state, but a bounded one: the running top-k table
 is at most ``|anchors| x k`` rows no matter how much corpus has
@@ -41,7 +42,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ._state import DEFAULT_BACKEND, applied_batch, commit_marker
+from ._state import DEFAULT_BACKEND, applied_batch, commit_marker, run_marker
 
 
 def _topk_path(state_dir: str) -> str:
@@ -55,27 +56,30 @@ def freeze_anchors(
     vec_col: str = "embedding",
     label_col: str = "label",
     max_anchor_block: int = 65_536,
+    max_anchor_total: int = 1_048_576,
 ):
-    """Collect the bounded anchor set and build the closure-shipped
+    """Collect the bounded anchor set and build the broadcast-armed
     kernel ONCE — the artifact half of the split (the analogue of
     ivf_train's centroids). Returns the kernel; rebuild + restart to
-    change anchors (blue/green, same as the ANN indexes)."""
-    import numpy as np
+    change anchors (blue/green, same as the ANN indexes).
 
+    Anchors are SHARDED into ≤ ``max_anchor_block``-row blocks and
+    broadcast (operators.similarity.collect_anchor_blocks — the same
+    block fold that lifted batch q124's 65,536-anchor cliff), so a
+    million-anchor miner degrades linearly; ``max_anchor_total`` is
+    the broadcast-memory guard. The broadcast is memoized per
+    (session, artifact fingerprint), so a restart against unchanged
+    anchors reuses it."""
+    from ..operators.similarity import _session_broadcast, collect_anchor_blocks
     from ..functions._pandas_udfs import make_block_hardneg_scorer
 
-    collected = anchors.select(
-        F.col(id_col), F.col(vec_col), F.col(label_col)
-    ).limit(max_anchor_block + 1).collect()
-    if len(collected) > max_anchor_block:
-        raise ValueError(
-            f"anchor set exceeds max_anchor_block={max_anchor_block}; "
-            "mine per anchor shard instead"
-        )
-    q_ids = np.array([r[0] for r in collected], dtype=np.int64)
-    q_matrix = np.array([list(r[1]) for r in collected], dtype=np.float64)
-    q_labels = np.array([r[2] for r in collected], dtype=np.int64)
-    return make_block_hardneg_scorer(q_ids, q_matrix, q_labels, k)
+    blocks = collect_anchor_blocks(
+        anchors, id_col, vec_col, label_col, max_anchor_block, max_anchor_total
+    )
+    bc = _session_broadcast(
+        anchors.sparkSession, "anchors:" + blocks.fingerprint, blocks.blocks
+    )
+    return make_block_hardneg_scorer(bc, k)
 
 
 def mine_negatives_batch(
@@ -88,10 +92,11 @@ def mine_negatives_batch(
     vec_col: str = "embedding",
     label_col: str = "label",
     backend=None,
+    marker: str = "_applied_batch",
 ) -> None:
     """Fold one corpus micro-batch into the running top-k negatives
     table (see module docstring for the exactness/replay contract)."""
-    if batch_id <= applied_batch(state_dir):
+    if batch_id <= applied_batch(state_dir, marker):
         return
     backend = backend or DEFAULT_BACKEND
     spark = batch_df.sparkSession
@@ -115,7 +120,7 @@ def mine_negatives_batch(
     # fold here, not a scale concern (the staging write materializes
     # the union BEFORE the old table moves)
     backend.replace(topk.coalesce(1), _topk_path(state_dir))
-    commit_marker(state_dir, batch_id)
+    commit_marker(state_dir, batch_id, marker)
 
 
 def hard_negatives_stream(
@@ -131,7 +136,12 @@ def hard_negatives_stream(
 ):
     """Start the miner; returns the StreamingQuery. ``kernel`` comes
     from :func:`freeze_anchors` (frozen artifact; anchor refresh =
-    blue/green restart)."""
+    blue/green restart). Uncheckpointed restarts get a per-run replay
+    marker (``_state.run_marker``) so a stale durable marker cannot
+    silently mask the restarted run's reset batch ids (r12 ADVICE);
+    the fold is deterministic and idempotent, so reprocessing
+    converges to the identical top-k table."""
+    marker = run_marker(checkpoint)
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         mine_negatives_batch(
@@ -144,6 +154,7 @@ def hard_negatives_stream(
             vec_col,
             label_col,
             backend,
+            marker,
         )
 
     w = corpus.writeStream.outputMode("append").foreachBatch(_sink)

@@ -133,3 +133,28 @@ def test_minhash_bands_save_load_roundtrip(spark, tmp_path):
         ).collect()
     )
     assert got == want and len(got) > 0
+
+
+def test_rows_per_band_alongside_banded_raises(spark):
+    """rows_per_band is a BUILD parameter: passing it explicitly with a
+    prebuilt banded artifact raises instead of being silently ignored
+    (r12 ADVICE — a mismatched banding changes candidate recall with
+    no error, the same silent-ignore class as shingles/max_doc_freq)."""
+    import pytest
+
+    from flink_assignment_spark.operators.dedup import (
+        band_keys,
+        doc_shingles,
+        minhash_signatures,
+    )
+
+    rows = [(i, f"alpha beta gamma d{i} e{i}") for i in range(6)]
+    docs = _docs(spark, rows)
+    sh = doc_shingles(docs)
+    banded = band_keys(minhash_signatures(docs, shingles=sh), 2)
+    with pytest.raises(ValueError, match="rows_per_band"):
+        minhash_lsh_pairs(docs, 0.3, rows_per_band=4, shingles=sh, banded=banded)
+    # the default (None) alongside banded stays valid
+    assert (
+        minhash_lsh_pairs(docs, 0.0, shingles=sh, banded=banded).count() >= 0
+    )
