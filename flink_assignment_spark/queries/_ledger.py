@@ -1,0 +1,311 @@
+"""Driver-window rotation ledger — computed, not hand-transcribed.
+
+The driver's correctness harness records at most 50 registry entries
+per round, in registry order, so the registry's ordering IS the
+external correctness window. Two inputs decide it:
+
+1. **Last-green rounds** (:func:`derive_last_green`): read directly
+   from the ``CORRECTNESS_r*.json`` files the driver drops in the repo
+   root — a query's latest round with a fully-green row. The r12 judge
+   flagged the hand-transcribed predecessor as a process risk: a
+   forgotten per-round bump re-presented the same window and silently
+   starved the rotation. Derivation makes a stale ledger impossible —
+   a new green round reorders the fill the moment the file lands.
+
+2. **Source-hash drift** (:func:`changed_queries`): the rotation was
+   blind to code changes — r12 rotated q16 and q122 *out* of the
+   window in the same round their kernels changed. Each query's
+   implementation hash (its function source + oracle SQL + the full
+   source of every package module in its import closure,
+   :func:`query_source_hash`) is snapshotted in
+   ``tools/query_source_hashes.json`` when the query last went
+   driver-green; at registry build, any query whose CURRENT hash
+   differs is treated as needs-green and force-included at the front
+   of the window. ``tools/update_query_hashes.py`` refreshes the
+   snapshot — run it at round start, before editing, so the recorded
+   hashes are exactly the tree the latest CORRECTNESS file tested.
+
+Both readers degrade safely: no CORRECTNESS files → empty ledger
+(every oracle query sorts as needs-green); no snapshot → nothing is
+forced (a never-green query is already needs-green).
+"""
+
+from __future__ import annotations
+
+import ast
+import glob
+import hashlib
+import inspect
+import json
+import os
+import re
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_PKG_ROOT = os.path.join(_REPO_ROOT, "flink_assignment_spark")
+SNAPSHOT_PATH = os.path.join(_REPO_ROOT, "tools", "query_source_hashes.json")
+
+
+def derive_last_green(repo_root: str | None = None) -> dict[str, int]:
+    """name → latest round with a fully-green driver row, read from
+    every ``CORRECTNESS_r*.json`` in the repo root. A row is green iff
+    rows/schema/hash all match and no error was recorded (rows-only
+    queries never appear fully green — they are not oracle-rotated)."""
+    root = repo_root or _REPO_ROOT
+    ledger: dict[str, int] = {}
+    for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as f:
+                data = json.load(f)
+        except (OSError, ValueError):
+            continue
+        if not isinstance(data, dict):
+            continue
+        for name, row in data.items():
+            if not isinstance(row, dict) or row.get("err"):
+                continue
+            if (
+                row.get("rows_match")
+                and row.get("schema_match")
+                and row.get("hash_match")
+            ):
+                if ledger.get(name, -1) < rnd:
+                    ledger[name] = rnd
+    return ledger
+
+
+# --------------------------------------------------------------- hashing
+
+_IDENT = re.compile(r"\b[A-Za-z_]\w*\b")
+
+
+def _rel_to_file(module_file: str, node: ast.ImportFrom) -> str | None:
+    """Resolve a package-relative ImportFrom to a module file path
+    inside the package, or None for absolute/external imports."""
+    if not node.level:
+        return None
+    base = os.path.dirname(module_file)
+    for _ in range(node.level - 1):
+        base = os.path.dirname(base)
+    if not base.startswith(_PKG_ROOT):
+        return None
+    target = os.path.join(base, *(node.module or "").split("."))
+    for cand in (target + ".py", os.path.join(target, "__init__.py")):
+        if os.path.exists(cand):
+            return cand
+    return None
+
+
+# Per-process caches: the 125-query registry re-visits the same ~40
+# package files; parse each file's import edges and digest its bytes
+# once instead of once per query (registry import-time cost).
+_FILE_DEPS_CACHE: dict[str, list[str]] = {}
+_FILE_HASH_CACHE: dict[str, str] = {}
+
+
+def _file_deps(f: str) -> list[str]:
+    deps = _FILE_DEPS_CACHE.get(f)
+    if deps is None:
+        deps = []
+        try:
+            tree = ast.parse(open(f).read())
+        except (OSError, SyntaxError):
+            tree = None
+        if tree is not None:
+            for node in ast.walk(tree):
+                if isinstance(node, ast.ImportFrom):
+                    dep = _rel_to_file(f, node)
+                    if dep:
+                        deps.append(dep)
+        _FILE_DEPS_CACHE[f] = deps
+    return deps
+
+
+def _file_hash(f: str) -> str:
+    h = _FILE_HASH_CACHE.get(f)
+    if h is None:
+        try:
+            h = hashlib.md5(open(f, "rb").read()).hexdigest()
+        except OSError:
+            h = ""
+        _FILE_HASH_CACHE[f] = h
+    return h
+
+
+def _module_closure(seed_files: set[str]) -> list[str]:
+    """Expand package-internal imports transitively: every package
+    module a seed file reaches contributes its full source to the
+    hash, so a kernel change in functions/_pandas_udfs.py drifts every
+    query whose operator imports it."""
+    seen: set[str] = set()
+    stack = list(seed_files)
+    while stack:
+        f = stack.pop()
+        if f in seen or not f.startswith(_PKG_ROOT):
+            continue
+        seen.add(f)
+        stack.extend(_file_deps(f))
+    return sorted(seen)
+
+
+def _defining_module_maps(module) -> tuple[dict[str, str], dict[str, str]]:
+    """For a query's defining module: (imported name → package module
+    file) from top-level relative imports, and (helper name → source)
+    for module-level ``_``-prefixed functions (the session-memo
+    helpers a query body calls without importing)."""
+    src = inspect.getsource(module)
+    tree = ast.parse(src)
+    name_to_file: dict[str, str] = {}
+    helper_src: dict[str, str] = {}
+    mfile = inspect.getsourcefile(module)
+    for node in tree.body:
+        if isinstance(node, ast.ImportFrom):
+            dep = _rel_to_file(mfile, node)
+            if dep:
+                for alias in node.names:
+                    name_to_file[alias.asname or alias.name] = dep
+        elif isinstance(node, ast.FunctionDef) and node.name.startswith("_"):
+            helper_src[node.name] = ast.get_source_segment(src, node) or ""
+    return name_to_file, helper_src
+
+
+_MODULE_MAPS_CACHE: dict[str, tuple[dict, dict]] = {}
+
+
+def _maps_for(module):
+    key = module.__name__
+    if key not in _MODULE_MAPS_CACHE:
+        _MODULE_MAPS_CACHE[key] = _defining_module_maps(module)
+    return _MODULE_MAPS_CACHE[key]
+
+
+def _collect_sources(fn_source: str, module, seeds: set[str], parts: list[str], seen_helpers: set[str]) -> None:
+    """Accumulate: package files imported inside the source, package
+    files whose top-level-imported names the source references, and
+    (recursively) same-module helper functions it calls."""
+    name_to_file, helper_src = _maps_for(module)
+    mfile = inspect.getsourcefile(module)
+    try:
+        tree = ast.parse(fn_source)
+    except SyntaxError:
+        tree = None
+    if tree is not None:
+        for node in ast.walk(tree):
+            if isinstance(node, ast.ImportFrom):
+                dep = _rel_to_file(mfile, node)
+                if dep:
+                    seeds.add(dep)
+    # sorted: set iteration order varies with PYTHONHASHSEED, and the
+    # helper sources are appended to the hashed parts in this order
+    idents = sorted(set(_IDENT.findall(fn_source)))
+    for name in idents:
+        if name in name_to_file:
+            seeds.add(name_to_file[name])
+    for name in idents:
+        if name in helper_src and name not in seen_helpers:
+            seen_helpers.add(name)
+            hsrc = helper_src[name]
+            parts.append(hsrc)
+            _collect_sources(hsrc, module, seeds, parts, seen_helpers)
+
+
+def query_source_hash(spark_fn, oracle: str | None) -> str:
+    """Deterministic hash of a query's implementation: the query
+    function's own source, its oracle SQL, every same-module helper it
+    references (recursively), and the FULL source of every package
+    module in its import closure — so an operator- or kernel-level
+    change drifts the hash of every query it can affect."""
+    fn = inspect.unwrap(spark_fn)
+    fn_source = inspect.getsource(fn)
+    module = inspect.getmodule(fn)
+    parts: list[str] = [fn_source, oracle or ""]
+    seeds: set[str] = set()
+    _collect_sources(fn_source, module, seeds, parts, set())
+    h = hashlib.md5()
+    for p in parts:
+        h.update(p.encode())
+        h.update(b"\x00")
+    for f in _module_closure(seeds):
+        h.update(os.path.relpath(f, _REPO_ROOT).encode())
+        h.update(b"\x00")
+        h.update(_file_hash(f).encode())
+        h.update(b"\x00")
+    return h.hexdigest()
+
+
+def load_snapshot(path: str | None = None) -> dict[str, dict]:
+    try:
+        with open(path or SNAPSHOT_PATH) as f:
+            data = json.load(f)
+        return data if isinstance(data, dict) else {}
+    except (OSError, ValueError):
+        return {}
+
+
+def changed_queries(registry, snapshot: dict[str, dict] | None = None) -> set[str]:
+    """Names whose CURRENT implementation hash differs from the
+    snapshot taken at their last driver-green round — these are
+    force-included at the front of the rotation window (green history
+    says nothing about the code as it stands now)."""
+    snap = load_snapshot() if snapshot is None else snapshot
+    changed: set[str] = set()
+    for name, spec in registry.items():
+        rec = snap.get(name)
+        if not rec or "hash" not in rec:
+            continue
+        try:
+            if query_source_hash(spec.spark, spec.oracle) != rec["hash"]:
+                changed.add(name)
+        except (OSError, TypeError):
+            continue
+    return changed
+
+
+def rotated_order(
+    registry,
+    last_green: dict[str, int],
+    reference_window: list[str],
+    forced: set[str] = frozenset(),
+    window: int = 50,
+) -> list[str]:
+    """Registry-order layout of the driver window (pure function — the
+    rotation is pinned by tests/test_state_and_guards.py):
+
+      [0, len(reference_window))  the reference-parity band, never
+                                  rotated out
+      next   oracle queries with no green driver row OR whose code
+             changed since their last green row (``forced``)
+      fill   previously-green oracle queries, STALEST last-green round
+             first (then by name), up to the window size
+      tail   remaining oracle queries, then rows-only queries
+    """
+    needs_green = [
+        n
+        for n, s in registry.items()
+        if s.oracle is not None
+        and n not in reference_window
+        and (n not in last_green or n in forced)
+    ]
+    fill = sorted(
+        (
+            n
+            for n, s in registry.items()
+            if s.oracle is not None
+            and n in last_green
+            and n not in forced
+            and n not in reference_window
+        ),
+        key=lambda n: (last_green[n], n),
+    )
+    n_fill = max(0, window - len(reference_window) - len(needs_green))
+    rows_only = [n for n, s in registry.items() if s.oracle is None]
+    return (
+        list(reference_window)
+        + needs_green
+        + fill[:n_fill]
+        + fill[n_fill:]
+        + rows_only
+    )

@@ -260,3 +260,90 @@ def test_bloom_empty_probe_flags_nothing(spark):
     bits, n_bits = build_bloom(set())
     out = bloom_contaminated_counts(docs, bits, n_bits).collect()
     assert out[0].n_contaminated_shingles == 0 and not out[0].contaminated
+
+
+# ------------------------------------------------- rotation ledger (derived)
+
+
+def test_derived_ledger_reorders_fill_on_new_green_round(tmp_path):
+    """The last-green ledger is computed from CORRECTNESS_r*.json at
+    import time (r12 judge: the hand-transcribed dict silently stalled
+    the rotation when a round forgot to bump it) — dropping a new green
+    round's file must reorder the fill with no code change."""
+    import json
+    from dataclasses import dataclass
+
+    from flink_assignment_spark.queries._ledger import (
+        derive_last_green,
+        rotated_order,
+    )
+
+    @dataclass
+    class Spec:
+        oracle: str | None
+
+    reg = {
+        "ref_a": Spec("SELECT 1"),
+        "old_1": Spec("SELECT 1"),
+        "old_2": Spec("SELECT 1"),
+        "fresh": Spec("SELECT 1"),
+        "never": Spec("SELECT 1"),
+        "rows_only": Spec(None),
+    }
+    green = {"rows_match": True, "schema_match": True, "hash_match": True, "err": None}
+    (tmp_path / "CORRECTNESS_r01.json").write_text(
+        json.dumps({"ref_a": green, "old_1": green, "old_2": green, "fresh": green})
+    )
+    (tmp_path / "CORRECTNESS_r02.json").write_text(json.dumps({"fresh": green}))
+    lg = derive_last_green(str(tmp_path))
+    assert lg == {"ref_a": 1, "old_1": 1, "old_2": 1, "fresh": 2}
+    order = rotated_order(reg, lg, ["ref_a"], window=3)
+    # never-green first; then the fill stalest-first: old_1/old_2 (r1)
+    # before fresh (r2); rows-only last
+    assert order == ["ref_a", "never", "old_1", "old_2", "fresh", "rows_only"]
+    # a NEW green round for old_1 demotes it behind old_2 — the file
+    # alone reorders the fill
+    (tmp_path / "CORRECTNESS_r03.json").write_text(json.dumps({"old_1": green}))
+    order2 = rotated_order(reg, derive_last_green(str(tmp_path)), ["ref_a"], window=3)
+    assert order2 == ["ref_a", "never", "old_2", "fresh", "old_1", "rows_only"]
+    # a red row (hash mismatch) must NOT advance the ledger
+    red = {**green, "hash_match": False}
+    (tmp_path / "CORRECTNESS_r04.json").write_text(json.dumps({"old_2": red}))
+    assert derive_last_green(str(tmp_path))["old_2"] == 1
+
+
+def test_changed_code_queries_are_forced_into_window():
+    """A query whose implementation hash drifted from the snapshot is
+    treated as needs-green and force-included ahead of the fill (r12
+    judge: the rotation was blind to code changes and rotated q16/q122
+    out in the round their kernels changed)."""
+    from dataclasses import dataclass
+
+    from flink_assignment_spark.queries._ledger import rotated_order
+
+    @dataclass
+    class Spec:
+        oracle: str | None
+
+    reg = {"a": Spec("x"), "b": Spec("x"), "c": Spec("x")}
+    lg = {"a": 5, "b": 3, "c": 4}
+    # without forcing, the stalest (b) fills first
+    assert rotated_order(reg, lg, [], window=1) == ["b", "c", "a"]
+    # forcing a puts it ahead of every fill entry despite being newest-green
+    assert rotated_order(reg, lg, [], forced={"a"}, window=2) == ["a", "b", "c"]
+
+
+def test_live_snapshot_matches_live_registry_keys():
+    """The committed snapshot covers exactly the registry (a new query
+    without a snapshot row is fine — it is needs-green anyway — but a
+    stale snapshot naming dead queries means the update tool was not
+    run at round start)."""
+    import json
+
+    from flink_assignment_spark.queries._ledger import SNAPSHOT_PATH
+    from flink_assignment_spark.queries.synthetic import REGISTRY
+
+    with open(SNAPSHOT_PATH) as f:
+        snap = json.load(f)
+    assert set(snap) <= set(REGISTRY)
+    assert all("hash" in v for v in snap.values())
