@@ -115,6 +115,40 @@ def main() -> None:
         # harness, so cross-round deltas stay apples-to-apples).
         spark.catalog.clearCache()
 
+    # Pinned-environment sentinel (r12 judge ask #3): five cheap,
+    # rarely-touched queries spanning plan shapes (sample scan, window
+    # agg, distinct agg, semi/anti joins, narrow text map) at 20 reps
+    # each, with the rep SPREAD recorded — the per-round drift
+    # attribution. Code-driven regressions move specific touched
+    # queries while the sentinel stays flat; box noise moves the
+    # sentinel's spread (r12's +19% like-for-like drift on untouched
+    # queries had no in-record signal to distinguish the two).
+    sentinel_names = [
+        "q05_tumbling_daily",
+        "q23_distinct_daily",
+        "q39_semi_anti",
+        "q72_fixed_sample",
+        "q74_normalize_text",
+    ]
+    sentinel: dict[str, dict[str, float]] = {}
+    sent_compact: dict[str, list[float]] = {}
+    for name in sentinel_names:
+        samples = []
+        for _ in range(20):
+            t0 = time.monotonic()
+            run_query(REGISTRY[name].spark(spark, SF_DIR))
+            samples.append(time.monotonic() - t0)
+        spark.catalog.clearCache()
+        samples.sort()
+        lo, med, hi = samples[0], samples[len(samples) // 2], samples[-1]
+        sentinel[name] = {
+            "min": round(lo, 3),
+            "med": round(med, 3),
+            "max": round(hi, 3),
+        }
+        key = name.split("_", 1)[0]
+        sent_compact[key] = [round(lo, 2), round(hi / lo, 1)]
+
     total = round(sum(timings.values()), 3)
     payload = {
         "metric": "total wall-clock over all registry queries (noop sink)",
@@ -124,10 +158,13 @@ def main() -> None:
         "sf": sf_value(SF_DIR),
         "reps_per_query": reps,
         "noisy_rep_ratio": noisy,
+        "sentinel": sentinel,
     }
     # full-name record first (humans, cross-round diffs) ...
     print(json.dumps(payload))
-    payload = {k: v for k, v in payload.items() if k != "noisy_rep_ratio"}
+    payload = {
+        k: v for k, v in payload.items() if k not in ("noisy_rep_ratio", "sentinel")
+    }
     # ... then a COMPACT line LAST: the driver records only a ~2 KB
     # tail of stdout, and with 90+ queries the full-name line exceeds
     # it (BENCH_r05 recorded `parsed: null` for exactly this reason).
@@ -142,6 +179,10 @@ def main() -> None:
             {
                 **compact,
                 "queries": short_keys(timings),
+                # sentinel summary rides the driver-recorded line:
+                # [min sec, max/min rep spread] per sentinel query —
+                # flat spread + moved totals = code; blown spread = box
+                "sent": sent_compact,
                 "keys": "query number prefixes",
             },
             separators=(",", ":"),

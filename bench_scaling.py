@@ -502,6 +502,93 @@ def bloom_ab_point(spark, n_docs: int, reps: int = 3) -> dict:
     }
 
 
+def bloom_arrow_share(spark, n_docs: int, reps: int = 5) -> dict:
+    """Where does the Bloom gate's time go? (r12 judge ask #5: q123 is
+    the slowest registry row at 3x the exact gate q60 — attribute it
+    before optimizing.) Four nested plans over the same corpus, each
+    timed to the noop sink, differing by exactly one stage:
+
+      scan          spread + project (doc_id, length(text))
+      shingle_jvm   + the JVM shingle expression (tokenize → distinct
+                    word-3-grams → md5-derived hash60 per shingle)
+      arrow         + Arrow transfer of the hash arrays into a pandas
+                    UDF that only counts them (no probe math)
+      full          + the real vectorized Bloom probe (the q123 gate)
+
+    Successive deltas attribute the cost: expression = shingle_jvm −
+    scan, transfer = arrow − shingle_jvm, probe = full − arrow."""
+    import statistics
+
+    from pyspark.sql import functions as F
+
+    from flink_assignment_spark.operators.dedup import doc_shingles
+    from flink_assignment_spark.operators.gates import (
+        bloom_clean_filter,
+        build_bloom,
+        shingle_hash_array,
+    )
+    from flink_assignment_spark.operators.spread import spread
+
+    base = f"/tmp/fas_docscale_{n_docs}"
+    ensure_documents(spark, n_docs, os.path.join(base, "documents.parquet"))
+    docs = spark.read.parquet(os.path.join(base, "documents.parquet")).select(
+        "doc_id", "text"
+    )
+    cut = max(20, n_docs // 100)
+    probe = {
+        r.h
+        for r in doc_shingles(docs.filter(F.col("doc_id") < cut))
+        .select("h")
+        .distinct()
+        .collect()
+    }
+    bits, n_bits = build_bloom(probe)
+    corpus = spread(docs.filter(F.col("doc_id") >= cut))
+
+    import pandas as pd  # noqa: F401
+
+    @F.pandas_udf("int")
+    def _count_only(shingle_arrays):
+        # the Arrow-transfer control: same input column, no probe
+        return shingle_arrays.apply(lambda a: 0 if a is None else len(a))
+
+    plans = {
+        "scan": corpus.select("doc_id", F.length("text").alias("n")),
+        "shingle_jvm": corpus.select(
+            "doc_id", F.size(shingle_hash_array(F.col("text"))).alias("n")
+        ),
+        "arrow": corpus.select(
+            "doc_id", _count_only(shingle_hash_array(F.col("text"))).alias("n")
+        ),
+        "full": corpus.filter(bloom_clean_filter(corpus, bits, n_bits)).select(
+            "doc_id"
+        ),
+    }
+
+    def run(df):
+        df.write.format("noop").mode("overwrite").save()
+
+    run(plans["full"])  # warm UDF workers / parquet footers
+    med = {}
+    for label, df in plans.items():
+        secs = []
+        for _ in range(reps):
+            t0 = time.monotonic()
+            run(df)
+            secs.append(time.monotonic() - t0)
+        med[label] = round(statistics.median(secs), 3)
+    return {
+        "n_docs": n_docs,
+        "probe_shingles": len(probe),
+        "median_sec": med,
+        "share_sec": {
+            "expression": round(med["shingle_jvm"] - med["scan"], 3),
+            "arrow_transfer": round(med["arrow"] - med["shingle_jvm"], 3),
+            "bloom_probe": round(med["full"] - med["arrow"], 3),
+        },
+    }
+
+
 def stream_split_sweep(spark, scales: list[int], n_batches: int = 10) -> dict:
     """Per-batch latency of the incremental split assignment
     (streaming/split_stream.py) as the group-map state grows. The
@@ -990,6 +1077,11 @@ def main() -> None:
         help="run ONLY the contamination-gate A/B at N_DOCS "
         "(exact set broadcast vs Bloom bitmap)",
     )
+    ap.add_argument(
+        "--bloom-arrow", type=int, metavar="N_DOCS",
+        help="run ONLY the Bloom-gate cost attribution at N_DOCS "
+        "(scan / shingle expression / Arrow transfer / probe shares)",
+    )
     args = ap.parse_args()
 
     from flink_assignment_spark.queries.synthetic import REGISTRY  # noqa: F401
@@ -1134,6 +1226,18 @@ def main() -> None:
                 {
                     "metric": "contamination gate A/B: exact set broadcast vs Bloom bitmap",
                     "bloom_ab": bloom_ab_point(spark, args.bloom_ab, reps=args.reps),
+                }
+            )
+        )
+        return
+    if args.bloom_arrow:
+        print(
+            json.dumps(
+                {
+                    "metric": "Bloom gate cost attribution: scan / shingle expr / Arrow transfer / probe",
+                    "bloom_arrow": bloom_arrow_share(
+                        spark, args.bloom_arrow, reps=args.reps
+                    ),
                 }
             )
         )

@@ -226,8 +226,19 @@ def bloom_clean_filter(
     while FPs only drop an FP-rate-bounded remainder. A narrow
     per-row predicate (one Arrow UDF + an equality), so
     ``CorpusPipeline.decontaminate(strategy='bloom')`` applies it
-    unchanged to batch and streaming frames."""
-    _n_hits = _make_bloom_hits_udf(docs, bloom_bits, n_bits, k)
+    unchanged to batch and streaming frames.
+
+    The UDF is marked ``asNondeterministic()`` as an OPTIMIZER FENCE
+    (it is semantically deterministic): Catalyst pushes deterministic
+    filter predicates below exchanges, and here that drags the whole
+    ArrowEvalPython + shingle expression BELOW the caller's
+    parallelism spread — at sf0.1 the corpus parquet is one input
+    split, so the entire gate ran on ONE core (measured 3.95 s
+    single-task filter vs 0.80 s distributed project of the identical
+    predicate; the fence keeps the filter above the spread, r13
+    SCALING.md attribution). Values are unchanged — the flag only
+    disables predicate pushdown/re-evaluation."""
+    _n_hits = _make_bloom_hits_udf(docs, bloom_bits, n_bits, k).asNondeterministic()
     return _n_hits(shingle_hash_array(F.col(text_col), n)) == 0
 
 

@@ -5948,9 +5948,13 @@ def q123_bloom_decontaminate(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     # spread BEFORE the narrow gate: the corpus parquet arrives as a
     # single input split at this SF, which would run the whole
-    # shingle-hash expression on one core (measured 4.7 s single-task
-    # vs ~0.5 s spread at sf0.1) — same rationale as doc_shingles'
-    # internal _spread
+    # shingle-hash expression on one core — same rationale as
+    # doc_shingles' internal _spread. The gate's UDF additionally
+    # carries an optimizer fence (gates.bloom_clean_filter): without
+    # it Catalyst pushed the filter predicate — and the whole
+    # ArrowEvalPython + shingle expression with it — BELOW this
+    # spread, silently undoing it (q123 ran single-task at 4.2 s; the
+    # fence restores the distributed 0.9 s — r13 SCALING.md)
     kept = (
         CorpusPipeline(spread(docs.filter(F.col("doc_id") >= 20)))
         .decontaminate(

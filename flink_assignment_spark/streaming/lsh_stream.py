@@ -105,8 +105,15 @@ def incremental_lsh_neardup(
     n_pt: int | None = None,
     backend=None,
     compact_every: int | None = None,
+    checkpoint: str | None = None,
 ):
-    """Start the streaming near-dup query; returns the StreamingQuery."""
+    """Start the streaming near-dup query; returns the StreamingQuery.
+    Pass ``checkpoint`` when the detector must survive restarts (e.g.
+    the corpus-artifact blue/green swap restarts the consumer): the
+    restarted query resumes source offsets, batch ids continue, and
+    the durable ``_applied_batch`` marker stays valid across runs —
+    the correct pairing for the detector's convergent (not
+    re-run-idempotent) fold."""
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         merge_lsh_batch(
@@ -122,7 +129,10 @@ def incremental_lsh_neardup(
             compact_every,
         )
 
-    return docs.writeStream.outputMode("append").foreachBatch(_sink).start()
+    w = docs.writeStream.outputMode("append").foreachBatch(_sink)
+    if checkpoint is not None:
+        w = w.option("checkpointLocation", checkpoint)
+    return w.start()
 
 
 def read_candidate_pairs(

@@ -22,6 +22,7 @@ def test_compact_line_fits_tail_window():
             "queries": short_keys(timings),
             "sf": 0.1,
             "reps_per_query": 2,
+            "sent": {k: [123.45, 12.3] for k in ("q05", "q23", "q39", "q72", "q74")},
             "keys": "query number prefixes",
         },
         separators=(",", ":"),
