@@ -146,6 +146,35 @@ def build_bloom(
     return bits.tobytes(), n_bits
 
 
+def save_bloom(path: str, bloom: tuple[bytes, int]) -> None:
+    """Persist the (bitmap bytes, n_bits) Bloom artifact — the storage
+    half of the gate's train-once/probe-always split, completing the
+    save/load trio the other frozen indexes have (IVF centroids as
+    JSON, LSH base and MinHash bands as parquet, probe blocks as npz).
+    Format: 8-byte little-endian n_bits header + the raw bitmap, so
+    the round-trip is byte-exact and engine-independent."""
+    bits, n_bits = bloom
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(int(n_bits).to_bytes(8, "little"))
+        f.write(bits)
+    import os
+
+    os.replace(tmp, path)
+
+
+def load_bloom(path: str) -> tuple[bytes, int]:
+    with open(path, "rb") as f:
+        n_bits = int.from_bytes(f.read(8), "little")
+        bits = f.read()
+    if len(bits) * 8 != n_bits:
+        raise ValueError(
+            f"corrupt bloom artifact: header says {n_bits} bits but the "
+            f"bitmap holds {len(bits) * 8}"
+        )
+    return bits, n_bits
+
+
 def bloom_contaminated_counts(
     docs: DataFrame,
     bloom_bits: bytes,

@@ -203,7 +203,11 @@ class CorpusPipeline:
             bc = self._df.sparkSession.sparkContext.broadcast(
                 frozenset(r["h"] for r in probe.collect())
             )
-            clean = make_probe_clean_udf(bc)
+            # optimizer fence, same class as bloom_clean_filter's: a
+            # deterministic UDF predicate can be pushed below an
+            # exchange, dragging the Python stage under whatever
+            # parallelism the caller set up (values are unchanged)
+            clean = make_probe_clean_udf(bc).asNondeterministic()
             out = self._df.filter(
                 clean(shingle_hash_array(F.col(self.text_col)))
             )

@@ -459,3 +459,27 @@ def test_q124_hard_negatives_no_join_one_window(spark):
     plan = physical_plan(df)
     assert "Join" not in plan, plan
     assert count_exchanges(df) <= 2, plan
+
+
+def test_q123_bloom_gate_udf_stays_above_spread(spark):
+    """The Bloom gate's UDF predicate must NOT be pushed below the
+    parallelism spread: Catalyst pushes deterministic filter predicates
+    below exchanges, which ran the whole gate (ArrowEvalPython +
+    shingle expression) on ONE core when the corpus arrived as a
+    single parquet split (r13 SCALING.md: 3.95 s single-task vs 0.80 s
+    distributed). bloom_clean_filter's optimizer fence keeps the
+    Python stage ABOVE the round-robin exchange — in the plan string,
+    parents print first, so ArrowEvalPython must appear before the
+    spread Exchange."""
+    df = REGISTRY["q123_bloom_decontaminate"].spark(spark, SF_DIR)
+    plan = physical_plan(df)
+    arrow_at = plan.find("ArrowEvalPython")
+    exch_at = plan.find("Exchange")
+    assert arrow_at != -1, plan
+    # spread may be a no-op on multi-split inputs; the contract only
+    # bites when the exchange exists
+    if exch_at != -1:
+        assert arrow_at < exch_at, (
+            "Bloom gate UDF was pushed below the spread exchange "
+            "(single-task gate):\n" + plan
+        )

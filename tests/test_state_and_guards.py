@@ -347,3 +347,37 @@ def test_live_snapshot_matches_live_registry_keys():
         snap = json.load(f)
     assert set(snap) <= set(REGISTRY)
     assert all("hash" in v for v in snap.values())
+
+
+def test_bloom_artifact_save_load_roundtrip(spark, tmp_path):
+    """The Bloom gate's (bitmap, n_bits) artifact round-trips
+    byte-exactly through storage — completing the save/load trio every
+    other frozen index already has — and a loaded artifact gates
+    identically to the in-memory one; a truncated file is rejected
+    rather than silently probing garbage."""
+    import pytest
+
+    from flink_assignment_spark.operators.gates import (
+        bloom_contaminated_counts,
+        build_bloom,
+        load_bloom,
+        save_bloom,
+    )
+
+    probe = frozenset(range(1_000_000, 1_002_000))
+    bloom = build_bloom(probe)
+    path = str(tmp_path / "bloom.bin")
+    save_bloom(path, bloom)
+    loaded = load_bloom(path)
+    assert loaded == bloom
+    docs = spark.createDataFrame(
+        [(0, "alpha beta gamma delta"), (1, "one two three four five")],
+        "doc_id long, text string",
+    )
+    a = sorted(tuple(r) for r in bloom_contaminated_counts(docs, *bloom).collect())
+    b = sorted(tuple(r) for r in bloom_contaminated_counts(docs, *loaded).collect())
+    assert a == b
+    with open(path, "r+b") as f:
+        f.truncate(32)
+    with pytest.raises(ValueError, match="corrupt"):
+        load_bloom(path)

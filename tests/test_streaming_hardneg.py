@@ -84,3 +84,44 @@ def test_miner_fold_is_idempotent(spark, tmp_path):
     mine_negatives_batch(b1, 1, d2, kernel, k=2)
     mine_negatives_batch(b1, 2, d2, kernel, k=2)  # duplicate content
     assert sorted(tuple(r) for r in read_hard_negatives(spark, d2).collect()) == want
+
+
+def test_sharded_anchor_stream_matches_batch(spark, tmp_path):
+    """freeze_anchors with a tiny block size (forcing many broadcast
+    anchor blocks — the sharded form that lifted the 65,536-anchor
+    cliff) streams to exactly the single-block batch q124 answer:
+    blocks partition the anchors, so the per-block emissions compose
+    under the miner's fold identically."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    anchors = emb.filter(F.col("vec_id") < 20)
+    corpus = emb
+    want = {
+        (r.query_id, r.rank): (r.neighbor_id, r.cos_sim)
+        for r in hard_negatives(anchors, corpus, k=3).collect()
+    }
+
+    kernel = freeze_anchors(anchors, k=3, max_anchor_block=6)  # 4 blocks
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    rows = corpus.select("vec_id", "embedding", "label").collect()
+    for i in range(0, len(rows), 40):
+        spark.createDataFrame(
+            rows[i : i + 40], "vec_id long, embedding array<float>, label int"
+        ).coalesce(1).write.parquet(str(in_dir / f"f{i:04d}"))
+        time.sleep(0.01)
+    state_dir = str(tmp_path / "state")
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<float>, label int")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(in_dir) + "/*")
+    )
+    q = hard_negatives_stream(stream, state_dir, kernel, k=3)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r.query_id, r.rank): (r.neighbor_id, r.cos_sim)
+        for r in read_hard_negatives(spark, state_dir).collect()
+    }
+    assert got == want and len(want) > 0
