@@ -64,32 +64,29 @@ def _pair_cos(R, C):
     return acc / (r_norms[:, None] * c_norms[None, :])
 
 
-def make_block_pair_scorer(block_ids, block_matrix):
-    """mapInPandas kernel scoring distributed rows against a BOUNDED
-    in-closure block (ids + float64 matrix) — the block is the small,
-    bounded-by-contract side (a query set, an IVF cell matrix), shipped
-    once per executor in the task closure (broadcast-variable pattern).
-    The big side streams through as Arrow batches and NEVER touches the
-    driver.
-
-    Emits all non-self (stream_id, block_id) pairs as
-    (id_a = stream row id, id_b = block id, cos_sim); exactness per
-    :func:`_pair_cos`. Rounding/thresholding stays engine-side.
-    """
-    B = block_matrix.astype(np.float64)
+def make_block_topk_scorer(bc_blocks, k):
+    """mapInPandas kernel for exact bounded-query top-k
+    (:func:`~..operators.similarity.cosine_topk`): the corpus streams
+    through as (id, vec) Arrow batches; each batch scores against a
+    BROADCAST list of query (ids, matrix, ids) blocks — the same
+    sharded fold as :func:`make_block_hardneg_scorer`, of which this
+    is the labels=ids special case: masking same-LABEL pairs with
+    label := id masks exactly the self-pairs, and the per-block
+    slack-banded per-query top-k emission (batches × |Q| × k Arrow
+    rows, not N × |Q|) composes under the single downstream ranking
+    window because blocks partition the query ids. Exactness argument
+    verbatim from the hardneg kernel; values are raw
+    :func:`_pair_cos` cosines, rounding stays engine-side."""
 
     def score(batches):
+        blocks = bc_blocks.value
         for pdf in batches:
             if not len(pdf):
                 continue
             rows_id = pdf.iloc[:, 0].values.astype(np.int64)
             R = np.stack(pdf.iloc[:, 1].values).astype(np.float64)
-            cos = _pair_cos(R, B)
-            mask = block_ids[None, :] != rows_id[:, None]
-            ii, jj = np.nonzero(mask)
-            yield pd.DataFrame(
-                {"id_a": rows_id[ii], "id_b": block_ids[jj], "cos_sim": cos[ii, jj]}
-            )
+            for q_ids, Q, q_labels in blocks:
+                yield _hardneg_block_emit(rows_id, R, rows_id, q_ids, Q, q_labels, k)
 
     return score
 

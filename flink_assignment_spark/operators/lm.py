@@ -143,7 +143,7 @@ def export_lm(
     distinct-bigram count exceeds ``max_lm_entries`` (pathological —
     random tokens make distinct bigrams ≈ corpus size) raises
     ``ValueError`` instead of collecting, the same refusal pattern as
-    ``similarity.cosine_topk``'s ``max_query_block``; such callers
+    ``similarity.cosine_topk``'s ``max_query_total``; such callers
     should use the join-based :func:`bigram_lm_scores`, which never
     materializes the LM on the driver.
 

@@ -229,55 +229,100 @@ def load_anchor_blocks(path: str) -> AnchorBlocks:
         )
 
 
-def cosine_topk(
+def collect_query_blocks(
     queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_query_block: int = 65_536,
+    max_query_total: int = 1_048_576,
+) -> "AnchorBlocks":
+    """Collect a bounded (id, vector) query side into an
+    :class:`AnchorBlocks` artifact with label := id — the
+    hard-negative kernel's same-label mask then excludes exactly the
+    self-pairs, so :func:`cosine_topk` is the labels=ids special case
+    of the sharded hardneg fold (one kernel, one exactness proof).
+    Same save/load/memo trio via the AnchorBlocks functions."""
+    import numpy as np
+
+    collected = queries.select(F.col(id_col), F.col(vec_col)).limit(
+        max_query_total + 1
+    ).collect()
+    if len(collected) > max_query_total:
+        raise ValueError(
+            f"cosine_topk query set exceeds max_query_total={max_query_total} "
+            "rows — that is no longer a broadcastable bounded side; use "
+            "lsh_topk/ivf_topk/knn_topk for corpus-scale query sets"
+        )
+    if not collected:
+        return AnchorBlocks([])
+    q_ids = np.array([r[0] for r in collected], dtype=np.int64)
+    q_matrix = np.array([list(r[1]) for r in collected], dtype=np.float64)
+    return AnchorBlocks(
+        [
+            (
+                q_ids[i : i + max_query_block],
+                q_matrix[i : i + max_query_block],
+                q_ids[i : i + max_query_block],
+            )
+            for i in range(0, len(q_ids), max_query_block)
+        ]
+    )
+
+
+def cosine_topk(
+    queries: DataFrame | None,
     corpus: DataFrame,
     k: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int | None = None,
     max_query_block: int = 65_536,
+    max_query_total: int = 1_048_576,
+    query_blocks: "AnchorBlocks | None" = None,
 ) -> DataFrame:
     """Exact top-k neighbors per query by cosine (self-matches
     excluded). Ranking key is (cosine rounded to 6, neighbor id) so
     ordering is total and engine-independent. Returns
     (query_id, neighbor_id, cos_sim, rank).
 
-    Scale contract: the QUERY set is the bounded side (a top-k request
-    is per-query work — a corpus-sized query set is a different
-    problem; use :func:`lsh_topk`/:func:`ivf_topk`). The query block
-    is collected to the driver (guarded by ``max_query_block`` — the
-    collect REFUSES to run on an oversized side rather than OOM) and
-    closure-shipped to executors; the CORPUS — the side that grows
-    with the dataset — streams through ``mapInPandas`` fully
-    distributed and never touches the driver.
+    Scale contract (the :func:`hard_negatives` fold, labels=ids): the
+    QUERY set is the bounded side, collected once, SHARDED into
+    ≤ ``max_query_block``-row (ids, matrix) blocks and broadcast
+    (memoized per session + artifact fingerprint); the CORPUS — the
+    side that grows with the dataset — streams through ONE
+    ``mapInPandas`` pass whose per-task memory is bounded by one
+    (batch × block) matrix, emitting only per-block slack-banded
+    top-k candidates (batches × |Q| × k Arrow rows, not N × |Q|) that
+    compose under the single global ranking window. A query set past
+    ``max_query_total`` is no longer the bounded side — use
+    :func:`lsh_topk`/:func:`ivf_topk`/:func:`knn_topk` instead.
+    ``query_blocks`` (a :func:`collect_query_blocks` artifact) skips
+    the collect entirely.
     """
-    import numpy as np
-
-    from ..functions._pandas_udfs import make_block_pair_scorer
-
-    collected = queries.select(F.col(id_col), F.col(vec_col)).limit(
-        max_query_block + 1
-    ).collect()
-    if len(collected) > max_query_block:
-        raise ValueError(
-            f"cosine_topk query block exceeds max_query_block={max_query_block}; "
-            "use lsh_topk/ivf_topk for corpus-scale query sets"
+    if query_blocks is None:
+        if queries is None:
+            raise ValueError("pass queries or a prebuilt query_blocks artifact")
+        query_blocks = collect_query_blocks(
+            queries, id_col, vec_col, max_query_block, max_query_total
         )
-    q_ids = np.array([r[0] for r in collected], dtype=np.int64)
-    q_matrix = np.array([list(r[1]) for r in collected], dtype=np.float64)
-    kernel = make_block_pair_scorer(q_ids, q_matrix)
+    if not query_blocks.blocks:
+        schema = "query_id bigint, neighbor_id bigint, cos_sim double, rank int"
+        return corpus.sparkSession.createDataFrame([], schema)
+    from ..functions._pandas_udfs import make_block_topk_scorer
+
+    bc = _session_broadcast(
+        corpus.sparkSession,
+        "anchors:" + query_blocks.fingerprint,
+        query_blocks.blocks,
+    )
+    kernel = make_block_topk_scorer(bc, k)
     src = _spread(corpus.select(F.col(id_col), F.col(vec_col)))
-    # kernel emits (id_a = corpus row, id_b = query) — cosine is
-    # fold-symmetric, so values are bit-identical to the query-side
+    # the kernel scores corpus rows against the query blocks — cosine
+    # is fold-symmetric, so values are bit-identical to the query-side
     # orientation the oracle computes
     scored = src.mapInPandas(
-        kernel, schema="id_a bigint, id_b bigint, cos_sim double"
-    ).select(
-        F.col("id_b").alias("query_id"),
-        F.col("id_a").alias("neighbor_id"),
-        F.round("cos_sim", 6).alias("cos_sim"),
-    )
+        kernel, schema="query_id bigint, neighbor_id bigint, cos_sim double"
+    ).select("query_id", "neighbor_id", F.round("cos_sim", 6).alias("cos_sim"))
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))

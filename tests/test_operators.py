@@ -1006,3 +1006,50 @@ def test_hard_negatives_anchor_artifact_roundtrip(spark, tmp_path):
         for r in hard_negatives(None, corpus, k=3, anchor_blocks=loaded).collect()
     )
     assert direct == via and len(direct) == 90
+
+
+def test_cosine_topk_sharded_matches_single_block(spark):
+    """cosine_topk is the labels=ids special case of the sharded
+    hardneg fold: query sets past one block produce byte-identical
+    results to the single-block form (the old 65,536-query ValueError
+    cliff is gone; the guard moved to max_query_total)."""
+    import pytest
+
+    schema = "vec_id long, embedding array<double>"
+    queries = spark.createDataFrame(_emb_rows(range(0, 40), seed=5), schema)
+    corpus = spark.createDataFrame(_emb_rows(range(0, 150), seed=5), schema)
+    one = sorted(
+        tuple(r)
+        for r in cosine_topk(queries, corpus, k=4, max_query_block=10_000).collect()
+    )
+    many = sorted(
+        tuple(r)
+        for r in cosine_topk(queries, corpus, k=4, max_query_block=7).collect()
+    )
+    assert one == many and len(one) == 40 * 4
+    with pytest.raises(ValueError, match="max_query_total"):
+        cosine_topk(queries, corpus, k=4, max_query_block=7, max_query_total=30)
+
+
+def test_cosine_topk_query_artifact_roundtrip(spark, tmp_path):
+    """collect_query_blocks reuses the AnchorBlocks save/load trio
+    (labels=ids), so a persisted query artifact scores identically."""
+    from flink_assignment_spark.operators.similarity import (
+        collect_query_blocks,
+        load_anchor_blocks,
+        save_anchor_blocks,
+    )
+
+    schema = "vec_id long, embedding array<double>"
+    queries = spark.createDataFrame(_emb_rows(range(0, 20), seed=6), schema)
+    corpus = spark.createDataFrame(_emb_rows(range(0, 90), seed=6), schema)
+    qb = collect_query_blocks(queries, max_query_block=8)
+    path = str(tmp_path / "query_blocks.npz")
+    save_anchor_blocks(path, qb)
+    loaded = load_anchor_blocks(path)
+    direct = sorted(tuple(r) for r in cosine_topk(queries, corpus, k=3).collect())
+    via = sorted(
+        tuple(r)
+        for r in cosine_topk(None, corpus, k=3, query_blocks=loaded).collect()
+    )
+    assert direct == via and len(direct) == 60
