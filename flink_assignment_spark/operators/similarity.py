@@ -110,11 +110,20 @@ def collect_probe_blocks(
     )
 
 
+def _require_npz(path: str) -> None:
+    """np.savez silently APPENDS .npz to a path without it, so a
+    save("x.bin")/load("x.bin") pair would desync; require the
+    extension so the round-trip is path-exact."""
+    if not path.endswith(".npz"):
+        raise ValueError(f"block-artifact paths must end in .npz, got {path!r}")
+
+
 def save_probe_blocks(path: str, probe_blocks: ProbeBlocks) -> None:
     """Persist the probe artifact as one .npz (float64 matrices round-
     trip exactly, so a loaded artifact scores bit-identically)."""
     import numpy as np
 
+    _require_npz(path)
     np.savez(
         path, **{f"block_{i}": b for i, b in enumerate(probe_blocks.blocks)}
     )
@@ -211,6 +220,7 @@ def collect_anchor_blocks(
 def save_anchor_blocks(path: str, anchor_blocks: AnchorBlocks) -> None:
     import numpy as np
 
+    _require_npz(path)
     arrays = {}
     for i, (ids, mat, labs) in enumerate(anchor_blocks.blocks):
         arrays[f"ids_{i}"] = ids
