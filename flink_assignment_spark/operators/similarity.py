@@ -28,19 +28,37 @@ from .spread import spread as _spread
 # (bench reps, streaming restarts against one probe set) reuse ONE
 # broadcast instead of accumulating undestroyed ~512 MB copies on the
 # driver and executors (r12 ADVICE). Entries from dead sessions are
-# pruned on insert, so the memo never outgrows one session's artifacts.
+# pruned on insert; WITHIN a session the memo is LRU-capped so
+# artifact churn (blue/green probe refreshes, a sweep over varying
+# block configs) unpersists superseded executor copies instead of
+# pinning them for the session lifetime (r13 review). unpersist — not
+# destroy — keeps still-referenced lazy plans valid: an evicted
+# broadcast re-ships from the driver on its next use.
 _BC_MEMO: dict = {}
+_BC_MEMO_CAP = 8  # concurrent distinct artifacts per session
 
 
 def _session_broadcast(spark, fingerprint: str, payload):
     app = spark.sparkContext.applicationId
     key = (app, fingerprint)
     bc = _BC_MEMO.get(key)
-    if bc is None:
-        for stale in [k for k in _BC_MEMO if k[0] != app]:
-            _BC_MEMO.pop(stale, None)
-        bc = spark.sparkContext.broadcast(payload)
+    if bc is not None:
+        # LRU touch: dicts preserve insertion order, so re-inserting
+        # moves the entry to the back (eviction pops the front)
+        _BC_MEMO.pop(key)
         _BC_MEMO[key] = bc
+        return bc
+    for stale in [k for k in _BC_MEMO if k[0] != app]:
+        _BC_MEMO.pop(stale, None)
+    while len(_BC_MEMO) >= _BC_MEMO_CAP:
+        oldest = next(iter(_BC_MEMO))
+        evicted = _BC_MEMO.pop(oldest)
+        try:
+            evicted.unpersist(blocking=False)
+        except Exception:
+            pass  # a dead context can't unpersist; dropping the ref suffices
+    bc = spark.sparkContext.broadcast(payload)
+    _BC_MEMO[key] = bc
     return bc
 
 
@@ -118,14 +136,29 @@ def _require_npz(path: str) -> None:
         raise ValueError(f"block-artifact paths must end in .npz, got {path!r}")
 
 
-def save_probe_blocks(path: str, probe_blocks: ProbeBlocks) -> None:
-    """Persist the probe artifact as one .npz (float64 matrices round-
-    trip exactly, so a loaded artifact scores bit-identically)."""
+def _atomic_savez(path: str, arrays: dict) -> None:
+    """tmp + rename, same crash contract as save_bloom/commit_marker:
+    the documented blue/green flow re-saves over the live artifact
+    path, and a crash mid-np.savez would otherwise leave a truncated
+    zip that every later load (e.g. a streaming-gate restart) fails
+    on. np.savez writes to the open FILE HANDLE, so the tmp name needs
+    no .npz suffix and the rename is the only visible transition."""
+    import os
+
     import numpy as np
 
     _require_npz(path)
-    np.savez(
-        path, **{f"block_{i}": b for i, b in enumerate(probe_blocks.blocks)}
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        np.savez(f, **arrays)
+    os.replace(tmp, path)
+
+
+def save_probe_blocks(path: str, probe_blocks: ProbeBlocks) -> None:
+    """Persist the probe artifact as one .npz (float64 matrices round-
+    trip exactly, so a loaded artifact scores bit-identically)."""
+    _atomic_savez(
+        path, {f"block_{i}": b for i, b in enumerate(probe_blocks.blocks)}
     )
 
 
@@ -218,15 +251,12 @@ def collect_anchor_blocks(
 
 
 def save_anchor_blocks(path: str, anchor_blocks: AnchorBlocks) -> None:
-    import numpy as np
-
-    _require_npz(path)
     arrays = {}
     for i, (ids, mat, labs) in enumerate(anchor_blocks.blocks):
         arrays[f"ids_{i}"] = ids
         arrays[f"mat_{i}"] = mat
         arrays[f"labs_{i}"] = labs
-    np.savez(path, **arrays)
+    _atomic_savez(path, arrays)
 
 
 def load_anchor_blocks(path: str) -> AnchorBlocks:
@@ -698,11 +728,16 @@ def lsh_topk(
             # base build/load time (lsh_bucketize_self/load_lsh_base),
             # so this guard costs zero Spark jobs per probe call — the
             # per-call limit(1).count() it replaces was q43's one
-            # code-attributable r12 regression. An unflagged base (a
-            # hand-built frame, or a lazy load) skips the eager guard
-            # rather than forcing a full recompute of the bucketize
-            # pass (r12 ADVICE) — its emptiness surfaces in the join.
+            # code-attributable r12 regression. An UNFLAGGED base (a
+            # hand-built frame, or a frame transformed after build —
+            # Python attributes don't survive select/filter) falls
+            # back to the one-row check when the base is cached (a
+            # cache-hit scan); only an unflagged AND uncached base
+            # skips the guard — checking there would recompute the
+            # whole bucketize pass just to test emptiness (r12 ADVICE).
             has_qsel = getattr(base, "_lsh_has_qsel", None)
+            if has_qsel is None and base.is_cached:
+                has_qsel = qb.limit(1).count() > 0
             if has_qsel is False:
                 raise ValueError(
                     "the prebuilt base selects no query rows (__qsel is "

@@ -153,9 +153,13 @@ def _module_closure(seed_files: set[str]) -> list[str]:
 
 def _defining_module_maps(module) -> tuple[dict[str, str], dict[str, str]]:
     """For a query's defining module: (imported name → package module
-    file) from top-level relative imports, and (helper name → source)
-    for module-level ``_``-prefixed functions (the session-memo
-    helpers a query body calls without importing)."""
+    file) from top-level relative imports, and (name → source) for
+    every module-level definition a query body can reference without
+    importing — FUNCTIONS (session-memo helpers, SQL builders) and
+    CONSTANT ASSIGNMENTS (thresholds like SEM_CONTAM_TAU, cap values):
+    a constant change alters the query's output, so it must drift the
+    hash (the r13 review found constants were invisible — the exact
+    staleness class this module exists to eliminate)."""
     src = inspect.getsource(module)
     tree = ast.parse(src)
     name_to_file: dict[str, str] = {}
@@ -167,8 +171,15 @@ def _defining_module_maps(module) -> tuple[dict[str, str], dict[str, str]]:
             if dep:
                 for alias in node.names:
                     name_to_file[alias.asname or alias.name] = dep
-        elif isinstance(node, ast.FunctionDef) and node.name.startswith("_"):
+        elif isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef)):
             helper_src[node.name] = ast.get_source_segment(src, node) or ""
+        elif isinstance(node, ast.Assign):
+            seg = ast.get_source_segment(src, node) or ""
+            for tgt in node.targets:
+                if isinstance(tgt, ast.Name):
+                    helper_src[tgt.id] = seg
+        elif isinstance(node, ast.AnnAssign) and isinstance(node.target, ast.Name):
+            helper_src[node.target.id] = ast.get_source_segment(src, node) or ""
     return name_to_file, helper_src
 
 
@@ -260,7 +271,11 @@ def changed_queries(registry, snapshot: dict[str, dict] | None = None) -> set[st
             if query_source_hash(spec.spark, spec.oracle) != rec["hash"]:
                 changed.add(name)
         except (OSError, TypeError):
-            continue
+            # can't hash ⇒ can't prove unchanged ⇒ FORCE (the safe
+            # failure direction for a drift detector — treating an
+            # unhashable query as unchanged would hide its code from
+            # external verification forever)
+            changed.add(name)
     return changed
 
 
@@ -269,18 +284,20 @@ def rotated_order(
     last_green: dict[str, int],
     reference_window: list[str],
     forced: set[str] = frozenset(),
-    window: int = 50,
 ) -> list[str]:
     """Registry-order layout of the driver window (pure function — the
-    rotation is pinned by tests/test_state_and_guards.py):
+    rotation is pinned by tests/test_state_and_guards.py). The driver
+    records the FIRST 50 entries, so only the ordering matters here
+    (there is no explicit window cut — the whole fill is emitted
+    stalest-first and the driver's truncation does the rest):
 
       [0, len(reference_window))  the reference-parity band, never
                                   rotated out
       next   oracle queries with no green driver row OR whose code
              changed since their last green row (``forced``)
       fill   previously-green oracle queries, STALEST last-green round
-             first (then by name), up to the window size
-      tail   remaining oracle queries, then rows-only queries
+             first (then by name)
+      tail   rows-only queries
     """
     needs_green = [
         n
@@ -300,12 +317,5 @@ def rotated_order(
         ),
         key=lambda n: (last_green[n], n),
     )
-    n_fill = max(0, window - len(reference_window) - len(needs_green))
     rows_only = [n for n, s in registry.items() if s.oracle is None]
-    return (
-        list(reference_window)
-        + needs_green
-        + fill[:n_fill]
-        + fill[n_fill:]
-        + rows_only
-    )
+    return list(reference_window) + needs_green + fill + rows_only

@@ -86,6 +86,49 @@ def commit_marker(
     os.replace(tmp, os.path.join(state_dir, marker))
 
 
+def next_run_seq(state_dir: str) -> int:
+    """Monotone per-state-dir run counter (tmp + rename), bumped once
+    per streaming-query start. Appended result rows carry it so a
+    reader can resolve cross-run duplicates LATEST-WINS: an
+    uncheckpointed restart reprocesses the source under fresh batch
+    ids, re-scoring rows the previous run already appended — batch
+    boundaries need not line up, so a (batch_id, …) dedup alone keeps
+    both copies (r13 review), and after a blue/green index swap the
+    colliding keys would even carry different values. The run counter
+    makes "which scoring is current" explicit."""
+    os.makedirs(state_dir, exist_ok=True)
+    path = os.path.join(state_dir, "_run_seq")
+    cur = 0
+    if os.path.exists(path):
+        with open(path) as f:
+            cur = int(f.read().strip() or 0)
+    nxt = cur + 1
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(str(nxt))
+    os.replace(tmp, path)
+    return nxt
+
+
+def require_restart_checkpoint(state_dir: str, checkpoint: str | None) -> None:
+    """Refuse an uncheckpointed RESTART of a sink whose fold is
+    convergent but not reprocessable (the bucketed detectors): their
+    durable ``_applied_batch`` marker is correct only while batch ids
+    keep increasing, and a checkpoint is what preserves that across
+    restarts. Without one, a restarted query's batch ids reset to 0
+    and every batch ≤ the marker is silently skipped — data loss with
+    no error (the r12 ADVICE class). A FRESH state dir (no marker)
+    with no checkpoint is fine: single-run usage never replays."""
+    if checkpoint is None and applied_batch(state_dir) >= 0:
+        raise ValueError(
+            f"state dir {state_dir!r} holds a previous run's applied-batch "
+            "marker; restarting without a checkpoint would reset batch ids "
+            "to 0 and silently skip every batch the marker already covers — "
+            "pass checkpoint= (resumes source offsets) or use a fresh "
+            "state dir"
+        )
+
+
 def run_marker(checkpoint: str | None) -> str:
     """Replay-marker name for one streaming-query run.
 

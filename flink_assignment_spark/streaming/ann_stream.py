@@ -22,9 +22,10 @@ foreachBatch (not a stream-static join followed by ranking): the
 per-query top-k needs a ranking window over the candidate set, which
 append-mode streaming cannot express without a watermark the query
 stream doesn't have; inside foreachBatch the micro-batch is a plain
-DataFrame, so the identical batch kernel runs unchanged. Appends are
-idempotent per (batch_id); ``read_ann_results`` dedups replays by
-(batch_id, query_id, rank).
+DataFrame, so the identical batch kernel runs unchanged. Appended
+rows carry (run_seq, batch_id) provenance; ``read_ann_results``
+collapses in-run replays (identical rows) and resolves cross-run
+re-scoring latest-run-wins per (query_id, rank).
 
 Refreshing the index is a blue/green swap: build the new (centroids,
 index) pair in batch, then restart the probe query pointing at the
@@ -40,7 +41,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.similarity import ivf_probe
-from ._state import DEFAULT_BACKEND, applied_batch, commit_marker, run_marker
+from ._state import (
+    DEFAULT_BACKEND,
+    applied_batch,
+    commit_marker,
+    next_run_seq,
+    run_marker,
+)
 
 
 def _results_path(state_dir: str) -> str:
@@ -59,15 +66,20 @@ def probe_ann_batch(
     vec_col: str = "embedding",
     backend=None,
     marker: str = "_applied_batch",
+    run_seq: int = 0,
 ) -> None:
     """Score one micro-batch of query vectors with the batch
-    ``ivf_probe`` kernel and append the ranked neighbors."""
+    ``ivf_probe`` kernel and append the ranked neighbors (tagged with
+    the producing run's ``run_seq`` so cross-run duplicates resolve
+    latest-wins at read)."""
     if batch_id <= applied_batch(state_dir, marker):
         return
     backend = backend or DEFAULT_BACKEND
-    out = ivf_probe(
-        batch_df, centroids, index, k, n_probe, id_col, vec_col
-    ).withColumn("batch_id", F.lit(int(batch_id)).cast("bigint"))
+    out = (
+        ivf_probe(batch_df, centroids, index, k, n_probe, id_col, vec_col)
+        .withColumn("batch_id", F.lit(int(batch_id)).cast("bigint"))
+        .withColumn("run_seq", F.lit(int(run_seq)).cast("bigint"))
+    )
     backend.append(out.coalesce(8), _results_path(state_dir), None)
     commit_marker(state_dir, batch_id, marker)
 
@@ -93,8 +105,11 @@ def ann_probe_stream(
     is scoped to THIS run (see ``_state.run_marker``): a restarted
     query's batch ids reset to 0, and a durable marker would silently
     mask every post-restart batch (r12 ADVICE) — the per-run marker
-    reprocesses instead, and ``read_ann_results``'s dedup collapses
-    the duplicate appends."""
+    reprocesses instead, and ``read_ann_results`` resolves the
+    re-scored rows LATEST-RUN-WINS (reprocessing need not reproduce
+    the old batch boundaries, so a batch-keyed dedup alone would keep
+    both copies — r13 review)."""
+    run_seq = next_run_seq(state_dir)
     marker = run_marker(checkpoint)
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
@@ -110,6 +125,7 @@ def ann_probe_stream(
             vec_col,
             backend,
             marker,
+            run_seq,
         )
 
     w = queries.writeStream.outputMode("append").foreachBatch(_sink)
@@ -131,6 +147,7 @@ def probe_lsh_batch(
     vec_col: str = "embedding",
     backend=None,
     marker: str = "_applied_batch",
+    run_seq: int = 0,
 ) -> None:
     """Score one micro-batch of query vectors against a FROZEN LSH
     base (``lsh_bucketize_self`` / ``load_lsh_base``) with the batch
@@ -152,7 +169,9 @@ def probe_lsh_batch(
         n_planes=n_planes,
         n_tables=n_tables,
         base=base,
-    ).withColumn("batch_id", F.lit(int(batch_id)).cast("bigint"))
+    ).withColumn("batch_id", F.lit(int(batch_id)).cast("bigint")).withColumn(
+        "run_seq", F.lit(int(run_seq)).cast("bigint")
+    )
     backend.append(out.coalesce(8), _results_path(state_dir), None)
     commit_marker(state_dir, batch_id, marker)
 
@@ -177,7 +196,9 @@ def lsh_probe_stream(
     artifact — the stream holds no state to migrate. Uncheckpointed
     restarts get a per-run replay marker (``_state.run_marker``) so a
     stale durable marker cannot silently mask the restarted run's
-    reset batch ids; pass ``checkpoint`` for offset-resuming restarts."""
+    reset batch ids; the reprocessed rows resolve latest-run-wins at
+    read. Pass ``checkpoint`` for offset-resuming restarts."""
+    run_seq = next_run_seq(state_dir)
     marker = run_marker(checkpoint)
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
@@ -194,6 +215,7 @@ def lsh_probe_stream(
             vec_col,
             backend,
             marker,
+            run_seq,
         )
 
     w = queries.writeStream.outputMode("append").foreachBatch(_sink)
@@ -203,8 +225,26 @@ def lsh_probe_stream(
 
 
 def read_ann_results(spark: SparkSession, state_dir: str, backend=None) -> DataFrame:
-    """Ranked neighbors accumulated so far; replay duplicates are
-    identical rows (the probe is deterministic against the frozen
-    index), dropped by (batch_id, query_id, rank)."""
+    """Each query's CURRENT ranked neighbors. Within one run a query
+    is scored in its arrival batch, so (query_id, rank) is unique;
+    in-run replays of a batch append identical rows (deterministic
+    probe, frozen index) and collapse in the first dedup. ACROSS runs
+    — an uncheckpointed restart reprocessing the source, possibly
+    against a swapped index — the same query may be re-scored under
+    different batch ids and even different values, so the read keeps
+    the LATEST run's row per (query_id, rank): re-probes reflect the
+    most recent scoring, which after a blue/green swap is the new
+    index (r13 review — a batch-keyed dedup alone kept both copies).
+    batch_id/run_seq remain as provenance columns."""
+    from pyspark.sql import Window
+
     raw = (backend or DEFAULT_BACKEND).read(spark, _results_path(state_dir))
-    return raw.dropDuplicates(["batch_id", "query_id", "rank"])
+    dd = raw.dropDuplicates(["run_seq", "batch_id", "query_id", "rank"])
+    w = Window.partitionBy("query_id", "rank").orderBy(
+        F.desc("run_seq"), F.desc("batch_id")
+    )
+    return (
+        dd.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )

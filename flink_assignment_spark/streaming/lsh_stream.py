@@ -37,6 +37,7 @@ from pyspark.sql import functions as F
 from ..functions.text import MINHASH_PERMS
 from ..operators.dedup import band_keys, doc_shingles, minhash_signatures
 from ._detector import merge_detector_batch, read_pairs
+from ._state import require_restart_checkpoint
 
 N_PERMS = len(MINHASH_PERMS)
 _KEYS = ["band", "key"]
@@ -113,7 +114,11 @@ def incremental_lsh_neardup(
     restarted query resumes source offsets, batch ids continue, and
     the durable ``_applied_batch`` marker stays valid across runs —
     the correct pairing for the detector's convergent (not
-    re-run-idempotent) fold."""
+    re-run-idempotent) fold. Restarting over an EXISTING state dir
+    without one is refused (``_state.require_restart_checkpoint``):
+    the fresh run's batch ids reset to 0 and the durable marker would
+    silently skip them all — data loss, not an error (r13 review)."""
+    require_restart_checkpoint(state_dir, checkpoint)
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         merge_lsh_batch(

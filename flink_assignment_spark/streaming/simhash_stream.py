@@ -31,6 +31,7 @@ from ..operators.dedup import (
     simhash_fingerprints,
 )
 from ._detector import merge_detector_batch, read_pairs
+from ._state import require_restart_checkpoint
 
 _KEYS = ["blk", "val"]
 
@@ -78,8 +79,13 @@ def incremental_simhash_neardup(
     n_pt: int | None = None,
     backend=None,
     compact_every: int | None = None,
+    checkpoint: str | None = None,
 ):
-    """Start the streaming near-dup query; returns the StreamingQuery."""
+    """Start the streaming near-dup query; returns the StreamingQuery.
+    Restarting over an existing state dir REQUIRES ``checkpoint`` —
+    the detector's durable replay marker is only valid while batch ids
+    keep increasing (see ``_state.require_restart_checkpoint``)."""
+    require_restart_checkpoint(state_dir, checkpoint)
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         merge_simhash_batch(
@@ -95,7 +101,10 @@ def incremental_simhash_neardup(
             compact_every,
         )
 
-    return docs.writeStream.outputMode("append").foreachBatch(_sink).start()
+    w = docs.writeStream.outputMode("append").foreachBatch(_sink)
+    if checkpoint is not None:
+        w = w.option("checkpointLocation", checkpoint)
+    return w.start()
 
 
 def read_verified_pairs(

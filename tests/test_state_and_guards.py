@@ -297,14 +297,14 @@ def test_derived_ledger_reorders_fill_on_new_green_round(tmp_path):
     (tmp_path / "CORRECTNESS_r02.json").write_text(json.dumps({"fresh": green}))
     lg = derive_last_green(str(tmp_path))
     assert lg == {"ref_a": 1, "old_1": 1, "old_2": 1, "fresh": 2}
-    order = rotated_order(reg, lg, ["ref_a"], window=3)
+    order = rotated_order(reg, lg, ["ref_a"])
     # never-green first; then the fill stalest-first: old_1/old_2 (r1)
     # before fresh (r2); rows-only last
     assert order == ["ref_a", "never", "old_1", "old_2", "fresh", "rows_only"]
     # a NEW green round for old_1 demotes it behind old_2 — the file
     # alone reorders the fill
     (tmp_path / "CORRECTNESS_r03.json").write_text(json.dumps({"old_1": green}))
-    order2 = rotated_order(reg, derive_last_green(str(tmp_path)), ["ref_a"], window=3)
+    order2 = rotated_order(reg, derive_last_green(str(tmp_path)), ["ref_a"])
     assert order2 == ["ref_a", "never", "old_2", "fresh", "old_1", "rows_only"]
     # a red row (hash mismatch) must NOT advance the ledger
     red = {**green, "hash_match": False}
@@ -328,9 +328,9 @@ def test_changed_code_queries_are_forced_into_window():
     reg = {"a": Spec("x"), "b": Spec("x"), "c": Spec("x")}
     lg = {"a": 5, "b": 3, "c": 4}
     # without forcing, the stalest (b) fills first
-    assert rotated_order(reg, lg, [], window=1) == ["b", "c", "a"]
+    assert rotated_order(reg, lg, []) == ["b", "c", "a"]
     # forcing a puts it ahead of every fill entry despite being newest-green
-    assert rotated_order(reg, lg, [], forced={"a"}, window=2) == ["a", "b", "c"]
+    assert rotated_order(reg, lg, [], forced={"a"}) == ["a", "b", "c"]
 
 
 def test_live_snapshot_matches_live_registry_keys():

@@ -409,6 +409,12 @@ def test_uncheckpointed_restart_not_masked_by_stale_marker(spark, tmp_path):
         q2.processAllAvailable()
     finally:
         q2.stop()
-    got = {r.query_id for r in read_ann_results(spark, state_dir).collect()}
+    res = read_ann_results(spark, state_dir)
+    got = {r.query_id for r in res.collect()}
     assert got == {0, 1, 2, 3, 4, 5}  # nothing silently skipped
     assert applied_batch(state_dir) == 99  # the stale marker wasn't consulted
+    # run 2 REPROCESSED run 1's queries under fresh batch ids; the
+    # latest-run-wins read returns exactly ONE ranked list per query —
+    # no duplicate (query, rank) rows from the overlap (r13 review)
+    assert res.count() == 6 * 3
+    assert res.groupBy("query_id", "rank").count().filter("count > 1").count() == 0

@@ -259,3 +259,56 @@ def test_auto_compaction_trigger_preserves_results(spark, tmp_path):
     assert _compacted_batch(str(tmp_path / "auto")) == 5
     assert _compacted_batch(str(tmp_path / "plain")) == -1
     assert auto_files < plain_files
+
+
+def test_detector_uncheckpointed_restart_refused(spark, tmp_path):
+    """Restarting the detector over an existing state dir WITHOUT a
+    checkpoint is refused at construction: the fresh run's batch ids
+    reset to 0 and the durable marker would silently skip them all
+    (the r12-ADVICE data-loss class; the ANN/hardneg streams handle it
+    with per-run markers, but the detector's fold is convergent — not
+    reprocessable — so only an offset-resuming checkpoint is safe)."""
+    import pytest
+
+    from flink_assignment_spark.streaming._state import commit_marker
+
+    state_dir = str(tmp_path / "state")
+    docs = load_table(spark, SF_DIR, "documents").limit(8).select("doc_id", "text")
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    docs.coalesce(1).write.parquet(str(in_dir / "f0"))
+
+    def _stream():
+        return (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(in_dir) + "/*")
+        )
+
+    # fresh state, no checkpoint: fine (single-run usage)
+    q = incremental_lsh_neardup(_stream(), state_dir)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # a restart over the now-marked state dir without a checkpoint is
+    # refused...
+    with pytest.raises(ValueError, match="applied-batch"):
+        incremental_lsh_neardup(_stream(), state_dir)
+    # ...and so is the simhash twin over a marked dir
+    from flink_assignment_spark.streaming.simhash_stream import (
+        incremental_simhash_neardup,
+    )
+
+    state2 = str(tmp_path / "state2")
+    import os
+
+    os.makedirs(state2, exist_ok=True)
+    commit_marker(state2, 3)
+    with pytest.raises(ValueError, match="applied-batch"):
+        incremental_simhash_neardup(_stream(), state2)
+    # with a checkpoint the restart is allowed
+    q2 = incremental_lsh_neardup(
+        _stream(), state_dir, checkpoint=str(tmp_path / "ckpt")
+    )
+    q2.stop()
