@@ -430,16 +430,27 @@ def minhash_lsh_pairs(
         .cache()
     )
     cand.count()
-    # verify ONLY candidate PAIRS: the index self-join form
-    # (ngram_jaccard_pairs over the candidate docs) scores every pair
-    # of candidate docs sharing >= 1 shingle — a set that grows
-    # near-quadratically with cluster density even after LSH pruned
-    # the pair list. Instead, fold each candidate doc's (distinct,
-    # capped) shingle hashes into one array and join the arrays onto
-    # the candidate pairs themselves: intersection work is linear in
-    # |cand|, per-row memory is bounded by doc length, and the
-    # Jaccard (array_intersect over the same capped sets) is
-    # value-identical to the index-join form (A/B-verified at sf0.1).
+    return _verify_pairs_jaccard(cand, sh, threshold)
+
+
+def _verify_pairs_jaccard(
+    cand: DataFrame, sh: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact-Jaccard verification of CANDIDATE PAIRS ONLY — shared by
+    the LSH and prefix-filter candidate generators.
+
+    The index self-join form (ngram_jaccard_pairs over the candidate
+    docs) scores every pair of candidate docs sharing >= 1 shingle — a
+    set that grows near-quadratically with cluster density even after
+    the candidate stage pruned the pair list. Instead, fold each
+    candidate doc's (distinct) shingle hashes into one array and join
+    the arrays onto the candidate pairs themselves: intersection work
+    is linear in |cand|, per-row memory is bounded by doc length, and
+    the Jaccard (array_intersect over the same sets) is
+    value-identical to the index-join form (A/B-verified at sf0.1).
+    ``cand`` must be materialized (cached) by the caller — it feeds
+    three branches of this job.
+    """
     cand_docs = (
         cand.select(F.col("doc_a").alias("doc_id"))
         .union(cand.select(F.col("doc_b").alias("doc_id")))
@@ -462,6 +473,79 @@ def minhash_lsh_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
     )
+
+
+def prefix_filter_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    shingles: DataFrame | None = None,
+) -> DataFrame:
+    """All pairs with word-n-gram Jaccard >= threshold via PREFIX
+    FILTERING (Chaudhuri et al. 2006; Bayardo et al. WWW'07; the
+    PPJoin family) — the UNCAPPED scale path next to
+    :func:`ngram_jaccard_pairs`.
+
+    The inverted-index join needs ``max_doc_freq`` to stop hot
+    shingles fanning out quadratically, which silently changes the
+    reported Jaccard (capped sets). Prefix filtering is LOSSLESS:
+    order every doc's shingle set by a global total order (document
+    frequency ascending, then hash — rarest first), keep only the
+    first ``|x| - ceil(t*|x|) + 1`` shingles as the doc's PREFIX, and
+    join prefixes against prefixes. The prefix-filter lemma guarantees
+    two sets with overlap >= ceil(t*max(|x|,|y|)) share a prefix
+    element under any global order, and J(x,y) >= t implies exactly
+    that overlap — so every qualifying pair survives, while hot
+    shingles contribute join rows only for the (rare) docs whose
+    prefix they reach. The length filter (|y| >= ceil(t*|x|) both
+    ways) prunes size-incompatible candidates before the verify.
+
+    One extra shuffle vs the capped form (the document-frequency
+    aggregate + per-doc rank window), bought back at scale: candidate
+    volume is bounded by prefix co-occurrence, not full posting-list
+    squares, with zero recall loss. Verification reuses the
+    pair-targeted array_intersect kernel (:func:`_verify_pairs_jaccard`).
+    """
+    sh = (
+        shingles
+        if shingles is not None
+        else doc_shingles(docs, text_col, id_col, n).cache()
+    )
+    dfreq = sh.groupBy("h").agg(F.count("*").alias("df"))
+    pos_w = Window.partitionBy("doc_id").orderBy(F.asc("df"), F.asc("h"))
+    ranked = (
+        sh.join(dfreq, "h")
+        .withColumn("pos", F.row_number().over(pos_w))
+    )
+    prefix = ranked.filter(
+        F.col("pos")
+        <= F.col("n_shingles") - F.ceil(F.lit(threshold) * F.col("n_shingles")) + 1
+    ).select("doc_id", "n_shingles", "h")
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (
+                F.col("b.n_shingles")
+                >= F.ceil(F.lit(threshold) * F.col("a.n_shingles"))
+            )
+            & (
+                F.col("a.n_shingles")
+                >= F.ceil(F.lit(threshold) * F.col("b.n_shingles"))
+            ),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+        .cache()
+    )
+    cand.count()
+    return _verify_pairs_jaccard(cand, sh, threshold)
 
 
 # --- SimHash -------------------------------------------------------------

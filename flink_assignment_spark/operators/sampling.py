@@ -18,7 +18,7 @@ The hash → uniform construction (md5 hex → first 15 hex digits →
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import hash60
@@ -148,4 +148,74 @@ def mixture_rebalance(
     return (
         df.join(F.broadcast(rates.select(group, "keep_rate")), group)
         .filter(u < F.col("keep_rate"))
+    )
+
+
+def temperature_targets(
+    df: DataFrame, group: str, budget: int, alpha: float = 0.5
+) -> DataFrame:
+    """Per-group document targets under TEMPERATURE sampling: target_g
+    proportional to n_g^alpha (the multilingual up/down-weighting rule
+    from mBERT/XLM-R/mT5 — alpha < 1 flattens the group distribution,
+    boosting low-resource groups without letting any single group
+    dominate).
+
+    EXACT cross-engine arithmetic: alpha is restricted to {0.5, 1.0}
+    because general pow() is not exactly rounded. For alpha = 0.5 the
+    weight is floor(sqrt(n_g) * 2^20) — IEEE-754 sqrt IS exactly
+    rounded and the power-of-two scale only shifts the exponent, so
+    both engines derive the identical BIGINT weight; targets then come
+    from pure integer arithmetic: (budget * w_g) div sum(w).
+
+    Returns one small row per group: (group, n, target). One count
+    aggregate over the corpus; at 100 TB this frame is group-
+    cardinality and broadcast back by the caller.
+    """
+    if alpha not in (0.5, 1.0):
+        raise ValueError(
+            "alpha must be 0.5 or 1.0 — general pow() is not exactly "
+            "rounded, so other temperatures cannot promise the "
+            "cross-engine-exact targets this operator guarantees"
+        )
+    counts = df.groupBy(group).agg(F.count("*").alias("n"))
+    if alpha == 0.5:
+        w = F.floor(F.sqrt(F.col("n").cast("double")) * F.lit(1048576.0)).cast("long")
+    else:
+        w = (F.col("n") * F.lit(1048576)).cast("long")
+    weighted = counts.withColumn("w", w)
+    # the weight total is one bounded scalar (like mixture_rates' T) —
+    # folding it in as a literal keeps the plan free of single-row
+    # nested-loop cross joins
+    total = weighted.agg(F.sum("w")).collect()[0][0]
+    return weighted.select(
+        group,
+        "n",
+        F.expr(f"({int(budget)} * w) div {int(total)}").alias("target"),
+    )
+
+
+def temperature_sample(
+    df: DataFrame,
+    key: str,
+    group: str,
+    budget: int,
+    alpha: float = 0.5,
+    salt: str = "temperature",
+) -> DataFrame:
+    """Deterministic temperature-sampled subset: each group keeps its
+    ``temperature_targets`` quota, chosen as the target_g rows with the
+    smallest salted hash (exact per-group budgets, same rows on every
+    re-run — the group-quota analogue of the fixed-budget sample).
+
+    One broadcast join (targets are group-cardinality) + one window
+    rank per group partition. Returns ``df``'s rows + ``rnk``.
+    """
+    targets = temperature_targets(df, group, budget, alpha)
+    u = uniform_from_key(F.col(key), salt)
+    w = Window.partitionBy(group).orderBy(u.asc(), F.col(key).asc())
+    return (
+        df.join(F.broadcast(targets.select(group, "target")), group)
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= F.col("target"))
+        .drop("target")
     )

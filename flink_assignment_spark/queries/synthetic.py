@@ -6010,6 +6010,241 @@ REGISTRY.update(
 )
 
 
+# ------------- record linkage: FastSS deletion-neighborhood matching
+def q125_fuzzy_match(spark, sf_dir):
+    """Fuzzy entity matching (record linkage) over customer names:
+    every pair within Levenshtein distance 1 — the dirty-identifier
+    dedup a curation pipeline runs on user/entity tables before
+    joining them. Candidates come from the FastSS deletion-
+    neighborhood equi-join (operators/linkage.py) — (len+1) derived
+    variants per record, one shuffle on the variant key, NO N² cross
+    join and no per-pair UDF — verified by the built-in JVM-side
+    ``levenshtein``. Both engines compute the identical classic edit
+    distance, so the check is exact."""
+    from ..operators.linkage import fuzzy_pairs_lev1
+
+    cust = _t(spark, sf_dir, "customer")
+    return fuzzy_pairs_lev1(cust, "c_custkey", "c_name").select(
+        F.col("id_a").alias("cust_a"), F.col("id_b").alias("cust_b"), "dist"
+    )
+
+
+Q125_SQL = """
+WITH v AS (
+  SELECT c_custkey, c_name,
+         unnest(list_distinct(list_transform(range(1, len(c_name) + 2),
+                i -> substr(c_name, 1, i - 1) || substr(c_name, i + 1, len(c_name))))) AS var
+  FROM customer
+), cand AS (
+  SELECT DISTINCT a.c_custkey AS cust_a, b.c_custkey AS cust_b,
+                  a.c_name AS name_a, b.c_name AS name_b
+  FROM v a JOIN v b ON a.var = b.var AND a.c_custkey < b.c_custkey
+)
+SELECT cust_a, cust_b, CAST(levenshtein(name_a, name_b) AS INT) AS dist
+FROM cand WHERE levenshtein(name_a, name_b) <= 1
+"""
+
+
+REGISTRY.update({"q125_fuzzy_match": QuerySpec(q125_fuzzy_match, Q125_SQL)})
+
+
+# ----------------- time-series gap fill (time_bucket_gapfill + locf)
+GAPFILL_MAX_USER = 10  # bound the spine at bench SFs; the operator itself is unbounded
+
+
+def q126_gapfill_locf(spark, sf_dir):
+    """Dense hourly spine per user with last-observation-carried-
+    forward — the TimescaleDB ``time_bucket_gapfill`` + ``locf``
+    semantics (operators/timeseries.py): per (user, hour) the last
+    event's value wins, missing hours between each user's first and
+    last observation are filled from the previous bucket. The carried
+    value is the raw parquet double (no arithmetic), so the compare
+    is bit-exact; the spine is a ``sequence``/``explode`` narrow map
+    after one per-user bounds aggregate."""
+    from ..operators.timeseries import gapfill_locf
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < GAPFILL_MAX_USER)
+    out = gapfill_locf(ev, "user_id", "ts", "value", "event_id", bucket="hour")
+    return out.select(
+        F.col("key").alias("user_id"),
+        F.date_format("bucket_ts", "yyyy-MM-dd HH:mm:ss").alias("bucket_s"),
+        "filled_value",
+        "is_observed",
+    )
+
+
+Q126_SQL = f"""
+WITH ev AS (SELECT * FROM events WHERE user_id < {GAPFILL_MAX_USER}),
+obs AS (
+  SELECT user_id, date_trunc('hour', ts) AS bucket_ts, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM ev
+), o AS (SELECT user_id, bucket_ts, value FROM obs WHERE rn = 1),
+bounds AS (SELECT user_id, min(bucket_ts) AS h0, max(bucket_ts) AS h1 FROM o GROUP BY 1),
+spine AS (SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS bucket_ts
+          FROM bounds),
+j AS (SELECT s.user_id, s.bucket_ts, o.value
+      FROM spine s LEFT JOIN o USING (user_id, bucket_ts))
+SELECT user_id, strftime(bucket_ts, '%Y-%m-%d %H:%M:%S') AS bucket_s,
+       last_value(value IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY bucket_ts
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value,
+       CAST(value IS NOT NULL AS INT) AS is_observed
+FROM j
+"""
+
+
+REGISTRY.update({"q126_gapfill_locf": QuerySpec(q126_gapfill_locf, Q126_SQL)})
+
+
+# --------------------- SCD Type-2 validity intervals from a changelog
+def q127_scd2_intervals(spark, sf_dir):
+    """Slowly-changing-dimension Type-2 build from the events
+    changelog (operators/timeseries.py): per user, consecutive runs of
+    the same event_type collapse into validity intervals
+    [valid_from, valid_to) with a version sequence and an is_current
+    flag — the warehouse-dimension complement of q48's latest-per-key
+    compaction and q70's two-snapshot diff. Interval bounds are
+    emitted as epoch microseconds (exact integers; null valid_to on
+    the current row in both engines)."""
+    from ..operators.timeseries import scd2_intervals
+
+    ev = _t(spark, sf_dir, "events")
+    out = scd2_intervals(ev, "user_id", "event_type", "ts", "event_id")
+    return out.select(
+        F.col("key").alias("user_id"),
+        "state",
+        F.unix_micros("valid_from").alias("valid_from_us"),
+        F.unix_micros("valid_to").alias("valid_to_us"),
+        "version",
+        "is_current",
+    )
+
+
+Q127_SQL = """
+WITH o AS (
+  SELECT user_id, event_type, ts, event_id,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+), runs AS (
+  SELECT user_id, event_type AS state, ts AS valid_from, event_id
+  FROM o WHERE prev IS NULL OR prev <> event_type
+)
+SELECT user_id, state,
+       epoch_us(valid_from) AS valid_from_us,
+       epoch_us(lead(valid_from) OVER w) AS valid_to_us,
+       CAST(ROW_NUMBER() OVER w AS INT) AS version,
+       CAST(lead(valid_from) OVER w IS NULL AS INT) AS is_current
+FROM runs
+WINDOW w AS (PARTITION BY user_id ORDER BY valid_from, event_id)
+"""
+
+
+REGISTRY.update({"q127_scd2_intervals": QuerySpec(q127_scd2_intervals, Q127_SQL)})
+
+
+# ------------- prefix-filter set-similarity join (the UNCAPPED path)
+PPJ_TAU = 0.5
+
+
+def q128_prefix_filter_neardup(spark, sf_dir):
+    """Near-dup pairs by word-3-gram Jaccard >= 0.5 via PREFIX
+    FILTERING (Bayardo et al. WWW'07 / PPJoin) — the LOSSLESS,
+    UNCAPPED scale path next to q15's df-capped inverted index: docs'
+    shingle sets are globally ordered rarest-first, only each set's
+    prefix (|x| - ceil(t|x|) + 1 rarest shingles) enters the join, and
+    the prefix-filter lemma guarantees zero recall loss — hot
+    boilerplate shingles stop fanning out quadratically WITHOUT the
+    MAX_SHINGLE_DF cap changing the reported Jaccard. Verification
+    reuses the pair-targeted array_intersect kernel."""
+    from ..operators.dedup import prefix_filter_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return prefix_filter_jaccard_pairs(docs, threshold=PPJ_TAU)
+
+
+Q128_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '') AS tk
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(tk) - 1),
+                                      i -> array_to_string(tk[i:i+2], ' '))) AS s
+  FROM toks
+), ex AS (
+  SELECT doc_id,
+         CAST('0x' || substring(md5(unnest(s)), 1, 15) AS BIGINT) AS h
+  FROM sh
+), nsh AS (
+  SELECT doc_id, count(*) AS ns FROM ex GROUP BY doc_id
+), pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM ex a JOIN ex b ON a.h = b.h AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, round(j, 6) AS jaccard
+FROM (SELECT doc_a, doc_b,
+             CAST(inter AS DOUBLE) / (x.ns + y.ns - inter) AS j
+      FROM pairs p JOIN nsh x ON p.doc_a = x.doc_id
+                   JOIN nsh y ON p.doc_b = y.doc_id)
+WHERE j >= {PPJ_TAU}
+"""
+
+
+REGISTRY.update(
+    {"q128_prefix_filter_neardup": QuerySpec(q128_prefix_filter_neardup, Q128_SQL)}
+)
+
+
+# ------------------- temperature (n^alpha) mixture sampling
+TEMP_BUDGET = 300
+
+
+def q129_temperature_mixture(spark, sf_dir):
+    """Temperature-sampled corpus subset (operators/sampling.py):
+    per-language quotas proportional to n_lang^0.5 — the multilingual
+    up/down-weighting rule (mBERT/XLM-R/mT5) that flattens the
+    language distribution — filled by the smallest salted hashes so
+    the draw is deterministic and exactly budgeted. Cross-engine-exact
+    arithmetic: IEEE sqrt (exactly rounded) scaled by 2^20 into a
+    BIGINT weight, targets by integer division — no float summation
+    order anywhere."""
+    from ..operators.sampling import temperature_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    out = temperature_sample(
+        docs, key="doc_id", group="lang", budget=TEMP_BUDGET, alpha=0.5
+    )
+    return out.select("doc_id", "lang", F.col("rnk").cast("int").alias("rnk"))
+
+
+Q129_SQL = f"""
+WITH counts AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+s AS (SELECT lang,
+             CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1048576.0) AS BIGINT) AS sl
+      FROM counts),
+tot AS (SELECT sum(sl) AS S FROM s),
+tgt AS (SELECT lang, ({TEMP_BUDGET} * sl) // S AS target FROM s, tot),
+u AS (SELECT doc_id, lang,
+             CAST(CAST('0x' || substring(md5('temperature:' || CAST(doc_id AS VARCHAR)), 1, 15)
+                  AS BIGINT) AS DOUBLE) / 1152921504606846976.0 AS u
+      FROM documents),
+r AS (SELECT doc_id, lang,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY u, doc_id) AS rnk
+      FROM u)
+SELECT r.doc_id, r.lang, CAST(r.rnk AS INT) AS rnk
+FROM r JOIN tgt ON r.lang = tgt.lang
+WHERE r.rnk <= tgt.target
+"""
+
+
+REGISTRY.update(
+    {"q129_temperature_mixture": QuerySpec(q129_temperature_mixture, Q129_SQL)}
+)
+
+
 # ------------------------------------------------------------------------
 # Registry ordering contract: the driver's correctness harness records
 # at most 50 entries per round, in registry order — so the order IS the

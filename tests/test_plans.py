@@ -483,3 +483,52 @@ def test_q123_bloom_gate_udf_stays_above_spread(spark):
             "Bloom gate UDF was pushed below the spread exchange "
             "(single-task gate):\n" + plan
         )
+
+
+def test_q125_fuzzy_match_no_nested_loop(spark):
+    """FastSS candidates come from the variant equi-join: the plan
+    must be hash/sort-merge on the variant key (plus the verify
+    filter) — never a nested-loop over the name table, and no
+    levenshtein below the join (the verify runs on candidates only)."""
+    df = REGISTRY["q125_fuzzy_match"].spark(spark, SF_DIR)
+    plan = physical_plan(df)
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan, plan
+
+
+def test_q126_gapfill_single_key_exchange(spark):
+    """Gap fill is windows + a spine explode over ONE entity-key
+    partitioning: no nested loop, and the filter on user_id reaches
+    the events scan."""
+    df = REGISTRY["q126_gapfill_locf"].spark(spark, SF_DIR)
+    plan = physical_plan(df)
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan, plan
+    assert any("user_id" in f for f in pushed_filters(df)), pushed_filters(df)
+
+
+def test_q127_scd2_reuses_one_sort(spark):
+    """SCD2 = lag + lead/row_number over the SAME (user) partitioning:
+    Catalyst must plan at most two exchanges (the key shuffle + AQE
+    artifacts), no join at all."""
+    df = REGISTRY["q127_scd2_intervals"].spark(spark, SF_DIR)
+    plan = physical_plan(df)
+    assert "Join" not in plan, plan
+    assert count_exchanges(df) <= 2, plan
+
+
+def test_q128_prefix_filter_no_nested_loop(spark):
+    """Prefix-filter ssjoin: candidates from the prefix equi-join,
+    verify from the pair-targeted array_intersect joins — all
+    hash/sort-merge, never nested-loop/cartesian."""
+    df = REGISTRY["q128_prefix_filter_neardup"].spark(spark, SF_DIR)
+    plan = physical_plan(df)
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan, plan
+
+
+def test_q129_temperature_broadcasts_targets(spark):
+    """The group-cardinality targets frame must join back by
+    BROADCAST (no shuffle of the corpus for a 5-row dimension), and
+    the quota cut is one window over the group partitioning."""
+    df = REGISTRY["q129_temperature_mixture"].spark(spark, SF_DIR)
+    plan = physical_plan(df)
+    assert has_broadcast_hash_join(df), plan
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan, plan
