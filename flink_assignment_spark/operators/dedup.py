@@ -507,45 +507,125 @@ def prefix_filter_jaccard_pairs(
     volume is bounded by prefix co-occurrence, not full posting-list
     squares, with zero recall loss. Verification reuses the
     pair-targeted array_intersect kernel (:func:`_verify_pairs_jaccard`).
+
+    Candidates come from a bucket-groupBy over the prefix postings
+    (collect each prefix token's (doc, set-size) list, expand pairs
+    in-bucket), NOT a prefix self-join: one scan of the
+    dfreq-join-rank subtree instead of two — same rationale as
+    :func:`minhash_lsh_pairs`' bucket formulation, and the same skew
+    exposure (a hot prefix token expands in one task exactly as a
+    self equi-join would route it to one reducer). Prefix buckets are
+    self-limiting in a way raw posting lists are not: a token lands
+    in a doc's prefix only while it is among that doc's RAREST
+    ``|x| - ceil(t|x|) + 1`` shingles, so globally hot tokens appear
+    in few prefixes by construction. The size-compatibility filter
+    (t·|x| <= |y| <= |x|/t) prunes pairs at expansion, before the
+    distinct and the verify.
     """
     sh = (
         shingles
         if shingles is not None
         else doc_shingles(docs, text_col, id_col, n).cache()
     )
+    # float-safe ceil: the prefix length, size filter, and positional
+    # bound all compare integers against ceil(t * n). When t * n is
+    # exactly integral, a one-ulp float overshoot would ceil one too
+    # high — shortening a prefix or pruning a boundary pair, i.e.
+    # RECALL loss. Nudging down by an epsilon far above float error
+    # but far below 1/n keeps every ceiling exact-or-conservative.
+    def _ceil(c):
+        return F.ceil(c - F.lit(1e-9))
+
     dfreq = sh.groupBy("h").agg(F.count("*").alias("df"))
     pos_w = Window.partitionBy("doc_id").orderBy(F.asc("df"), F.asc("h"))
-    ranked = (
+    prefix = (
         sh.join(dfreq, "h")
         .withColumn("pos", F.row_number().over(pos_w))
-    )
-    prefix = ranked.filter(
-        F.col("pos")
-        <= F.col("n_shingles") - F.ceil(F.lit(threshold) * F.col("n_shingles")) + 1
-    ).select("doc_id", "n_shingles", "h")
-    a, b = prefix.alias("a"), prefix.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.h") == F.col("b.h"))
-            & (F.col("a.doc_id") < F.col("b.doc_id"))
-            & (
-                F.col("b.n_shingles")
-                >= F.ceil(F.lit(threshold) * F.col("a.n_shingles"))
-            )
-            & (
-                F.col("a.n_shingles")
-                >= F.ceil(F.lit(threshold) * F.col("b.n_shingles"))
-            ),
+        .filter(
+            F.col("pos")
+            <= F.col("n_shingles")
+            - _ceil(F.lit(threshold) * F.col("n_shingles"))
+            + 1
         )
         .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+            "df",
+            "h",
+            F.struct(
+                F.col("doc_id").alias("doc_id"),
+                F.col("n_shingles").alias("ns"),
+                F.col("pos").alias("pos"),
+            ).alias("x"),
         )
-        .distinct()
+    )
+    buckets = (
+        prefix.groupBy("df", "h")
+        .agg(F.collect_list("x").alias("xs"))
+        .filter(F.size("xs") > 1)
+    )
+    pairs = buckets.select(
+        "df",
+        "h",
+        F.explode(_sized_bucket_pairs(F.col("xs"))).alias("p"),
+    ).select("df", "h", "p.doc_a", "p.doc_b", "p.na", "p.nb", "p.ia", "p.jb")
+    sized = pairs.filter(
+        (F.col("nb") >= _ceil(F.lit(threshold) * F.col("na")))
+        & (F.col("na") >= _ceil(F.lit(threshold) * F.col("nb")))
+    )
+    # PPJoin positional filter (Xiao et al. 2008): take each pair's
+    # FIRST prefix match in the global (df, h) order. Every other
+    # common shingle sorts strictly after it in BOTH docs (an earlier
+    # common shingle would itself be a prefix-prefix match,
+    # contradicting firstness), so the total overlap is bounded by
+    # 1 + min(na - ia, nb - jb). J >= t needs real overlap
+    # >= t/(1+t) * (na + nb); pairs whose bound can't reach it die
+    # BEFORE the verify — this is what keeps candidate volume sane on
+    # high-overlap corpora where prefix co-occurrence alone is loose.
+    first = sized.groupBy("doc_a", "doc_b").agg(
+        F.min_by(
+            F.struct("na", "nb", "ia", "jb"), F.struct("df", "h")
+        ).alias("m")
+    )
+    alpha = F.lit(threshold / (1.0 + threshold)) * (
+        F.col("m.na") + F.col("m.nb")
+    ).cast("double")
+    bound = (
+        F.lit(1)
+        + F.least(
+            F.col("m.na") - F.col("m.ia"), F.col("m.nb") - F.col("m.jb")
+        )
+    ).cast("double")
+    cand = (
+        first.filter(bound >= alpha - F.lit(1e-9))
+        .select("doc_a", "doc_b")
         .cache()
     )
     cand.count()
     return _verify_pairs_jaccard(cand, sh, threshold)
+
+
+def _sized_bucket_pairs(xs_col) -> "F.Column":
+    """:func:`_bucket_pairs` carrying each side's set size and prefix
+    position — (doc_a, doc_b, na, nb, ia, jb) structs for every
+    ordered pair in one prefix bucket's (doc_id, ns, pos) list, so the
+    size-compatibility and positional filters can run at expansion
+    time. Sorting by the struct (doc_id leads) keeps doc_a < doc_b."""
+    xs = F.array_sort(xs_col)
+    return F.flatten(
+        F.transform(
+            xs,
+            lambda x, i: F.transform(
+                F.slice(xs, i + 2, F.size(xs) - i - 1),
+                lambda y: F.struct(
+                    x["doc_id"].alias("doc_a"),
+                    y["doc_id"].alias("doc_b"),
+                    x["ns"].alias("na"),
+                    y["ns"].alias("nb"),
+                    x["pos"].alias("ia"),
+                    y["pos"].alias("jb"),
+                ),
+            ),
+        )
+    )
 
 
 # --- SimHash -------------------------------------------------------------

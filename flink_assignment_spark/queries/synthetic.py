@@ -90,13 +90,39 @@ def _shared_occ(spark: SparkSession, sf_dir: str) -> DataFrame:
     return occ
 
 
+# Per-(session, corpus) memo of the UNCAPPED word-3-gram shingle
+# index — the single tokenize + shingle + hash pass every near-dup
+# family derives from: the capped index (below) anti-joins it, and
+# the prefix-filter join (q128) consumes it directly (prefix
+# filtering is the no-cap path, so it must see the raw sets).
+_RAW_SHINGLE_MEMO: dict[tuple[str, str], DataFrame] = {}
+
+
+def _shared_raw_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark import StorageLevel
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    sh = _RAW_SHINGLE_MEMO.get(key)
+    if sh is None:
+        from ..operators.dedup import doc_shingles
+
+        docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+        sh = doc_shingles(docs).persist(StorageLevel.MEMORY_AND_DISK)
+        _RAW_SHINGLE_MEMO[key] = sh
+    elif sh.storageLevel == StorageLevel.NONE:
+        sh.persist(StorageLevel.MEMORY_AND_DISK)
+    return sh
+
+
 # Per-(session, corpus) memo of the capped word-3-gram shingle index —
 # the _OCC_MEMO pattern applied to the OTHER shared index: q15
 # (Jaccard), q16 (MinHash-LSH), q94 (containment), and q117 (source
-# overlap) all consume the identical doc_shingles(cap=MAX_SHINGLE_DF)
-# frame, so one build per session replaces four. Session-lifetime by
-# design (same contract as _OCC_MEMO); the storage-level recheck
-# restores the cache after bench.py's per-query clearCache().
+# overlap) all consume the identical capped frame, so one build per
+# session replaces four — and since r13 the cap DERIVES from the
+# shared raw index above (one corpus shingling pass for all five
+# consumers, capped and uncapped alike). Session-lifetime by design
+# (same contract as _OCC_MEMO); the storage-level recheck restores
+# the cache after bench.py's per-query clearCache().
 _SHINGLE_MEMO: dict[tuple[str, str], DataFrame] = {}
 
 
@@ -106,10 +132,10 @@ def _shared_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir)
     sh = _SHINGLE_MEMO.get(key)
     if sh is None:
-        from ..operators.dedup import doc_shingles
+        from ..operators.dedup import cap_doc_freq
 
-        docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-        sh = doc_shingles(docs, max_doc_freq=MAX_SHINGLE_DF).persist(
+        raw = _shared_raw_shingles(spark, sf_dir)
+        sh = cap_doc_freq(raw, MAX_SHINGLE_DF).persist(
             StorageLevel.MEMORY_AND_DISK
         )
         _SHINGLE_MEMO[key] = sh
@@ -6157,11 +6183,15 @@ def q128_prefix_filter_neardup(spark, sf_dir):
     the prefix-filter lemma guarantees zero recall loss — hot
     boilerplate shingles stop fanning out quadratically WITHOUT the
     MAX_SHINGLE_DF cap changing the reported Jaccard. Verification
-    reuses the pair-targeted array_intersect kernel."""
+    reuses the pair-targeted array_intersect kernel. Reads the
+    session-shared UNCAPPED shingle index — the same corpus shingling
+    pass that (capped) feeds q15/q16/q94/q117."""
     from ..operators.dedup import prefix_filter_jaccard_pairs
 
     docs = _t(spark, sf_dir, "documents")
-    return prefix_filter_jaccard_pairs(docs, threshold=PPJ_TAU)
+    return prefix_filter_jaccard_pairs(
+        docs, threshold=PPJ_TAU, shingles=_shared_raw_shingles(spark, sf_dir)
+    )
 
 
 Q128_SQL = f"""

@@ -95,7 +95,8 @@ def test_prefix_filter_equals_uncapped_inverted_index(spark):
     index join's pairs (the capped q15 form can differ — the cap
     changes the sets)."""
     docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
-    for tau in (0.3, 0.5):
+    # 0.35 stresses the float-safe ceilings (t*n is not binary-exact)
+    for tau in (0.3, 0.35, 0.5):
         brute = {
             (r.doc_a, r.doc_b, r.jaccard)
             for r in ngram_jaccard_pairs(docs, threshold=tau).collect()
@@ -106,6 +107,39 @@ def test_prefix_filter_equals_uncapped_inverted_index(spark):
         }
         assert pf == brute
         assert len(pf) > 0
+
+
+def test_prefix_filter_edge_corpus(spark):
+    """Boundary shapes for the prefix + positional filters: exact
+    duplicates (J=1), strict subsets, one-shingle overlaps, and
+    size-incompatible pairs — the pair set must still equal the
+    brute-force inverted-index join at every threshold."""
+    base = "a b c d e f g h i j"
+    corpus = [
+        (0, base),
+        (1, base),                          # exact duplicate
+        (2, base + " k l m"),               # superset
+        (3, "a b c d e"),                   # strict subset (3 shingles)
+        (4, "x y z a b c q r s"),           # one-window overlap
+        (5, "p q r s t u v w"),             # mostly disjoint
+        (6, "a b c"),                       # single-shingle doc
+        (7, "m n o"),                       # disjoint single-shingle
+    ]
+    docs = spark.createDataFrame(corpus, ["doc_id", "text"])
+    for tau in (0.2, 0.35, 0.5, 0.8):
+        brute = {
+            (r.doc_a, r.doc_b, r.jaccard)
+            for r in ngram_jaccard_pairs(docs, threshold=tau).collect()
+        }
+        pf = {
+            (r.doc_a, r.doc_b, r.jaccard)
+            for r in prefix_filter_jaccard_pairs(docs, threshold=tau).collect()
+        }
+        assert pf == brute, f"tau={tau}: {pf ^ brute}"
+    assert (0, 1, 1.0) in {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in prefix_filter_jaccard_pairs(docs, threshold=0.5).collect()
+    }
 
 
 # --------------------------------------------------- gap fill / LOCF
