@@ -6275,6 +6275,56 @@ REGISTRY.update(
 )
 
 
+# ---------------- event-time RANGE window (trailing 24h per event)
+def q130_rolling_interval_window(spark, sf_dir):
+    """Trailing 24-hour per-user rolling aggregate ANCHORED AT EVERY
+    EVENT — the RANGE-frame window (frame bounds in event-time units,
+    not row counts) that q06's fixed sliding panes and q42's
+    lag/lead ROWS frames don't exercise: each event reports the sum
+    and count of the same user's events in (ts − 24h, ts]. Values
+    accumulate as integer micro-units (q69's quantization), so the
+    partial-agg fold order can't skew the compare; the frame is
+    ordered by epoch microseconds, where RANGE peers (exact-tie
+    timestamps) are included on both engines by the SQL standard. One
+    shuffle: the user_id window."""
+    ev = _t(spark, sf_dir, "events")
+    vi = F.round(F.col("value") * 1000).cast("long")
+    us = F.unix_micros(F.col("ts"))
+    day_us = 24 * 3600 * 1_000_000
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(us)
+        .rangeBetween(-(day_us - 1), 0)  # (ts − 24h, ts] — half-open
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.sum(vi).over(w).alias("trail_sum_mu"),
+        F.count("*").over(w).cast("bigint").alias("trail_cnt"),
+    )
+
+
+Q130_SQL = """
+SELECT event_id, user_id,
+       SUM(vi) OVER w AS trail_sum_mu,
+       CAST(COUNT(*) OVER w AS BIGINT) AS trail_cnt
+FROM (SELECT event_id, user_id, epoch_us(ts) AS us,
+             CAST(round(value * 1000) AS BIGINT) AS vi
+      FROM events)
+WINDOW w AS (PARTITION BY user_id ORDER BY us
+             RANGE BETWEEN 86399999999 PRECEDING AND CURRENT ROW)
+"""
+
+
+REGISTRY.update(
+    {
+        "q130_rolling_interval_window": QuerySpec(
+            q130_rolling_interval_window, Q130_SQL
+        )
+    }
+)
+
+
 # ------------------------------------------------------------------------
 # Registry ordering contract: the driver's correctness harness records
 # at most 50 entries per round, in registry order — so the order IS the

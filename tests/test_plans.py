@@ -532,3 +532,12 @@ def test_q129_temperature_broadcasts_targets(spark):
     plan = physical_plan(df)
     assert has_broadcast_hash_join(df), plan
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan, plan
+
+
+def test_q130_range_window_one_exchange(spark):
+    """The event-time RANGE frame is one window over one user_id
+    exchange — no join, no extra shuffle for the count vs the sum."""
+    df = REGISTRY["q130_rolling_interval_window"].spark(spark, SF_DIR)
+    plan = physical_plan(df)
+    assert "Join" not in plan, plan
+    assert count_exchanges(df) <= 1, plan
