@@ -181,9 +181,11 @@ def main() -> None:
                 "queries": short_keys(timings),
                 # sentinel summary rides the driver-recorded line:
                 # [min sec, max/min rep spread] per sentinel query —
-                # flat spread + moved totals = code; blown spread = box
+                # flat spread + moved totals = code; blown spread = box.
+                # (No "keys" legend — qNN prefixes are self-describing
+                # and at 130+ queries every byte of the ~2 KB tail
+                # window is registry capacity.)
                 "sent": sent_compact,
-                "keys": "query number prefixes",
             },
             separators=(",", ":"),
         )

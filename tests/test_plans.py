@@ -541,3 +541,12 @@ def test_q130_range_window_one_exchange(spark):
     plan = physical_plan(df)
     assert "Join" not in plan, plan
     assert count_exchanges(df) <= 1, plan
+
+
+def test_q131_equidepth_one_exchange(spark):
+    """ntile + the bucket rollup share the event_type partitioning —
+    one exchange, no join."""
+    df = REGISTRY["q131_equidepth_histogram"].spark(spark, SF_DIR)
+    plan = physical_plan(df)
+    assert "Join" not in plan, plan
+    assert count_exchanges(df) <= 1, plan

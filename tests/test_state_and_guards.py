@@ -381,3 +381,26 @@ def test_bloom_artifact_save_load_roundtrip(spark, tmp_path):
         f.truncate(32)
     with pytest.raises(ValueError, match="corrupt"):
         load_bloom(path)
+
+
+def test_never_green_outranks_forced_in_window():
+    """Within the needs-green band, a query with NO green history ever
+    sorts before a changed-code re-green: the forced query was
+    externally verified last round (and pytest covers its current
+    code), the never-green one has no driver row at all — when the
+    50-slot truncation bites, the never-green must survive."""
+    from dataclasses import dataclass
+
+    from flink_assignment_spark.queries._ledger import rotated_order
+
+    @dataclass
+    class Spec:
+        oracle: str | None
+
+    reg = {"zz_new": Spec("x"), "aa_forced": Spec("x"), "fill": Spec("x")}
+    lg = {"aa_forced": 5, "fill": 4}
+    assert rotated_order(reg, lg, [], forced={"aa_forced"}) == [
+        "zz_new",
+        "aa_forced",
+        "fill",
+    ]
