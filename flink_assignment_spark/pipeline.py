@@ -340,6 +340,33 @@ class CorpusPipeline:
         out = stratified_sample(self._df, self.id_col, stratum, rates, salt)
         return self._next(out, "sample_stratified")
 
+    def sample_temperature(
+        self,
+        budget: int,
+        alpha: float = 0.5,
+        group_col: str = "lang",
+        salt: str = "temperature",
+    ) -> "CorpusPipeline":
+        """Temperature (n^alpha) mixture sampling (q129): per-group
+        quotas proportional to n_g^alpha — the multilingual
+        flattening rule — filled by the smallest salted hashes.
+        Batch-only (quotas are corpus-global counts); unlike
+        ``sample_mixture`` no target weights are declared: the
+        mixture is DERIVED from the observed group sizes, so adding a
+        corpus source reshapes every quota."""
+        from .operators.sampling import temperature_sample
+
+        if self._df.isStreaming:
+            raise TypeError(
+                "sample_temperature is batch-only — quotas are "
+                "corpus-global counts; maintain them incrementally "
+                "via streaming.topk_stream against frozen targets"
+            )
+        out = temperature_sample(
+            self._df, self.id_col, group_col, budget, alpha, salt
+        ).drop("rnk")
+        return self._next(out, f"sample_temperature({budget},a={alpha})")
+
     def assign_splits(self, out_col: str = "split") -> "CorpusPipeline":
         """Group-atomic train/val/test routing (q119): docs sharing a
         canonical text always land in the same split, so exact

@@ -360,3 +360,32 @@ def test_pipeline_bloom_prebuilt_filter_matches_inline_build(spark):
         CorpusPipeline(corpus).decontaminate(None, strategy="bloom")
     with pytest.raises(ValueError, match="requires strategy"):
         CorpusPipeline(corpus).decontaminate(None, bloom_filter=bf)
+
+
+def test_sample_temperature_matches_operator_and_q129(spark):
+    """The pipeline stage keeps exactly the q129 selection (same salt,
+    same quotas) and refuses streams."""
+    from flink_assignment_spark.operators.sampling import temperature_sample
+    from flink_assignment_spark.queries.synthetic import REGISTRY
+
+    docs = load_table(spark, SF_DIR, "documents")
+    p = CorpusPipeline(docs).sample_temperature(300)
+    got = {r.doc_id for r in p.df.select("doc_id").collect()}
+    want = {
+        r.doc_id
+        for r in temperature_sample(docs, "doc_id", "lang", 300).collect()
+    }
+    q129 = {
+        r.doc_id
+        for r in REGISTRY["q129_temperature_mixture"].spark(spark, SF_DIR).collect()
+    }
+    assert got == want == q129
+    assert p.lineage == ("sample_temperature(300,a=0.5)",)
+
+    import pytest as _pytest
+
+    stream = spark.readStream.format("rate").load()
+    with _pytest.raises(TypeError, match="batch-only"):
+        CorpusPipeline(
+            stream.selectExpr("value as doc_id", "'x' as text")
+        ).sample_temperature(300)
