@@ -964,6 +964,48 @@ def knn_purity_ab(spark, n_vecs: int, reps: int = 3) -> dict:
     }
 
 
+
+def linkage_sweep(spark, scales: list[int], reps: int = 3) -> dict:
+    """FastSS fuzzy-linkage scaling points: N zero-padded identifier
+    names (the customer-name shape q125 runs on), timed end-to-end
+    through operators.linkage.fuzzy_pairs_lev1. Pair density grows
+    ~log N per name in this id space (one lev-1 pair per agreeing
+    digit-neighborhood), so sec/name creeping up WITH pairs/name flat
+    is data shape, not a regression; the candidate join itself is one
+    shuffle on the variant key."""
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from flink_assignment_spark.operators.linkage import fuzzy_pairs_lev1
+
+    out = {}
+    for n in scales:
+        names = spark.range(n).select(
+            F.col("id").alias("rid"),
+            F.concat(
+                F.lit("Entity#"), F.lpad(F.col("id").cast("string"), 9, "0")
+            ).alias("name"),
+        )
+        secs, pairs = [], None
+        for _ in range(reps):
+            spark.catalog.clearCache()
+            t0 = _t.time()
+            pairs = fuzzy_pairs_lev1(names, "rid", "name").count()
+            secs.append(_t.time() - t0)
+        secs.sort()
+        med = secs[len(secs) // 2]
+        out[n] = {
+            "sec_median": round(med, 2),
+            "sec_min": round(secs[0], 2),
+            "pairs": pairs,
+            "pairs_per_name": round(pairs / n, 2),
+            "us_per_name": round(med / n * 1e6, 1),
+        }
+        print(f"  linkage n={n}: {med:.2f}s pairs={pairs}", flush=True)
+    return out
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument(
@@ -1082,6 +1124,11 @@ def main() -> None:
         help="run ONLY the Bloom-gate cost attribution at N_DOCS "
         "(scan / shingle expression / Arrow transfer / probe shares)",
     )
+    ap.add_argument(
+        "--linkage", type=int, nargs="+", metavar="N_NAMES",
+        help="run ONLY the FastSS fuzzy-linkage scaling points at "
+        "each N_NAMES (variant equi-join + levenshtein verify)",
+    )
     args = ap.parse_args()
 
     from flink_assignment_spark.queries.synthetic import REGISTRY  # noqa: F401
@@ -1089,6 +1136,16 @@ def main() -> None:
 
     spark = get_spark("fas-bench-scaling")
 
+    if args.linkage:
+        print(
+            json.dumps(
+                {
+                    "metric": "fuzzy-linkage (lev<=1) scaling points",
+                    "sweep": linkage_sweep(spark, args.linkage, reps=args.reps),
+                }
+            )
+        )
+        return
     if args.semantic_probe:
         print(
             json.dumps(
