@@ -386,3 +386,87 @@ def make_probe_clean_udf(bc_probe):
         )
 
     return probe_clean
+
+
+def make_pq_encode_udf(codebooks):
+    """array<int> of the ``m`` nearest-sub-centroid codes per vector —
+    product-quantization encoding, one numpy pass per Arrow batch.
+    ``codebooks`` is (m, n_codes, dsub); each vector splits into m
+    contiguous dsub-blocks and each block snaps to its codebook's
+    nearest row by L2 (argmin is deterministic: ties take the lowest
+    code)."""
+    C = np.ascontiguousarray(codebooks, dtype=np.float64)
+    m, n_codes, dsub = C.shape
+    c_sq = (C**2).sum(axis=2)  # (m, n_codes)
+
+    @pandas_udf("array<int>")
+    def encode(v: pd.Series) -> pd.Series:
+        V = np.stack(v.values).astype(np.float64).reshape(len(v), m, dsub)
+        # d2[n, j, c] via the ||a-b||^2 expansion, no (n, j, c, d) 4-D
+        cross = np.einsum("njd,jcd->njc", V, C)
+        d2 = (V**2).sum(axis=2)[:, :, None] + c_sq[None, :, :] - 2.0 * cross
+        codes = d2.argmin(axis=2).astype(np.int32)  # (n, m)
+        return pd.Series(list(codes))
+
+    return encode
+
+
+def make_pq_adc_scorer(codebooks, query_blocks, k):
+    """mapInPandas kernel scoring PQ codes against a frozen query
+    block by ASYMMETRIC DISTANCE COMPUTATION: per query a (m, n_codes)
+    lookup table of sub-dot-products, so a candidate's approximate
+    dot is m table lookups instead of a dim-length multiply, and its
+    reconstructed norm is exact from the codebook norms (the m
+    sub-blocks are orthogonal coordinate slices, so ||x_hat||^2 =
+    sum_j ||c_j||^2). Emits each Arrow batch's per-query top-k
+    (query_id, neighbor_id, adc_sim) — exact for the global top-k
+    under the fixed ADC score, so the downstream ranking window reads
+    batches x |Q| x k rows, never N x |Q| (the hard-negatives
+    emission shape)."""
+    C = np.ascontiguousarray(codebooks, dtype=np.float64)
+    m, n_codes, dsub = C.shape
+    c_sq = (C**2).sum(axis=2)  # (m, n_codes)
+    blocks = []
+    for q_ids, q_mat, _ in query_blocks.blocks:
+        qsub = q_mat.reshape(len(q_ids), m, dsub)
+        lut = np.einsum("qjd,jcd->qjc", qsub, C)  # (Q, m, n_codes)
+        q_norm = np.sqrt((q_mat**2).sum(axis=1))
+        blocks.append((q_ids, lut, q_norm))
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["neighbor_id"].to_numpy(dtype=np.int64)
+            codes = np.stack(pdf["code"].values).astype(np.int64)  # (n, m)
+            x_norm = np.sqrt(
+                c_sq[np.arange(m)[None, :], codes].sum(axis=1)
+            )  # (n,)
+            outs = []
+            for q_ids, lut, q_norm in blocks:
+                dot = np.zeros((len(q_ids), len(ids)), dtype=np.float64)
+                for j in range(m):
+                    dot += lut[:, j, :][:, codes[:, j]]
+                sim = dot / (
+                    q_norm[:, None] * np.maximum(x_norm[None, :], 1e-30)
+                )
+                sim[q_ids[:, None] == ids[None, :]] = -np.inf  # self-pairs
+                kk = min(k, sim.shape[1])
+                top = np.argpartition(-sim, kk - 1, axis=1)[:, :kk]
+                rows_q = np.repeat(q_ids, kk)
+                cols = top.ravel()
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": rows_q,
+                            "neighbor_id": ids[cols],
+                            "adc_sim": sim[
+                                np.repeat(np.arange(len(q_ids)), kk), cols
+                            ],
+                        }
+                    )
+                )
+            out = pd.concat(outs, ignore_index=True)
+            yield out[np.isfinite(out["adc_sim"].to_numpy())]
+
+    return score

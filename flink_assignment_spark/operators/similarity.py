@@ -975,20 +975,32 @@ def ivf_train(
     the bound the whole corpus trains, unchanged). Seedless init ⇒
     the artifact is reproducible, so a backfill and a live stream
     probing the same corpus agree exactly."""
+    matrix = _bounded_train_matrix(corpus, id_col, vec_col, max_train, "ivf")
+    return _kmeans_centroids(matrix, n_cells)
+
+
+def _bounded_train_matrix(
+    corpus: DataFrame, id_col: str, vec_col: str, max_train: int, salt: str
+):
+    """The bounded, deterministic training collect shared by the IVF
+    and PQ trainers: md5-hash selection (repartition-invariant,
+    identical every run; below the bound the whole corpus trains),
+    id-sorted so downstream seedless k-means init is reproducible."""
     import numpy as np
 
     train = corpus.select(F.col(id_col), F.col(vec_col))
     n_corpus = train.count()
     if n_corpus > max_train:
         bucket = F.conv(
-            F.substring(F.md5(F.concat(F.lit("ivf:"), F.col(id_col).cast("string"))), 1, 15),
+            F.substring(
+                F.md5(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))), 1, 15
+            ),
             16,
             10,
         ).cast("long") % 1_000_000
         train = train.filter(bucket < int(1_000_000 * max_train / n_corpus))
     collected = train.orderBy(id_col).collect()
-    matrix = np.array([list(r[1]) for r in collected], dtype=np.float64)
-    return _kmeans_centroids(matrix, n_cells)
+    return np.array([list(r[1]) for r in collected], dtype=np.float64)
 
 
 def ivf_index(
@@ -1097,3 +1109,177 @@ def load_centroids(path: str):
 
     with open(path) as f:
         return np.array(json.load(f), dtype=np.float64)
+
+
+# --------------------------------------------------------------- PQ ANN
+def pq_train(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 16,
+    n_codes: int = 256,
+    max_train: int = 65_536,
+):
+    """Train a PRODUCT-QUANTIZATION codebook artifact (Jégou et al.
+    2011, the FAISS IVFPQ compression path): split each dim-length
+    vector into ``m`` contiguous sub-blocks and k-means each block
+    independently — the corpus then stores m small ints per vector
+    (m bytes at n_codes <= 256) instead of dim floats, a 16x
+    compression at (m=16, dim=64, float32) that is what makes
+    billion-vector ANN indexes fit on disk at 100 TB. Returns a
+    (m, n_codes, dim/m) numpy array; training uses the same bounded
+    deterministic sample as :func:`ivf_train` (salt "pq"), and the
+    seedless per-block k-means makes the artifact reproducible."""
+    import numpy as np
+
+    matrix = _bounded_train_matrix(corpus, id_col, vec_col, max_train, "pq")
+    dim = matrix.shape[1]
+    if dim % m:
+        raise ValueError(f"dim={dim} is not divisible by m={m} sub-blocks")
+    dsub = dim // m
+    return np.stack(
+        [
+            _kmeans_centroids(
+                np.ascontiguousarray(matrix[:, j * dsub : (j + 1) * dsub]), n_codes
+            )
+            for j in range(m)
+        ]
+    )
+
+
+def save_pq(path: str, codebooks) -> None:
+    """Persist the codebook artifact as JSON (m x n_codes x dsub
+    doubles — ~8 KB at the defaults; exact round-trip via
+    repr-precision floats, same contract as :func:`save_centroids`)."""
+    import json
+
+    with open(path, "w") as f:
+        json.dump(
+            [[[float(x) for x in row] for row in block] for block in codebooks], f
+        )
+
+
+def load_pq(path: str):
+    import json
+
+    import numpy as np
+
+    with open(path) as f:
+        return np.array(json.load(f), dtype=np.float64)
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode every corpus vector as its ``m`` nearest-sub-centroid
+    codes — ``(neighbor_id, code: array<int>)``, the compressed
+    searchable index. One Arrow-batched numpy pass; persist the
+    result to freeze the index next to the codebook artifact (the
+    IVF ``ivf_index`` analogue)."""
+    from ..functions._pandas_udfs import make_pq_encode_udf
+
+    encode_udf = make_pq_encode_udf(codebooks)
+    return _spread(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    ).select("neighbor_id", encode_udf(F.col("cv")).alias("code"))
+
+
+def pq_probe(
+    queries: DataFrame,
+    codebooks,
+    codes: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k by ASYMMETRIC DISTANCE COMPUTATION against a
+    FROZEN (codebooks, codes) pair: the bounded query side collects
+    into blocks (the cosine_topk contract — corpus-scale query sets
+    belong in lsh/ivf/knn_topk), each Arrow batch of codes scores via
+    per-query lookup tables and emits only its per-query top-k, and
+    one ranking window totals the batches x |Q| x k candidate rows.
+    No join touches the corpus — the scan reads m ints per vector."""
+    from ..functions._pandas_udfs import make_pq_adc_scorer
+
+    qb = collect_query_blocks(queries, id_col, vec_col)
+    if not qb.blocks:
+        return codes.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, adc_sim double, rank int"
+        )
+    scored = codes.mapInPandas(
+        make_pq_adc_scorer(codebooks, qb, k),
+        "query_id long, neighbor_id long, adc_sim double",
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("adc_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("adc_sim", 6).alias("adc_sim"), "rank")
+    )
+
+
+def pq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    shortlist_k: int = 50,
+    m: int = 16,
+    n_codes: int = 256,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codebooks=None,
+    codes: DataFrame | None = None,
+) -> DataFrame:
+    """End-to-end PQ ANN with EXACT RE-RANK (the IVFPQ search shape):
+    ADC over the compressed codes shortlists ``shortlist_k``
+    candidates per query, then only those pairs read the raw vectors
+    for an exact-cosine re-rank to top ``k`` — the scan-heavy phase
+    touches m ints per vector, the float phase touches
+    |Q| x shortlist_k rows. Prebuilt ``codebooks``/``codes``
+    artifacts skip training/encoding (the frozen-artifact trio);
+    passing ``codes`` requires the ``codebooks`` they were encoded
+    with (mismatched pairs silently mis-rank, same guard class as
+    minhash_lsh_pairs' banded/shingles)."""
+    if codes is not None and codebooks is None:
+        raise ValueError(
+            "a prebuilt `codes` frame requires the `codebooks` it was "
+            "encoded with — ADC lookup tables must come from the same "
+            "artifact or every score is silently wrong"
+        )
+    if codebooks is None:
+        codebooks = pq_train(corpus, id_col, vec_col, m, n_codes)
+    if codes is None:
+        codes = pq_encode(corpus, codebooks, id_col, vec_col)
+    short = pq_probe(queries, codebooks, codes, shortlist_k, id_col, vec_col).select(
+        "query_id", "neighbor_id"
+    )
+    pair_dot = make_pair_dot_udf()
+    qv = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    cv = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    )
+    exact = (
+        short.join(F.broadcast(qv), "query_id")
+        .join(cv, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                pair_dot(F.col("qv"), F.col("cv"))
+                / (norm(F.col("qv"), None) * norm(F.col("cv"), None)),
+                6,
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        exact.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+    )

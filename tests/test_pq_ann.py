@@ -1,0 +1,124 @@
+"""Product-quantization ANN: recall against the exact answer,
+artifact round-trip, determinism, ADC-kernel parity with a numpy
+reference, and the mismatched-artifact guard."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from flink_assignment_spark.operators.similarity import (
+    cosine_topk,
+    load_pq,
+    pq_encode,
+    pq_probe,
+    pq_topk,
+    pq_train,
+    save_pq,
+)
+from flink_assignment_spark.sources.loaders import load_table
+
+from .conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return load_table(spark, SF_DIR, "embeddings")
+
+
+@pytest.fixture(scope="module")
+def artifacts(spark, emb):
+    cb = pq_train(emb)
+    codes = pq_encode(emb, cb).cache()
+    codes.count()
+    return cb, codes
+
+
+def test_pq_train_deterministic_and_shaped(emb):
+    cb1, cb2 = pq_train(emb), pq_train(emb)
+    assert cb1.shape == (16, 256, 4)
+    assert np.array_equal(cb1, cb2)
+
+
+def test_pq_artifact_roundtrip(tmp_path, artifacts):
+    cb, _ = artifacts
+    path = str(tmp_path / "pq.json")
+    save_pq(path, cb)
+    assert np.array_equal(load_pq(path), cb)
+
+
+def test_pq_codes_in_range_and_deterministic(artifacts):
+    _, codes = artifacts
+    rows = codes.collect()
+    assert all(len(r.code) == 16 for r in rows)
+    assert all(0 <= c < 256 for r in rows for c in r.code)
+    again = {r.neighbor_id: list(r.code) for r in rows}
+    rows2 = {r.neighbor_id: list(r.code) for r in codes.collect()}
+    assert again == rows2
+
+
+def test_pq_adc_matches_numpy_reference(spark, emb, artifacts):
+    """The distributed ADC score must equal the straight numpy
+    reconstruction score: cos(q, x_hat) with x_hat the concatenated
+    sub-centroids."""
+    cb, codes = artifacts
+    q = emb.filter(F.col("vec_id") < 5)
+    got = {
+        (r.query_id, r.neighbor_id): r.adc_sim
+        for r in pq_probe(q, cb, codes, k=3).collect()
+    }
+    vecs = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in emb.collect()}
+    code_map = {r.neighbor_id: list(r.code) for r in codes.collect()}
+    recon = {
+        i: np.concatenate([cb[j, c] for j, c in enumerate(code_map[i])])
+        for i in code_map
+    }
+    for (qid, nid), sim in got.items():
+        qv, xh = vecs[qid], recon[nid]
+        want = float(qv @ xh / (np.linalg.norm(qv) * np.linalg.norm(xh)))
+        assert abs(sim - round(want, 6)) < 2e-6, (qid, nid)
+
+
+def test_pq_topk_recall_vs_exact(spark, emb, artifacts):
+    """Recall@5 of the shortlist-50 re-ranked answer vs the exact
+    cosine top-5. 1.0 at sf0.1 under the defaults; pinned at >= 0.9
+    to absorb corpus regeneration."""
+    cb, codes = artifacts
+    q = emb.filter(F.col("vec_id") < 20)
+    exact = {(r.query_id, r.neighbor_id) for r in cosine_topk(q, emb, k=5).collect()}
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in pq_topk(q, emb, k=5, codebooks=cb, codes=codes).collect()
+    }
+    assert len(approx & exact) / len(exact) >= 0.9
+    # the re-ranked scores are EXACT cosines: every overlapping pair
+    # carries the same cos_sim as the brute-force answer
+    ex_sim = {
+        (r.query_id, r.neighbor_id): r.cos_sim
+        for r in cosine_topk(q, emb, k=5).collect()
+    }
+    for r in pq_topk(q, emb, k=5, codebooks=cb, codes=codes).collect():
+        key = (r.query_id, r.neighbor_id)
+        if key in ex_sim:
+            assert r.cos_sim == ex_sim[key]
+
+
+def test_pq_topk_deterministic(emb, artifacts):
+    cb, codes = artifacts
+    q = emb.filter(F.col("vec_id") < 10)
+    a = sorted(map(tuple, pq_topk(q, emb, k=5, codebooks=cb, codes=codes).collect()))
+    b = sorted(map(tuple, pq_topk(q, emb, k=5, codebooks=cb, codes=codes).collect()))
+    assert a == b
+
+
+def test_pq_codes_without_codebooks_refused(emb, artifacts):
+    _, codes = artifacts
+    q = emb.filter(F.col("vec_id") < 5)
+    with pytest.raises(ValueError, match="codebooks"):
+        pq_topk(q, emb, k=5, codes=codes)
+
+
+def test_pq_train_rejects_indivisible_dim(emb):
+    with pytest.raises(ValueError, match="divisible"):
+        pq_train(emb, m=7)
