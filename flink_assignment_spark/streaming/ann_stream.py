@@ -248,3 +248,90 @@ def read_ann_results(spark: SparkSession, state_dir: str, backend=None) -> DataF
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
+
+
+def probe_pq_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    state_dir: str,
+    codebooks,
+    codes: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    shortlist_k: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    backend=None,
+    marker: str = "_applied_batch",
+    run_seq: int = 0,
+) -> None:
+    """Score one micro-batch of query vectors against FROZEN PQ
+    artifacts (codebooks + encoded codes; ``corpus`` supplies the raw
+    vectors for the exact re-rank) with the batch ``pq_topk`` kernel
+    — the third member of the frozen-index probe family next to IVF
+    and LSH, same provenance/replay contract."""
+    from ..operators.similarity import pq_topk
+
+    if batch_id <= applied_batch(state_dir, marker):
+        return
+    backend = backend or DEFAULT_BACKEND
+    out = pq_topk(
+        batch_df,
+        corpus,
+        k,
+        shortlist_k,
+        id_col=id_col,
+        vec_col=vec_col,
+        codebooks=codebooks,
+        codes=codes,
+    ).withColumn("batch_id", F.lit(int(batch_id)).cast("bigint")).withColumn(
+        "run_seq", F.lit(int(run_seq)).cast("bigint")
+    )
+    backend.append(out.coalesce(8), _results_path(state_dir), None)
+    commit_marker(state_dir, batch_id, marker)
+
+
+def pq_probe_stream(
+    queries: DataFrame,
+    state_dir: str,
+    codebooks,
+    codes: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    shortlist_k: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    backend=None,
+    checkpoint: str | None = None,
+):
+    """Start the streaming PQ ANN probe against frozen (codebooks,
+    codes) artifacts; returns the StreamingQuery. Index refresh is
+    the same blue/green swap as the IVF/LSH probes (rebuild with
+    ``pq_train``/``pq_encode``/``save_pq``, restart against the new
+    pair — the stream holds no state to migrate); uncheckpointed
+    restarts get the per-run replay marker and re-scored rows resolve
+    latest-run-wins at read."""
+    run_seq = next_run_seq(state_dir)
+    marker = run_marker(checkpoint)
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        probe_pq_batch(
+            batch_df,
+            batch_id,
+            state_dir,
+            codebooks,
+            codes,
+            corpus,
+            k,
+            shortlist_k,
+            id_col,
+            vec_col,
+            backend,
+            marker,
+            run_seq,
+        )
+
+    w = queries.writeStream.outputMode("append").foreachBatch(_sink)
+    if checkpoint is not None:
+        w = w.option("checkpointLocation", checkpoint)
+    return w.start()

@@ -122,3 +122,44 @@ def test_pq_codes_without_codebooks_refused(emb, artifacts):
 def test_pq_train_rejects_indivisible_dim(emb):
     with pytest.raises(ValueError, match="divisible"):
         pq_train(emb, m=7)
+
+
+def test_pq_stream_probe_matches_batch(spark, emb, artifacts, tmp_path):
+    """The streaming PQ probe (direct merge calls, the other ANN
+    streams' test shape) reproduces batch pq_topk row-for-row against
+    the same frozen artifacts, and a stale redelivery is a marker
+    no-op."""
+    from flink_assignment_spark.streaming.ann_stream import (
+        probe_pq_batch,
+        read_ann_results,
+    )
+
+    cb, codes = artifacts
+    queries = emb.filter(F.col("vec_id") < 12)
+    want = {
+        (r.query_id, r.rank, r.neighbor_id, r.cos_sim)
+        for r in pq_topk(queries, emb, k=5, codebooks=cb, codes=codes).collect()
+    }
+    assert want
+
+    state = str(tmp_path / "pqstate")
+    rows = queries.collect()
+    schema = "vec_id long, embedding array<float>, label int"
+    for b, i in enumerate(range(0, len(rows), 4)):
+        probe_pq_batch(
+            spark.createDataFrame(rows[i : i + 4], schema), b, state, cb, codes, emb, 5
+        )
+    got = {
+        (r.query_id, r.rank, r.neighbor_id, r.cos_sim)
+        for r in read_ann_results(spark, state).collect()
+    }
+    assert got == want
+    # stale redelivery — marker skip, results unchanged
+    probe_pq_batch(
+        spark.createDataFrame(rows[:4], schema), 0, state, cb, codes, emb, 5
+    )
+    again = {
+        (r.query_id, r.rank, r.neighbor_id, r.cos_sim)
+        for r in read_ann_results(spark, state).collect()
+    }
+    assert again == want
