@@ -6431,6 +6431,25 @@ def q132_pq_ann(spark, sf_dir):
 REGISTRY.update({"q132_pq_ann": QuerySpec(q132_pq_ann, None)})
 
 
+def q133_kcenter_coreset(spark, sf_dir):
+    """Greedy k-center coreset selection (Gonzalez 1985 farthest-point
+    traversal; Sener & Savarese 2018's coreset selector) — diversity-
+    based data PRUNING, the complement of the dedup family: the 12
+    most mutually-distant embedding representatives with the covering
+    radius at each pick (non-increasing; final radius is a
+    2-approximation of the optimal). Rows-only: the iterative argmax
+    is not SQL-expressible; pytest pins equality with a numpy
+    reference traversal, determinism, and the radius monotone
+    (tests/test_coreset.py). k corpus passes, one double of per-row
+    state, bounded driver actions only."""
+    from ..operators.coreset import kcenter_select
+
+    return kcenter_select(_t(spark, sf_dir, "embeddings"), 12)
+
+
+REGISTRY.update({"q133_kcenter_coreset": QuerySpec(q133_kcenter_coreset, None)})
+
+
 # ------------------------------------------------------------------------
 # Registry ordering contract: the driver's correctness harness records
 # at most 50 entries per round, in registry order — so the order IS the
