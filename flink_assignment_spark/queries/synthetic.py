@@ -6469,38 +6469,10 @@ def q134_distribution_drift(spark, sf_dir):
     discipline): the cross products overflow int64 near ~3e9 rows per
     half, silently under non-ANSI Spark. One groupBy + one tiny window
     over the category-cardinality frame."""
+    from ..operators.drift import tv_report, window_counts
+
     ev = _t(spark, sf_dir, "events")
-    cutoff = F.lit(DRIFT_CUTOFF).cast("timestamp")
-    counts = ev.groupBy("event_type").agg(
-        F.sum((F.col("ts") < cutoff).cast("long")).alias("n_first"),
-        F.sum((F.col("ts") >= cutoff).cast("long")).alias("n_second"),
-    )
-    dec = "decimal(38,0)"
-    w = Window.partitionBy()
-    d = (
-        counts.withColumn("t1", F.sum("n_first").over(w).cast(dec))
-        .withColumn("t2", F.sum("n_second").over(w).cast(dec))
-        .withColumn(
-            "drift_num",
-            F.abs(
-                F.col("n_first").cast(dec) * F.col("t2")
-                - F.col("n_second").cast(dec) * F.col("t1")
-            ),
-        )
-    )
-    return d.select(
-        "event_type",
-        "n_first",
-        "n_second",
-        # the category's share delta in exact integer ppm
-        F.expr("(1000000 * drift_num) div (t1 * t2)")
-        .cast("long")
-        .alias("delta_ppm"),
-        # corpus-level TV distance in ppm, identical on every row
-        F.expr("(1000000 * sum(drift_num) over ()) div (2 * t1 * t2)")
-        .cast("long")
-        .alias("tv_ppm"),
-    )
+    return tv_report(window_counts(ev, DRIFT_CUTOFF))
 
 
 Q134_SQL = f"""
