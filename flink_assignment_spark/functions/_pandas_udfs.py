@@ -470,18 +470,3 @@ def make_pq_adc_scorer(codebooks, query_blocks, k):
             yield out[np.isfinite(out["adc_sim"].to_numpy())]
 
     return score
-
-
-def make_center_d2_udf(center):
-    """Squared L2 distance of each vector to a closure-shipped center
-    — one numpy pass per Arrow batch (the k-center greedy round's
-    min-distance fold)."""
-    c = np.asarray(center, dtype=np.float64)
-
-    @pandas_udf("double")
-    def d2(v: pd.Series) -> pd.Series:
-        V = np.stack(v.values).astype(np.float64)
-        d = V - c[None, :]
-        return pd.Series((d * d).sum(axis=1))
-
-    return d2

@@ -22,7 +22,9 @@ def _numpy_greedy(ids, mat, k):
     out = [(int(ids[0]), 1, None)]
     for rank in range(2, k + 1):
         c = mat[chosen[-1]]
-        d2 = np.minimum(d2, ((mat - c[None, :]) ** 2).sum(axis=1))
+        # left-associated fold (cumsum) — bit-identical to the
+        # engine's flat expression tree, the repo's in-order-fold rule
+        d2 = np.minimum(d2, np.cumsum((mat - c[None, :]) ** 2, axis=1)[:, -1])
         d2[chosen] = -1.0
         best = int(np.lexsort((ids, -d2))[0])
         if d2[best] <= 0:
