@@ -1006,6 +1006,61 @@ def linkage_sweep(spark, scales: list[int], reps: int = 3) -> dict:
     return out
 
 
+
+def pq_sweep(spark, scales: list[int], reps: int = 3) -> dict:
+    """PQ ANN scaling points on the synthetic embedding corpus: encode
+    cost, ADC shortlist probe cost (20 queries against the compressed
+    codes), exact-re-rank end-to-end cost, and recall@5 vs the exact
+    blocked top-k. The claim under measurement: probe cost scales with
+    the CODE scan (16 bytes/vector), not the float corpus, while the
+    exact phase stays |Q| x shortlist."""
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from flink_assignment_spark.operators.similarity import (
+        cosine_topk,
+        pq_encode,
+        pq_probe,
+        pq_topk,
+        pq_train,
+    )
+
+    out = {}
+    for n in scales:
+        path = f"/tmp/fas_embscale_{n}"
+        ensure_embeddings(spark, n, path)
+        emb = spark.read.parquet(path)
+        q = emb.filter(F.col("vec_id") < 20)
+        t0 = _t.time()
+        cb = pq_train(emb)
+        train_s = _t.time() - t0
+        t0 = _t.time()
+        codes = pq_encode(emb, cb).persist()
+        codes.count()
+        encode_s = _t.time() - t0
+        probe_s, e2e_s = [], []
+        for _ in range(reps):
+            t0 = _t.time()
+            pq_probe(q, cb, codes, 50).count()
+            probe_s.append(_t.time() - t0)
+            t0 = _t.time()
+            approx = pq_topk(q, emb, k=5, codebooks=cb, codes=codes)
+            got = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+            e2e_s.append(_t.time() - t0)
+        exact = {(r.query_id, r.neighbor_id) for r in cosine_topk(q, emb, k=5).collect()}
+        out[n] = {
+            "train_s": round(train_s, 2),
+            "encode_s": round(encode_s, 2),
+            "adc_probe_s": round(sorted(probe_s)[len(probe_s) // 2], 2),
+            "e2e_s": round(sorted(e2e_s)[len(e2e_s) // 2], 2),
+            "recall_at_5": round(len(got & exact) / len(exact), 3),
+        }
+        codes.unpersist()
+        print(f"  pq n={n}: {out[n]}", flush=True)
+    return out
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument(
@@ -1129,6 +1184,11 @@ def main() -> None:
         help="run ONLY the FastSS fuzzy-linkage scaling points at "
         "each N_NAMES (variant equi-join + levenshtein verify)",
     )
+    ap.add_argument(
+        "--pq", type=int, nargs="+", metavar="N_VECS",
+        help="run ONLY the PQ ANN scaling points at each N_VECS "
+        "(train/encode/ADC-probe/e2e + recall@5 vs exact)",
+    )
     args = ap.parse_args()
 
     from flink_assignment_spark.queries.synthetic import REGISTRY  # noqa: F401
@@ -1136,6 +1196,16 @@ def main() -> None:
 
     spark = get_spark("fas-bench-scaling")
 
+    if args.pq:
+        print(
+            json.dumps(
+                {
+                    "metric": "PQ ANN scaling points",
+                    "sweep": pq_sweep(spark, args.pq, reps=args.reps),
+                }
+            )
+        )
+        return
     if args.linkage:
         print(
             json.dumps(
