@@ -6502,6 +6502,35 @@ REGISTRY.update(
 )
 
 
+def q135_bpe_merges(spark, sf_dir):
+    """Distributed BPE merge TRAINING (Sennrich et al. 2016) — the
+    tokenizer-training half next to the registry's application-side
+    statistics (q57/q114/q120): six character-level merge rules
+    learned corpus-wide, each round one pair-count aggregate (the q53
+    bigram shape) + a bounded top-1 driver action + a narrow
+    higher-order-function rewrite of every sequence under the new
+    rule. Trains on a bounded DETERMINISTIC sample (salted-hash keep
+    rate ~20% — repartition-invariant, identical every run): merge
+    statistics are frequency ratios, so a sample trains the same
+    rules a full pass would, which is how production BPE trainers
+    bound their cost (the ivf_train sample philosophy; the operator
+    itself is exact over whatever corpus it is given). Rows-only: the
+    iterative argmax is not SQL-expressible; pytest pins exact
+    equality with a pure-Python reference trainer over the full
+    sf0.001 corpus, greedy non-overlapping application, and
+    determinism (tests/test_bpe.py)."""
+    from ..operators.bpe import bpe_merges_df
+    from ..operators.sampling import uniform_from_key
+
+    docs = _t(spark, sf_dir, "documents").filter(
+        uniform_from_key(F.col("doc_id"), "bpe") < 0.2
+    )
+    return bpe_merges_df(docs, 6)
+
+
+REGISTRY.update({"q135_bpe_merges": QuerySpec(q135_bpe_merges, None)})
+
+
 # ------------------------------------------------------------------------
 # Registry ordering contract: the driver's correctness harness records
 # at most 50 entries per round, in registry order — so the order IS the
