@@ -11,11 +11,12 @@ The distributed shape per round:
   (map-side partial counts; the q53 bigram shape), then a bounded
   top-1 driver action (count desc, pair asc — a total order, so the
   winning rule is engine- and partitioning-independent).
-- REWRITE — a narrow higher-order-function fold per row
-  (``aggregate``: greedy LEFTMOST non-overlapping application of the
-  one new rule), no shuffle, no Python. The k rounds each persist
-  their rewritten frame and release the predecessor, so lineage
-  stays flat (the k-center loop's discipline).
+- REWRITE — a narrow per-row pass applying the one new rule
+  (greedy LEFTMOST non-overlapping — one linear literal string
+  replace, see :func:`_merge_rule`), no shuffle, no Python. The k
+  rounds each persist their rewritten frame and release the
+  predecessor, so lineage stays flat (the k-center loop's
+  discipline).
 
 k full corpus passes is the honest cost of exact BPE — production
 trainers batch candidate rules or sample; both compose with this
@@ -41,23 +42,27 @@ def _merge_rule(tk: Column, left: str, right: str) -> Column:
     so "aaa" under (a,a) becomes [aa, a], exactly the BPE application
     rule.
 
-    Implemented as ONE literal string replace over the SEP-prefixed
-    join of the symbols (every symbol is prefixed by the delimiter, so
-    the pattern SEP+left+SEP+right matches exactly an adjacent symbol
-    pair, and literal ``replace`` scans left-to-right non-overlapping,
-    continuing AFTER each substitution — the fold semantics). The
-    first implementation was an ``aggregate`` HOF fold, which copies
-    the accumulator array per element — O(len²) per row, 90 s per
-    6-merge training run at sf0.1 vs ~3 s for this linear form.
-    Symbols must not contain SEP (the trainer strips it from input)."""
-    s = F.concat(F.lit(_SEP), F.concat_ws(_SEP, tk))
+    Implemented as ONE literal string replace over the join in which
+    EVERY symbol carries its own enclosing delimiters
+    (SEP s1 SEP SEP s2 SEP ...): the pattern SEP+l+SEP+SEP+r+SEP can
+    only match symbols that END at a boundary — a single-delimiter
+    join let the right side match as a PREFIX of a longer symbol
+    (rule (e, ' ') merged into a neighboring ' s'), and adjacent pair
+    occurrences keep their own boundaries, so left-to-right
+    non-overlapping ``replace`` with continuation after each
+    substitution is exactly the fold semantics. The first
+    implementation was an ``aggregate`` HOF fold, which copies the
+    accumulator array per element — O(len²) per row, 90 s per 6-merge
+    training run at sf0.1 vs ~3 s for this linear form. Symbols must
+    not contain SEP (the trainer strips it from input)."""
+    s = F.concat(F.lit(_SEP), F.concat_ws(_SEP + _SEP, tk), F.lit(_SEP))
     s2 = F.replace(
-        s, F.lit(_SEP + left + _SEP + right), F.lit(_SEP + left + right)
+        s,
+        F.lit(_SEP + left + _SEP + _SEP + right + _SEP),
+        F.lit(_SEP + left + right + _SEP),
     )
-    arr = F.split(s2, _SEP)
-    return F.when(F.size(tk) == 0, tk).otherwise(
-        F.slice(arr, 2, F.greatest(F.size(arr) - 1, F.lit(0)))
-    )
+    core = F.substring(s2, F.lit(2), F.length(s2) - 2)
+    return F.when(F.size(tk) == 0, tk).otherwise(F.split(core, _SEP + _SEP))
 
 
 def bpe_train_merges(
@@ -125,3 +130,28 @@ def bpe_merges_df(
     return docs.sparkSession.createDataFrame(
         merges, "rank int, left string, right string, pair_count long"
     )
+
+
+def bpe_apply(
+    merges: list[tuple[int, str, str, int]] | DataFrame,
+    text_col: str = "text",
+    lowercase: bool = True,
+) -> Column:
+    """Tokenize ``text_col`` under a FROZEN merge table — the APPLY
+    half of the train/apply split (BM25's frozen-stats scorer, IVF's
+    frozen centroids): rules apply in rank order, each as the same
+    greedy leftmost non-overlapping pass the trainer used, so applying
+    the learned rules to the training corpus reproduces the trainer's
+    final symbol state exactly. Returns the symbol-array COLUMN
+    (compose with size()/explode as needed); linear per rule — k
+    literal replaces, no Python, deployable unchanged on a stream."""
+    if isinstance(merges, DataFrame):
+        merges = [
+            (r["rank"], r["left"], r["right"], r["pair_count"])
+            for r in merges.collect()
+        ]
+    txt = F.lower(F.col(text_col)) if lowercase else F.col(text_col)
+    tk = F.split(F.translate(txt, _SEP, ""), "")
+    for _, left, right, _ in sorted(merges, key=lambda m: m[0]):
+        tk = _merge_rule(tk, left, right)
+    return tk

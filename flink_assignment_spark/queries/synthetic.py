@@ -6531,6 +6531,51 @@ def q135_bpe_merges(spark, sf_dir):
 REGISTRY.update({"q135_bpe_merges": QuerySpec(q135_bpe_merges, None)})
 
 
+# Per-(session, corpus) memo of the learned BPE merge table — the
+# frozen tokenizer artifact q135 trains and q136 applies (plain
+# python list, clearCache-immune like _IVF_MEMO's numpy artifact).
+_BPE_MEMO: dict[tuple[str, str], list] = {}
+
+
+def _shared_bpe_merges(spark: SparkSession, sf_dir: str) -> list:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    m = _BPE_MEMO.get(key)
+    if m is None:
+        from ..operators.bpe import bpe_train_merges
+        from ..operators.sampling import uniform_from_key
+
+        docs = _t(spark, sf_dir, "documents").filter(
+            uniform_from_key(F.col("doc_id"), "bpe") < 0.2
+        )
+        m = bpe_train_merges(docs, 6)
+        _BPE_MEMO[key] = m
+    return m
+
+
+def q136_bpe_tokenize(spark, sf_dir):
+    """The APPLY half of BPE (q135 trains, this tokenizes): every
+    document segmented under the frozen learned merge table — rank-
+    ordered greedy rule application, k linear literal replaces, no
+    Python — reporting chars in, symbols out, and the compression the
+    learned rules bought. Rows-only: the merge table is a trained
+    artifact (driver-collected list), not SQL-derivable; pytest pins
+    apply == the pure-Python reference application and the exact
+    per-rule symbol-count accounting (tests/test_bpe.py)."""
+    from ..operators.bpe import bpe_apply
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = _shared_bpe_merges(spark, sf_dir)
+    tk = bpe_apply(merges)
+    return docs.select(
+        "doc_id",
+        F.length(F.lower(F.col("text"))).alias("n_chars"),
+        F.size(tk).alias("n_symbols"),
+    )
+
+
+REGISTRY.update({"q136_bpe_tokenize": QuerySpec(q136_bpe_tokenize, None)})
+
+
 # ------------------------------------------------------------------------
 # Registry ordering contract: the driver's correctness harness records
 # at most 50 entries per round, in registry order — so the order IS the

@@ -82,3 +82,61 @@ def test_bpe_merges_df_shape_and_determinism(spark):
     # pair counts need not be monotone (a merge can CREATE a popular
     # pair), but every promoted rule occurred at least twice
     assert all(c >= 2 for c in counts)
+
+
+def test_bpe_apply_matches_python_reference(spark):
+    """Applying the learned merge table reproduces the reference
+    application symbol-for-symbol, and re-applying to the TRAIN
+    corpus reproduces the trainer's final state (symbol counts
+    shrink by exactly the greedy merge applications)."""
+    from flink_assignment_spark.operators.bpe import bpe_apply
+
+    docs = load_table(spark, SF_DIR, "documents").limit(50)
+    texts = {r.doc_id: r.text for r in docs.select("doc_id", "text").collect()}
+    merges = bpe_train_merges(docs, 5)
+    tk = bpe_apply(merges)
+    got = {
+        r.doc_id: r.syms
+        for r in docs.select("doc_id", tk.alias("syms")).collect()
+    }
+
+    def apply_ref(text):
+        s = list(text.lower())
+        for _, l, r, _ in merges:
+            acc = []
+            for x in s:
+                if acc and acc[-1] == l and x == r:
+                    acc[-1] = l + r
+                else:
+                    acc.append(x)
+            s = acc
+        return s
+
+    for did, text in texts.items():
+        assert got[did] == apply_ref(text), did
+        # round-trip: concatenating symbols recovers the text
+        assert "".join(got[did]) == text.lower(), did
+
+
+def test_q136_compression_accounting(spark):
+    """q136's (n_chars, n_symbols) per doc: symbols never exceed
+    chars, and the learned rules compress the corpus overall."""
+    from flink_assignment_spark.queries.synthetic import REGISTRY
+
+    rows = REGISTRY["q136_bpe_tokenize"].spark(spark, SF_DIR).collect()
+    assert len(rows) == 500
+    assert all(r.n_symbols <= r.n_chars for r in rows)
+    assert sum(r.n_symbols for r in rows) < sum(r.n_chars for r in rows)
+
+
+def test_merge_rule_right_symbol_must_match_whole(spark):
+    """Regression: with single-sided delimiters, rule (e, ' ') merged
+    into a neighboring MULTI-CHAR symbol ' s' because ' ' matched as
+    its prefix — the boundary-enclosed join must require the right
+    symbol to end at a delimiter."""
+    df = spark.createDataFrame([Row(tk=["l", "e", " s", "c"])])
+    (got,) = df.select(_merge_rule(F.col("tk"), "e", " ").alias("m")).collect()
+    assert got.m == ["l", "e", " s", "c"]  # nothing merges
+    df2 = spark.createDataFrame([Row(tk=["l", "e", " ", "c"])])
+    (got2,) = df2.select(_merge_rule(F.col("tk"), "e", " ").alias("m")).collect()
+    assert got2.m == ["l", "e ", "c"]  # the exact symbol does
