@@ -187,6 +187,12 @@ def temperature_targets(
     # folding it in as a literal keeps the plan free of single-row
     # nested-loop cross joins
     total = weighted.agg(F.sum("w")).collect()[0][0]
+    if not total:  # sum over zero rows is NULL; 0 can't divide either
+        raise ValueError(
+            "temperature sampling over an empty corpus — no groups to "
+            "derive targets from (matching kcenter_select's empty-corpus "
+            "contract)"
+        )
     return weighted.select(
         group,
         "n",

@@ -96,10 +96,16 @@ def scd2_intervals(
     latest-per-key compaction (q48) and the two-snapshot diff (q70).
     """
     ordw = Window.partitionBy(key_col).orderBy(F.asc(ts_col), F.asc(tie_col))
+    # change detection must be NULL-SAFE: a changelog transition to a
+    # NULL attribute value must open a new (NULL-state) interval, not
+    # be absorbed into the prior run. lag(attr) is NULL both on the
+    # first row and after a NULL value, so first-row detection rides a
+    # separate lag over a constant.
     runs = (
         events.withColumn("__prev", F.lag(attr_col).over(ordw))
+        .withColumn("__first", F.lag(F.lit(1)).over(ordw).isNull())
         .filter(
-            F.col("__prev").isNull() | (F.col("__prev") != F.col(attr_col))
+            F.col("__first") | ~F.col("__prev").eqNullSafe(F.col(attr_col))
         )
         .select(
             F.col(key_col).alias("key"),

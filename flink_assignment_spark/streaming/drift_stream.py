@@ -127,7 +127,26 @@ def incremental_drift(
     backend=None,
     checkpoint: str | None = None,
 ):
-    """Start the drift-monitoring query; returns the StreamingQuery."""
+    """Start the drift-monitoring query; returns the StreamingQuery.
+
+    Restart contract (the scd2/gapfill ``require_restart_checkpoint``
+    class): the applied-batch marker lives in the counts meta and is
+    correct only while batch ids keep increasing. An uncheckpointed
+    restart resets batch ids to 0, so every batch ≤ the stale marker
+    would be silently skipped — events lost from the cumulative counts
+    with no error. Refuse it; a fresh state dir or a checkpoint is
+    required.
+    """
+    if checkpoint is None and _applied_batch(
+        _counts_path(state_dir), backend or DEFAULT_BACKEND
+    ) >= 0:
+        raise ValueError(
+            f"state dir {state_dir!r} holds a previous run's applied-batch "
+            "marker (counts meta); restarting without a checkpoint would "
+            "reset batch ids to 0 and silently skip every batch the marker "
+            "already covers — pass checkpoint= (resumes source offsets) or "
+            "use a fresh state dir"
+        )
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         merge_drift_batch(

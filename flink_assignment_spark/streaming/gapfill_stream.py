@@ -141,8 +141,13 @@ def merge_gapfill_batch(
         )
     else:
         obs2 = (
+            # f_value must carry the observation's value type: a
+            # hardcoded double would coerce the first batch's
+            # filled_value (schema drift vs later batches, which
+            # inherit the state's last_value type) or fail analysis
+            # for non-numeric values
             obs.withColumn("f_bucket", F.lit(None).cast(obs.schema["bucket_ts"].dataType))
-            .withColumn("f_value", F.lit(None).cast("double"))
+            .withColumn("f_value", F.lit(None).cast(obs.schema["value"].dataType))
             .withColumn("f_as_of", F.lit(None).cast("bigint"))
         )
     spans = obs2.groupBy("key", "hb", "f_bucket", "f_value").agg(

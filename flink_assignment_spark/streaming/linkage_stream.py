@@ -42,7 +42,12 @@ from pyspark.sql import functions as F
 
 from ..functions.text import hash60
 from ..operators.linkage import deletion_variants
-from ._state import DEFAULT_BACKEND, applied_batch, commit_marker
+from ._state import (
+    DEFAULT_BACKEND,
+    applied_batch,
+    commit_marker,
+    require_restart_checkpoint,
+)
 
 N_BUCKETS = 64
 
@@ -189,7 +194,15 @@ def incremental_linkage(
     backend=None,
     checkpoint: str | None = None,
 ):
-    """Start the linkage query; returns the StreamingQuery."""
+    """Start the linkage query; returns the StreamingQuery.
+
+    The variant-index fold is insert-only (convergent) but NOT
+    reprocessable under reset batch ids — an uncheckpointed restart
+    over existing state would skip every batch ≤ the stale marker,
+    silently dropping records from the index and the pair output — so
+    a restart requires a checkpoint, like scd2/gapfill.
+    """
+    require_restart_checkpoint(state_dir, checkpoint)
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         merge_linkage_batch(batch_df, batch_id, state_dir, id_col, name_col, backend)

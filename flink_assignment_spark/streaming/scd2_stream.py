@@ -100,10 +100,15 @@ def merge_scd2_batch(
     )
     # in-batch run collapse — the same lag shape as the batch operator
     ordw = Window.partitionBy("key").orderBy(F.asc("valid_from"), F.asc("tie"))
+    # null-safe, like the batch operator: a transition TO a NULL state
+    # opens a new interval; NULL→NULL is no change. First-row
+    # detection rides a constant lag because lag(state) is NULL both
+    # on the first row and after a NULL value.
     runs = (
         ev.withColumn("__prev", F.lag("state").over(ordw))
-        .filter(F.col("__prev").isNull() | (F.col("__prev") != F.col("state")))
-        .drop("__prev")
+        .withColumn("__first", F.lag(F.lit(1)).over(ordw).isNull())
+        .filter(F.col("__first") | ~F.col("__prev").eqNullSafe(F.col("state")))
+        .drop("__prev", "__first")
         .withColumn("bucket", _bucket(F.col("key")))
     ).cache()
     if runs.count() == 0:
@@ -142,14 +147,21 @@ def merge_scd2_batch(
             .withColumn("cur_from", F.lit(None).cast(keyed.schema["valid_from"].dataType))
             .withColumn("cur_version", F.lit(None).cast("bigint"))
         )
-    # merged: the batch's first run continues the open interval
-    merged = (F.col("ridx") == 1) & (F.col("cur_state") == F.col("state"))
+    # merged: the batch's first run continues the open interval.
+    # cur_state can be legitimately NULL on an OPEN row (a NULL-state
+    # interval), so "has an open row" keys off cur_version (never NULL
+    # on an open row) and the state compare is null-safe.
+    merged = (
+        (F.col("ridx") == 1)
+        & F.col("cur_version").isNotNull()
+        & F.col("cur_state").eqNullSafe(F.col("state"))
+    )
     run_links = keyed.filter(~F.coalesce(merged, F.lit(False))).select(
         "key", "bucket", "state", "valid_from", "tie", "cur_version"
     )
     base_links = (
         keyed.filter(F.col("ridx") == 1)
-        .filter(F.col("cur_state").isNotNull())
+        .filter(F.col("cur_version").isNotNull())
         .select(
             "key",
             "bucket",

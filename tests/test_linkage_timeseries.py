@@ -263,3 +263,44 @@ def test_temperature_sample_quotas_and_determinism(spark):
     assert per_lang == {k: v for k, v in tgt.items() if v > 0}
     again = out.select("doc_id", "lang", "rnk").collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_scd2_null_state_opens_interval(spark):
+    """A changelog transition TO a NULL attribute value opens a new
+    (NULL-state) interval instead of being absorbed into the prior
+    run, and NULL→NULL is a no-change continuation (the r13-ADVICE
+    null-unsafe-inequality class)."""
+    import datetime as dt
+
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)
+    rows = [
+        (1, t(0), 7, "A", 0.0, None),
+        (2, t(1), 7, None, 0.0, None),
+        (3, t(2), 7, None, 0.0, None),  # NULL→NULL: same run
+        (4, t(3), 7, "A", 0.0, None),
+        (5, t(0), 8, None, 0.0, None),  # first row already NULL
+        (6, t(1), 8, "B", 0.0, None),
+    ]
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    ev = spark.createDataFrame(rows, schema)
+    out = sorted(
+        scd2_intervals(ev, "user_id", "event_type", "ts", "event_id").collect(),
+        key=lambda r: (r.key, r.version),
+    )
+    got = [(r.key, r.state, r.valid_from, r.valid_to, r.version) for r in out]
+    assert got == [
+        (7, "A", t(0), t(1), 1),
+        (7, None, t(1), t(3), 2),
+        (7, "A", t(3), None, 3),
+        (8, None, t(0), t(1), 1),
+        (8, "B", t(1), None, 2),
+    ]
+
+
+def test_temperature_targets_empty_corpus_raises(spark):
+    docs = load_table(spark, SF_DIR, "documents").filter(F.lit(False))
+    with pytest.raises(ValueError, match="empty corpus"):
+        temperature_targets(docs, "lang", 300)

@@ -59,3 +59,18 @@ def test_drift_trajectory_one_row_per_batch(spark, tmp_path):
     # (not a division error, not fake 100% drift); later ones report
     assert traj[0][1] is None
     assert traj[-1][1] is not None and traj[-1][1] >= 0
+
+
+def test_drift_uncheckpointed_restart_refused(spark, tmp_path):
+    """The counts-meta applied-batch marker is only valid while batch
+    ids keep increasing; an uncheckpointed restart over existing drift
+    state must be refused at construction."""
+    import pytest
+
+    from flink_assignment_spark.streaming.drift_stream import incremental_drift
+
+    state = tmp_path / "drift"
+    _replay(spark, state, n_batches=1)
+    dummy = spark.createDataFrame([], SCHEMA)
+    with pytest.raises(ValueError, match="applied-batch"):
+        incremental_drift(dummy, str(state), DRIFT_CUTOFF)

@@ -151,3 +151,36 @@ def test_gapfill_bucket_spanning_batches_latest_wins(spark, tmp_path):
     )
     rows = sorted(_stream_rows(spark, state), key=lambda r: r[1])
     assert [(r[2], r[3]) for r in rows] == [(8.0, 1), (8.0, 0), (3.0, 1)]
+
+
+def test_gapfill_first_batch_value_type_preserved(spark, tmp_path):
+    """The no-prior-state branch must carry the observation's value
+    type into f_value: a bigint value column stays bigint in the
+    emitted series across the fresh-state and from-state batches (no
+    double coercion / schema drift, the r13-ADVICE cast bug)."""
+    import datetime as dt
+
+    schema = "event_id long, ts timestamp, user_id long, val long"
+    t = lambda h: dt.datetime(2024, 1, 1, h)
+    state = tmp_path / "gf"
+    merge_gapfill_batch(
+        spark.createDataFrame([(1, t(0), 5, 10), (2, t(2), 5, 12)], schema),
+        0,
+        str(state),
+        value_col="val",
+    )
+    merge_gapfill_batch(
+        spark.createDataFrame([(3, t(5), 5, 20)], schema),
+        1,
+        str(state),
+        value_col="val",
+    )
+    filled = read_filled(spark, str(state))
+    assert filled.schema["filled_value"].dataType.simpleString() == "bigint"
+    got = {
+        (r.bucket_ts.hour, r.filled_value, r.is_observed) for r in filled.collect()
+    }
+    assert got == {
+        (0, 10, 1), (1, 10, 0), (2, 12, 1),
+        (3, 12, 0), (4, 12, 0), (5, 20, 1),
+    }

@@ -110,3 +110,20 @@ def test_linkage_compaction_preserves_pairs(spark, tmp_path):
     after = _stream_pairs(spark, state)
     assert before < after
     assert (1, 990001, 0) in after  # exact-name match against old record
+
+
+def test_linkage_uncheckpointed_restart_refused(spark, tmp_path):
+    """The variant-index fold is convergent but not reprocessable: an
+    uncheckpointed restart over marked state must be refused at
+    construction (the r13-ADVICE silent-data-loss class)."""
+    import pytest
+
+    from flink_assignment_spark.streaming._state import commit_marker
+    from flink_assignment_spark.streaming.linkage_stream import incremental_linkage
+
+    state_dir = str(tmp_path / "state")
+    os.makedirs(state_dir, exist_ok=True)
+    commit_marker(state_dir, 2)
+    dummy = spark.createDataFrame([(1, "a")], SCHEMA)
+    with pytest.raises(ValueError, match="applied-batch"):
+        incremental_linkage(dummy, state_dir)

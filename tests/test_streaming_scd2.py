@@ -123,3 +123,36 @@ def test_scd2_versions_contiguous_and_single_current(spark, tmp_path):
         for a, b in zip(rs, rs[1:]):
             assert a.valid_to == b.valid_from
             assert a.state != b.state
+
+
+def test_scd2_stream_null_state_matches_batch(spark, tmp_path):
+    """NULL-state transitions across a batch boundary: the stream's
+    null-safe run collapse and merge check must agree with the batch
+    operator (NULL opens an interval; NULL→NULL continues one — even
+    when the continuation arrives in a later batch)."""
+    import datetime as dt
+
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    b0 = [
+        (1, t(0), 7, "A", 0.0, None),
+        (2, t(1), 7, None, 0.0, None),  # open NULL interval at batch end
+        (5, t(0), 8, None, 0.0, None),
+    ]
+    b1 = [
+        (3, t(2), 7, None, 0.0, None),  # NULL→NULL across the boundary
+        (4, t(3), 7, "A", 0.0, None),
+        (6, t(1), 8, "B", 0.0, None),
+    ]
+    state = tmp_path / "scd2null"
+    merge_scd2_batch(spark.createDataFrame(b0, schema), 0, str(state))
+    merge_scd2_batch(spark.createDataFrame(b1, schema), 1, str(state))
+    ev = spark.createDataFrame(b0 + b1, schema)
+    want = {
+        (r.key, r.state, r.valid_from, r.valid_to, r.version, r.is_current)
+        for r in scd2_intervals(ev, "user_id", "event_type", "ts", "event_id").collect()
+    }
+    assert _stream_rows(spark, state) == want
