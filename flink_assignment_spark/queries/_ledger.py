@@ -20,10 +20,18 @@ external correctness window. Two inputs decide it:
    :func:`query_source_hash`) is snapshotted in
    ``tools/query_source_hashes.json`` when the query last went
    driver-green; at registry build, any query whose CURRENT hash
-   differs is treated as needs-green and force-included at the front
-   of the window. ``tools/update_query_hashes.py`` refreshes the
-   snapshot — run it at round start, before editing, so the recorded
-   hashes are exactly the tree the latest CORRECTNESS file tested.
+   differs is treated as needs-green and force-included into the
+   window. The snapshot refreshes AUTOMATICALLY on the first registry
+   import after a new CORRECTNESS round lands
+   (:func:`refresh_snapshot_if_new_round`);
+   ``tools/update_query_hashes.py`` remains as the manual
+   seed/override.
+
+A third guard, the STALE-QUOTA floor (:func:`rotated_order`): up to
+``STALE_QUOTA`` of the stalest previously-green queries are placed
+BEFORE the changed-code force-includes, so a round that touches a
+widely-imported kernel cannot crowd the oldest external
+verifications out of the driver's 50-slot truncation.
 
 Both readers degrade safely: no CORRECTNESS files → empty ledger
 (every oracle query sorts as needs-green); no snapshot → nothing is
@@ -256,6 +264,56 @@ def load_snapshot(path: str | None = None) -> dict[str, dict]:
         return {}
 
 
+def refresh_snapshot_if_new_round(
+    registry,
+    path: str | None = None,
+    repo_root: str | None = None,
+) -> bool:
+    """Mechanized round-start snapshot refresh (r13 judge ask #2: the
+    manual ``tools/update_query_hashes.py`` step was forgettable, and
+    forgetting it re-forced ~30 just-greened queries, crowding the
+    stalest rows out of the window).
+
+    Trigger: a ``CORRECTNESS_r*.json`` round NEWER than any round
+    recorded in the snapshot has landed — i.e. the driver verified the
+    committed tree since the snapshot was last taken. Then every
+    entry's (round, hash) is re-recorded against the current tree and
+    the snapshot is rewritten atomically. Fires at most once per round
+    (afterwards the snapshot's max round equals the ledger's).
+
+    The refresh assumes it runs BEFORE the round's edits — true in
+    practice because the registry is imported by every test/bench run
+    and the first one happens at round start. If an edit does sneak in
+    first, the affected queries silently skip one force-include round;
+    the stale-quota floor and the exhaustive per-CI pytest oracle sweep
+    bound the damage, and the next code drift re-forces them.
+    """
+    path = path or SNAPSHOT_PATH
+    snap = load_snapshot(path)
+    if not snap:
+        return False  # no snapshot to refresh — the tool seeds it
+    snap_max = max((v.get("round") or -1) for v in snap.values())
+    lg = derive_last_green(repo_root)
+    if not lg or max(lg.values()) <= snap_max:
+        return False
+    fresh = {
+        name: {
+            "round": lg.get(name),
+            "hash": query_source_hash(spec.spark, spec.oracle),
+        }
+        for name, spec in registry.items()
+    }
+    tmp = path + ".tmp"
+    try:
+        with open(tmp, "w") as f:
+            json.dump(fresh, f, indent=1, sort_keys=True)
+            f.write("\n")
+        os.replace(tmp, path)
+    except OSError:
+        return False  # read-only checkout: degrade to the manual tool
+    return True
+
+
 def changed_queries(registry, snapshot: dict[str, dict] | None = None) -> set[str]:
     """Names whose CURRENT implementation hash differs from the
     snapshot taken at their last driver-green round — these are
@@ -279,11 +337,15 @@ def changed_queries(registry, snapshot: dict[str, dict] | None = None) -> set[st
     return changed
 
 
+STALE_QUOTA = 10
+
+
 def rotated_order(
     registry,
     last_green: dict[str, int],
     reference_window: list[str],
     forced: set[str] = frozenset(),
+    stale_quota: int = STALE_QUOTA,
 ) -> list[str]:
     """Registry-order layout of the driver window (pure function — the
     rotation is pinned by tests/test_state_and_guards.py). The driver
@@ -293,26 +355,32 @@ def rotated_order(
 
       [0, len(reference_window))  the reference-parity band, never
                                   rotated out
-      next   oracle queries with no green driver row OR whose code
-             changed since their last green row (``forced``) —
-             NEVER-GREEN first (they have no external verification at
-             all; a forced query was green last round and pytest
-             re-verifies its current code), each sub-band by name
-      fill   previously-green oracle queries, STALEST last-green round
-             first (then by name)
+      next   oracle queries with NO green driver row ever — they have
+             no external verification at all, nothing may crowd them
+             out; by name
+      next   the STALE-QUOTA band: up to ``stale_quota`` of the
+             stalest previously-green, un-forced queries. Reserved
+             BEFORE the force-includes (r13 judge ask): a round that
+             touches a widely-imported kernel can force ~30 queries,
+             and without the floor the stalest rows (q92/q95–q99 sat
+             at last-green r7 for six rounds) never fit the 50-slot
+             truncation. Ten slots of re-confirmation is the rotation
+             actually rotating.
+      next   ``forced`` — previously-green queries whose code changed
+             since their green round (green history says nothing about
+             the code as it stands now); by name
+      fill   remaining previously-green oracle queries, STALEST
+             last-green round first (then by name)
       tail   rows-only queries
     """
-    needs_green = sorted(
-        (
-            n
-            for n, s in registry.items()
-            if s.oracle is not None
-            and n not in reference_window
-            and (n not in last_green or n in forced)
-        ),
-        key=lambda n: (n in last_green, n),
+    never_green = sorted(
+        n
+        for n, s in registry.items()
+        if s.oracle is not None
+        and n not in reference_window
+        and n not in last_green
     )
-    fill = sorted(
+    prev_green = sorted(
         (
             n
             for n, s in registry.items()
@@ -323,5 +391,22 @@ def rotated_order(
         ),
         key=lambda n: (last_green[n], n),
     )
+    stale_band = prev_green[:stale_quota]
+    fill = prev_green[stale_quota:]
+    forced_band = sorted(
+        n
+        for n, s in registry.items()
+        if s.oracle is not None
+        and n in last_green
+        and n in forced
+        and n not in reference_window
+    )
     rows_only = [n for n, s in registry.items() if s.oracle is None]
-    return list(reference_window) + needs_green + fill + rows_only
+    return (
+        list(reference_window)
+        + never_green
+        + stale_band
+        + forced_band
+        + fill
+        + rows_only
+    )

@@ -6598,9 +6598,16 @@ REGISTRY.update({"q136_bpe_tokenize": QuerySpec(q136_bpe_tokenize, None)})
 # The last-green ledger is DERIVED from the CORRECTNESS_r*.json files
 # in the repo root at import time (r12 judge: the hand-transcribed
 # predecessor stalled silently when a round forgot to bump it); the
-# source-hash snapshot is refreshed by tools/update_query_hashes.py,
-# run at round start before editing.
-from ._ledger import changed_queries, derive_last_green, rotated_order
+# source-hash snapshot auto-refreshes on the first import after a new
+# CORRECTNESS round lands (refresh_snapshot_if_new_round — r13 judge:
+# the manual tools/update_query_hashes.py step was forgettable and
+# forgetting it crowded the stalest rows out of the window).
+from ._ledger import (
+    changed_queries,
+    derive_last_green,
+    refresh_snapshot_if_new_round,
+    rotated_order,
+)
 
 _REFERENCE_WINDOW = [
     "q01_filter_project", "q02_explode_filter", "q03_keyed_count",
@@ -6609,6 +6616,7 @@ _REFERENCE_WINDOW = [
     "q08_interval_join_weekly", "q09_followed_by",
 ]
 _LAST_GREEN = derive_last_green()
+refresh_snapshot_if_new_round(REGISTRY)
 _FORCED = changed_queries(REGISTRY)
 _rotated = rotated_order(REGISTRY, _LAST_GREEN, _REFERENCE_WINDOW, _FORCED)
 REGISTRY = {n: REGISTRY[n] for n in _rotated}

@@ -329,8 +329,14 @@ def test_changed_code_queries_are_forced_into_window():
     lg = {"a": 5, "b": 3, "c": 4}
     # without forcing, the stalest (b) fills first
     assert rotated_order(reg, lg, []) == ["b", "c", "a"]
-    # forcing a puts it ahead of every fill entry despite being newest-green
-    assert rotated_order(reg, lg, [], forced={"a"}) == ["a", "b", "c"]
+    # forcing a puts it ahead of the non-quota fill despite being
+    # newest-green (the stale-quota band keeps priority — see
+    # test_stale_quota_floor_survives_oversized_forced_set)
+    assert rotated_order(reg, lg, [], forced={"a"}, stale_quota=1) == [
+        "b",
+        "a",
+        "c",
+    ]
 
 
 def test_live_snapshot_matches_live_registry_keys():
@@ -399,8 +405,90 @@ def test_never_green_outranks_forced_in_window():
 
     reg = {"zz_new": Spec("x"), "aa_forced": Spec("x"), "fill": Spec("x")}
     lg = {"aa_forced": 5, "fill": 4}
-    assert rotated_order(reg, lg, [], forced={"aa_forced"}) == [
+    assert rotated_order(reg, lg, [], forced={"aa_forced"}, stale_quota=0) == [
         "zz_new",
         "aa_forced",
         "fill",
     ]
+
+
+def test_stale_quota_floor_survives_oversized_forced_set():
+    """The stale-quota band sits BEFORE the force-includes (r13 judge
+    ask): even when a kernel change forces more queries than the
+    window holds, the stalest previously-green rows keep their
+    reserved slots instead of being crowded past the driver's
+    truncation (the q92/q95–q99 starvation, stuck at last-green r7
+    for six rounds)."""
+    from dataclasses import dataclass
+
+    from flink_assignment_spark.queries._ledger import rotated_order
+
+    @dataclass
+    class Spec:
+        oracle: str | None
+
+    # 40 forced queries + 5 stale ones; a 3-slot quota must surface
+    # the 3 stalest ahead of ALL forced entries
+    reg = {f"forced_{i:02d}": Spec("x") for i in range(40)}
+    reg.update({f"stale_{i}": Spec("x") for i in range(5)})
+    lg = {f"forced_{i:02d}": 9 for i in range(40)}
+    lg.update({f"stale_{i}": i + 1 for i in range(5)})  # stale_0 oldest
+    forced = {f"forced_{i:02d}" for i in range(40)}
+    order = rotated_order(reg, lg, [], forced=forced, stale_quota=3)
+    assert order[:3] == ["stale_0", "stale_1", "stale_2"]
+    assert set(order[3:43]) == forced          # then the forced band
+    assert order[43:] == ["stale_3", "stale_4"]  # rest of the fill
+    # never-green still outranks the quota band
+    reg["zz_never"] = Spec("x")
+    order2 = rotated_order(reg, lg, [], forced=forced, stale_quota=3)
+    assert order2[0] == "zz_never"
+    assert order2[1:4] == ["stale_0", "stale_1", "stale_2"]
+
+
+def _toy_query(spark, sf_dir):
+    return None
+
+
+def test_snapshot_auto_refresh_on_new_round(tmp_path):
+    """refresh_snapshot_if_new_round fires exactly once per new
+    CORRECTNESS round: it re-records (round, hash) for every entry,
+    and a second call (no newer round) is a no-op — the mechanized
+    replacement for the manual round-start tools/update_query_hashes
+    step."""
+    import json
+    from dataclasses import dataclass
+
+    from flink_assignment_spark.queries._ledger import (
+        refresh_snapshot_if_new_round,
+    )
+
+    @dataclass
+    class Spec:
+        oracle: str | None
+        spark: object = _toy_query
+
+    reg = {"qa": Spec("SELECT 1"), "qb": Spec("SELECT 2")}
+    snap_path = tmp_path / "snap.json"
+    snap_path.write_text(
+        json.dumps({"qa": {"round": 1, "hash": "stale"}, "qb": {"round": None, "hash": "x"}})
+    )
+    green = {"rows_match": True, "schema_match": True, "hash_match": True, "err": None}
+    (tmp_path / "CORRECTNESS_r02.json").write_text(json.dumps({"qa": green, "qb": green}))
+    assert refresh_snapshot_if_new_round(
+        reg, path=str(snap_path), repo_root=str(tmp_path)
+    )
+    snap = json.loads(snap_path.read_text())
+    assert snap["qa"]["round"] == 2 and snap["qb"]["round"] == 2
+    assert snap["qa"]["hash"] != "stale" and len(snap["qa"]["hash"]) == 32
+    # both entries hash the same toy query fn + different oracles
+    assert snap["qa"]["hash"] != snap["qb"]["hash"]
+    # idempotent until the NEXT round file lands
+    assert not refresh_snapshot_if_new_round(
+        reg, path=str(snap_path), repo_root=str(tmp_path)
+    )
+    (tmp_path / "CORRECTNESS_r03.json").write_text(json.dumps({"qb": green}))
+    assert refresh_snapshot_if_new_round(
+        reg, path=str(snap_path), repo_root=str(tmp_path)
+    )
+    snap = json.loads(snap_path.read_text())
+    assert snap["qb"]["round"] == 3 and snap["qa"]["round"] == 2

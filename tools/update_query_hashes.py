@@ -3,7 +3,12 @@
 snapshot the rotation uses to force changed-code queries into the
 driver's correctness window (queries/_ledger.py::changed_queries).
 
-Run AT ROUND START, BEFORE editing: the latest CORRECTNESS_r{N}.json
+The refresh is now AUTOMATIC: queries/_ledger.py::
+refresh_snapshot_if_new_round rewrites the snapshot on the first
+registry import after a new CORRECTNESS round lands. This tool remains
+as the manual seed/override (e.g. to re-record from a clean historical
+tree via a git worktree when edits preceded the first import).
+Run BEFORE editing: the latest CORRECTNESS_r{N}.json
 was produced against the committed tree as it stands, so hashing the
 current tree records exactly the implementation each green row tested.
 Each entry keeps {round: last driver-green round, hash: implementation
