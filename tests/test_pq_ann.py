@@ -11,11 +11,14 @@ from pyspark.sql import functions as F
 from flink_assignment_spark.operators.similarity import (
     cosine_topk,
     load_pq,
+    load_pq_codes,
     pq_encode,
+    pq_fingerprint,
     pq_probe,
     pq_topk,
     pq_train,
     save_pq,
+    save_pq_codes,
 )
 from flink_assignment_spark.sources.loaders import load_table
 
@@ -28,11 +31,15 @@ def emb(spark):
 
 
 @pytest.fixture(scope="module")
-def artifacts(spark, emb):
+def artifacts(spark, emb, tmp_path_factory):
+    """Codebooks + codes, with the codes served from the DISK artifact
+    (save → load round-trip), so every downstream PQ test — ADC
+    parity, recall, determinism, streaming probe — consumes the loaded
+    frame without re-encoding, the full production path."""
     cb = pq_train(emb)
-    codes = pq_encode(emb, cb).cache()
-    codes.count()
-    return cb, codes
+    path = str(tmp_path_factory.mktemp("pq") / "codes")
+    save_pq_codes(pq_encode(emb, cb), path, cb)
+    return cb, load_pq_codes(spark, path, cb)
 
 
 def test_pq_train_deterministic_and_shaped(emb):
@@ -46,6 +53,46 @@ def test_pq_artifact_roundtrip(tmp_path, artifacts):
     path = str(tmp_path / "pq.json")
     save_pq(path, cb)
     assert np.array_equal(load_pq(path), cb)
+
+
+def test_pq_codes_artifact_roundtrip(spark, emb, artifacts, tmp_path):
+    """The codes frame survives the parquet round-trip row-for-row
+    (16 one-byte codes per vector — the expensive encode pass is paid
+    once, the artifact is what every later session probes)."""
+    cb, _ = artifacts
+    fresh = pq_encode(emb, cb)
+    path = str(tmp_path / "codes")
+    save_pq_codes(fresh, path, cb)
+    loaded = load_pq_codes(spark, path, cb, materialize=False)
+    a = {r.neighbor_id: list(r.code) for r in fresh.collect()}
+    b = {r.neighbor_id: list(r.code) for r in loaded.collect()}
+    assert a == b
+
+
+def test_pq_codes_mismatched_codebooks_refused(spark, emb, artifacts, tmp_path):
+    """A codes artifact encoded by DIFFERENT codebooks is refused at
+    load (fingerprint mismatch): ADC lookup tables from an unmatched
+    codebook silently mis-rank every probe. A blue/green codebook swap
+    therefore forces a re-encode, after which the new pair loads."""
+    cb, codes = artifacts
+    path = str(tmp_path / "codes")
+    save_pq_codes(codes, path, cb)
+    other_cb = pq_train(emb, m=8)  # different geometry ⇒ different fp
+    assert pq_fingerprint(other_cb) != pq_fingerprint(cb)
+    with pytest.raises(ValueError, match="fingerprint mismatch"):
+        load_pq_codes(spark, path, other_cb)
+    # blue/green: re-encode under the new codebooks, swap, reload
+    save_pq_codes(pq_encode(emb, other_cb), path, other_cb)
+    swapped = load_pq_codes(spark, path, other_cb, materialize=False)
+    assert swapped.count() == codes.count()
+    # and a directory that is not a codes artifact is refused too
+    import os
+
+    bare = str(tmp_path / "bare")
+    codes.write.parquet(bare)
+    assert not os.path.exists(os.path.join(bare, "_PQ_CODES_META.json"))
+    with pytest.raises(ValueError, match="not a PQ codes artifact"):
+        load_pq_codes(spark, bare, cb)
 
 
 def test_pq_codes_in_range_and_deterministic(artifacts):
