@@ -70,12 +70,27 @@ def bpe_train_merges(
     n_merges: int,
     text_col: str = "text",
     lowercase: bool = True,
+    word_level: bool = False,
 ) -> list[tuple[int, str, str, int]]:
     """Learn ``n_merges`` character-level BPE merge rules from the
     corpus; returns [(rank, left, right, pair_count)] in merge order.
     Deterministic: the winning pair each round is the (count desc,
     left asc, right asc) maximum. Stops early when no adjacent pair
-    occurs twice."""
+    occurs twice.
+
+    ``word_level=True`` is the Sennrich 2016 WORD-INTERNAL form — the
+    100 TB training path: pre-tokenize on whitespace, fold the corpus
+    into the distinct ``(word, count)`` frequency table in ONE corpus
+    pass, then run every merge round over that VOCAB-SIZED table with
+    frequency-weighted pair counts. Per-merge cost is flat in corpus
+    size (vocab grows sublinearly); merges never span a word boundary
+    and whitespace never becomes a symbol. The byte-level default
+    rewrites the full corpus each round — exact for cross-word
+    semantics and the honest cost of them; on a corpus whose winning
+    pairs are all word-internal the two trainers learn identical
+    rules (pinned in tests/test_bpe.py)."""
+    if word_level:
+        return _bpe_train_word_level(docs, n_merges, text_col, lowercase)
     from pyspark import StorageLevel
 
     txt = F.lower(F.col(text_col)) if lowercase else F.col(text_col)
@@ -116,17 +131,83 @@ def bpe_train_merges(
     return merges
 
 
+def _bpe_train_word_level(
+    docs: DataFrame,
+    n_merges: int,
+    text_col: str,
+    lowercase: bool,
+) -> list[tuple[int, str, str, int]]:
+    """The word-frequency trainer behind
+    ``bpe_train_merges(word_level=True)``: one corpus pass builds the
+    distinct-(word, n) table, then each round explodes the VOCAB's
+    adjacent pairs weighted by word frequency (sum(n), not count(*)),
+    promotes the (count desc, left asc, right asc) maximum, and
+    rewrites the vocab with the same greedy-leftmost
+    :func:`_merge_rule` string kernel the byte-level trainer uses —
+    so per-word application semantics (overlap handling, merged-symbol
+    chaining) are identical by construction."""
+    from pyspark import StorageLevel
+
+    txt = F.lower(F.col(text_col)) if lowercase else F.col(text_col)
+    clean = F.translate(txt, _SEP, "")
+    # the ONE corpus-sized pass: whitespace pre-tokenize + frequency
+    # fold (map-side partial counts; at 100 TB this is the same shape
+    # as any word-count)
+    words = (
+        docs.select(F.explode(F.split(clean, r"\s+")).alias("w"))
+        .filter(F.length("w") > 0)
+        .groupBy("w")
+        .agg(F.count("*").alias("n"))
+    )
+    state = words.select(F.split(F.col("w"), "").alias("tk"), "n").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    merges: list[tuple[int, str, str, int]] = []
+    try:
+        for rank in range(1, n_merges + 1):
+            tk = F.col("tk")
+            pairs = F.transform(
+                F.slice(tk, 1, F.greatest(F.size(tk) - 1, F.lit(0))),
+                lambda x, i: F.struct(
+                    x.alias("l"), F.element_at(tk, i + 2).alias("r")
+                ),
+            )
+            top = (
+                state.select(F.explode_outer(pairs).alias("p"), "n")
+                .filter(F.col("p").isNotNull())
+                .groupBy("p.l", "p.r")
+                .agg(F.sum("n").alias("cnt"))
+                .orderBy(F.desc("cnt"), F.asc("l"), F.asc("r"))
+                .limit(1)
+                .collect()
+            )
+            if not top or top[0].cnt < 2:
+                break
+            left, right, cnt = top[0].l, top[0].r, int(top[0].cnt)
+            merges.append((rank, left, right, cnt))
+            nxt = state.select(
+                _merge_rule(tk, left, right).alias("tk"), "n"
+            ).persist(StorageLevel.MEMORY_AND_DISK)
+            nxt.count()
+            state.unpersist()
+            state = nxt
+    finally:
+        state.unpersist()
+    return merges
+
+
 def bpe_merges_df(
     docs: DataFrame,
     n_merges: int,
     text_col: str = "text",
     lowercase: bool = True,
+    word_level: bool = False,
 ) -> DataFrame:
     """:func:`bpe_train_merges` as a DataFrame —
     (rank, left, right, pair_count), the frozen merge-table artifact
     a tokenizer ships (the train-once/apply-always split the BM25 /
     IVF / quality-cutoff exports follow)."""
-    merges = bpe_train_merges(docs, n_merges, text_col, lowercase)
+    merges = bpe_train_merges(docs, n_merges, text_col, lowercase, word_level)
     return docs.sparkSession.createDataFrame(
         merges, "rank int, left string, right string, pair_count long"
     )
