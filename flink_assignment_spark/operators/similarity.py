@@ -576,7 +576,14 @@ def lsh_bucketize_self(
         ],
         dtype=np.float64,
     )
-    buckets_udf = make_lsh_buckets_udf(weights)
+    # OPTIMIZER FENCE (the q123 class, found by the udf_below_roundrobin
+    # plan audit): posexplode makes Catalyst infer isnotnull(__buckets)
+    # and push that predicate — WITH its own copy of the bucketize UDF —
+    # below the spread exchange, so the heavy matmul ran TWICE and the
+    # pushed copy single-tasked on the un-spread input. The UDF never
+    # returns null, so the inferred filter is pure waste; nondeterministic
+    # blocks the inference and keeps ONE eval above the spread.
+    buckets_udf = make_lsh_buckets_udf(weights).asNondeterministic()
     qsel = query_pred if query_pred is not None else F.lit(False)
     base = (
         _spread(
@@ -1038,7 +1045,11 @@ def ivf_index(
     next to the centroid artifact."""
     from ..functions._pandas_udfs import make_cell_assign_udf
 
-    assign_udf = make_cell_assign_udf(centroids, 1)
+    # fence, same as lsh_bucketize_self: the downstream cell equi-join
+    # makes Catalyst infer isnotnull(cell) and push a second copy of the
+    # assign matmul below the spread exchange (single-task, double work);
+    # the UDF never returns null, so block the inference instead
+    assign_udf = make_cell_assign_udf(centroids, 1).asNondeterministic()
     return _spread(
         corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
     ).withColumn("cell", assign_udf(F.col("cv"))[0])
