@@ -1,0 +1,135 @@
+"""Streaming set-similarity join == batch q128 under replay; pairs
+spanning batch boundaries surface; replays are idempotent; compaction
+preserves the pair set; uncheckpointed restarts are refused."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from flink_assignment_spark.operators.dedup import prefix_filter_jaccard_pairs
+from flink_assignment_spark.sources.loaders import load_table
+from flink_assignment_spark.streaming.ssjoin_stream import (
+    compact_postings,
+    merge_ssjoin_batch,
+    read_ssjoin_pairs,
+)
+
+from .conftest import SF_DIR
+
+TAU = 0.5
+SCHEMA = "doc_id long, text string"
+
+
+def _batch_pairs(spark):
+    docs = load_table(spark, SF_DIR, "documents")
+    return {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in prefix_filter_jaccard_pairs(docs, TAU).collect()
+    }
+
+
+def _stream_pairs(spark, state_dir):
+    return {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in read_ssjoin_pairs(spark, str(state_dir)).collect()
+    }
+
+
+def _replay(spark, state_dir, n_batches=3, shuffle=False):
+    rows = [
+        (r.doc_id, r.text) for r in load_table(spark, SF_DIR, "documents").collect()
+    ]
+    if shuffle:
+        # arrival order must not matter for the PAIR SET (a pair's
+        # jaccard depends only on final document contents)
+        rows = rows[1::2] + rows[0::2]
+    per = (len(rows) + n_batches - 1) // n_batches
+    for b in range(n_batches):
+        chunk = rows[b * per : (b + 1) * per]
+        if chunk:
+            merge_ssjoin_batch(
+                spark.createDataFrame(chunk, SCHEMA), b, str(state_dir), TAU
+            )
+
+
+def test_ssjoin_stream_matches_batch(spark, tmp_path):
+    state = tmp_path / "ssj"
+    _replay(spark, state, n_batches=3)
+    want = _batch_pairs(spark)
+    assert want  # the fixture corpus contains near-dup pairs
+    assert _stream_pairs(spark, state) == want
+
+
+def test_ssjoin_stream_order_independent(spark, tmp_path):
+    state = tmp_path / "ssj"
+    _replay(spark, state, n_batches=3, shuffle=True)
+    assert _stream_pairs(spark, state) == _batch_pairs(spark)
+
+
+def test_ssjoin_cross_batch_pair(spark, tmp_path):
+    """A near-dup whose members arrive in DIFFERENT batches is found
+    when the second member lands."""
+    state = tmp_path / "ssj"
+    b0 = [(1, "the quick brown fox jumps over the lazy dog today")]
+    b1 = [(2, "the quick brown fox jumps over the lazy dog tonight")]
+    merge_ssjoin_batch(spark.createDataFrame(b0, SCHEMA), 0, str(state), TAU)
+    merge_ssjoin_batch(spark.createDataFrame(b1, SCHEMA), 1, str(state), TAU)
+    got = _stream_pairs(spark, state)
+    assert any(p[:2] == (1, 2) for p in got)
+    # the jaccard equals the batch operator's on the same two docs
+    both = spark.createDataFrame(b0 + b1, SCHEMA)
+    want = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in prefix_filter_jaccard_pairs(both, TAU).collect()
+    }
+    assert got == want
+
+
+def test_ssjoin_replay_idempotent(spark, tmp_path):
+    state = tmp_path / "ssj"
+    _replay(spark, state, n_batches=3)
+    before = _stream_pairs(spark, state)
+    # full redelivery of an applied batch id: marker no-op
+    rows = [
+        (r.doc_id, r.text)
+        for r in load_table(spark, SF_DIR, "documents").limit(5).collect()
+    ]
+    merge_ssjoin_batch(spark.createDataFrame(rows, SCHEMA), 1, str(state), TAU)
+    assert _stream_pairs(spark, state) == before
+
+
+def test_ssjoin_compaction_preserves_pairs(spark, tmp_path):
+    state = tmp_path / "ssj"
+    _replay(spark, state, n_batches=2)
+    before = _stream_pairs(spark, state)
+    compact_postings(spark, str(state))
+    # a new batch against the compacted index still matches old docs
+    b = [(990001, "the quick brown fox jumps over the lazy dog today")]
+    merge_ssjoin_batch(spark.createDataFrame(b, SCHEMA), 5, str(state), TAU)
+    merge_ssjoin_batch(
+        spark.createDataFrame(
+            [(990002, "the quick brown fox jumps over the lazy dog today")], SCHEMA
+        ),
+        6,
+        str(state),
+        TAU,
+    )
+    after = _stream_pairs(spark, state)
+    assert before <= after
+    assert any(p[:2] == (990001, 990002) for p in after)
+
+
+def test_ssjoin_uncheckpointed_restart_refused(spark, tmp_path):
+    import pytest
+
+    from flink_assignment_spark.streaming._state import commit_marker
+    from flink_assignment_spark.streaming.ssjoin_stream import incremental_ssjoin
+
+    state_dir = str(tmp_path / "state")
+    os.makedirs(state_dir, exist_ok=True)
+    commit_marker(state_dir, 2)
+    dummy = spark.createDataFrame([(1, "a b c")], SCHEMA)
+    with pytest.raises(ValueError, match="applied-batch"):
+        incremental_ssjoin(dummy, state_dir, TAU)
