@@ -6589,6 +6589,233 @@ def q136_bpe_tokenize(spark, sf_dir):
 REGISTRY.update({"q136_bpe_tokenize": QuerySpec(q136_bpe_tokenize, None)})
 
 
+# --------------------------- repetition stats (Gopher quality filters)
+def q137_repetition_stats(spark, sf_dir):
+    """Word-level repetition metrics per document — the Gopher
+    repetition filters (Rae et al. 2021 §A1.1: duplicate-fraction and
+    top-n-gram-coverage cuts), the quality signals a pretraining
+    pipeline thresholds alongside q32's length/punct scores: the
+    duplicate-token fraction (1 − distinct/total) and the corpus-
+    independent top-bigram coverage (tokens claimed by the most
+    frequent adjacent word pair, ties broken by bigram ascending so
+    the winner is engine-independent). dup-frac is a pure per-row
+    expression (array_distinct — no shuffle); the bigram mode is one
+    explode + two-level aggregate on doc_id, the q53 bigram shape."""
+    tk = tokens(F.col("text"))
+    base = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(tk).alias("n_tokens"),
+        F.size(F.array_distinct(tk)).alias("__nd"),
+        tk.alias("__tk"),
+    )
+    bigrams = F.transform(
+        F.slice(F.col("__tk"), 1, F.greatest(F.size("__tk") - 1, F.lit(0))),
+        lambda x, i: F.concat(x, F.lit(" "), F.element_at(F.col("__tk"), i + 2)),
+    )
+    bg = base.select(
+        "doc_id", "n_tokens", "__nd", F.explode_outer(bigrams).alias("bg")
+    )
+    cnt = bg.groupBy("doc_id", "n_tokens", "__nd", "bg").agg(
+        F.count("*").alias("c")
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("c"), F.asc("bg"))
+    return (
+        cnt.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round(
+                F.lit(1.0)
+                - F.col("__nd").cast("double") / F.col("n_tokens").cast("double"),
+                6,
+            ).alias("dup_token_frac"),
+            F.col("bg").alias("top_bigram"),
+            F.when(F.col("bg").isNull(), F.lit(0.0))
+            .otherwise(
+                F.round(
+                    F.lit(2.0)
+                    * F.col("c").cast("double")
+                    / F.col("n_tokens").cast("double"),
+                    6,
+                )
+            )
+            .alias("top_bigram_frac"),
+        )
+    )
+
+
+Q137_SQL = """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS tk
+  FROM documents
+),
+base AS (
+  SELECT doc_id, len(tk) AS n, len(list_distinct(tk)) AS nd, tk FROM t
+),
+bg AS (
+  SELECT doc_id, n, nd,
+         unnest(CASE WHEN len(tk) >= 2
+                THEN list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])
+                ELSE [CAST(NULL AS VARCHAR)] END) AS bg
+  FROM base
+),
+cnt AS (SELECT doc_id, n, nd, bg, count(*) AS c FROM bg GROUP BY 1, 2, 3, 4),
+top AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, bg ASC) AS rn
+  FROM cnt
+)
+SELECT doc_id,
+       CAST(n AS INT) AS n_tokens,
+       round(1.0 - CAST(nd AS DOUBLE) / CAST(n AS DOUBLE), 6) AS dup_token_frac,
+       bg AS top_bigram,
+       CASE WHEN bg IS NULL THEN 0.0
+            ELSE round(2.0 * CAST(c AS DOUBLE) / CAST(n AS DOUBLE), 6) END
+         AS top_bigram_frac
+FROM top WHERE rn = 1
+"""
+
+
+# ------------------------------------------ PII detection + redaction
+def q138_pii_redaction(spark, sf_dir):
+    """PII scrub over a deterministic contact-profile table derived
+    from customer (the media-table pattern, q36/q37: the fixture
+    corpus carries no contact strings, so the profile text is built
+    in-query — emails for even keys, phones for keys % 3, IPv4 for
+    keys % 5 — and every row exercises the detector differently).
+    Counts are detected on the RAW text; redaction replaces emails →
+    IPv4 → phones with typed placeholders (operators/pii.py — a
+    stateless narrow map, zero shuffles, stream-portable verbatim).
+    The exact-hash compare on the redacted STRING is the cross-engine
+    contract test for the patterns themselves: Java regex (Spark) and
+    RE2 (DuckDB) must agree byte-for-byte on every match boundary."""
+    from ..operators.pii import pii_report
+
+    key = F.col("c_custkey")
+    email = F.when(
+        key % 2 == 0,
+        F.concat(
+            F.lit(" email cust"),
+            F.lpad(key.cast("string"), 6, "0"),
+            F.lit("@example.com"),
+        ),
+    ).otherwise(F.lit(""))
+    phone = F.when(
+        key % 3 == 0,
+        F.concat(
+            F.lit(" phone 555-"), F.lpad((key % 10000).cast("string"), 4, "0")
+        ),
+    ).otherwise(F.lit(""))
+    ip = F.when(
+        key % 5 == 0,
+        F.concat(
+            F.lit(" ip 10."),
+            (key % 200).cast("string"),
+            F.lit("."),
+            (key % 250).cast("string"),
+            F.lit("."),
+            (key % 100).cast("string"),
+        ),
+    ).otherwise(F.lit(""))
+    profiles = _t(spark, sf_dir, "customer").select(
+        key.alias("doc_id"),
+        F.concat(
+            F.lit("contact: "),
+            F.col("c_name"),
+            email,
+            phone,
+            ip,
+            F.lit(" segment "),
+            F.col("c_mktsegment"),
+        ).alias("text"),
+    )
+    return pii_report(profiles).withColumnRenamed("doc_id", "c_custkey")
+
+
+def _q138_oracle() -> str:
+    from ..operators.pii import EMAIL_RE, EMAIL_TAG, IPV4_RE, IPV4_TAG, PHONE_RE, PHONE_TAG
+
+    # string-concatenated (not an f-string): the patterns contain {m,n}
+    # repetition braces
+    return (
+        "WITH p AS (SELECT c_custkey, 'contact: ' || c_name"
+        " || CASE WHEN c_custkey % 2 = 0 THEN ' email cust' ||"
+        " lpad(CAST(c_custkey AS VARCHAR), 6, '0') || '@example.com'"
+        " ELSE '' END"
+        " || CASE WHEN c_custkey % 3 = 0 THEN ' phone 555-' ||"
+        " lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0') ELSE '' END"
+        " || CASE WHEN c_custkey % 5 = 0 THEN ' ip 10.' ||"
+        " CAST(c_custkey % 200 AS VARCHAR) || '.' ||"
+        " CAST(c_custkey % 250 AS VARCHAR) || '.' ||"
+        " CAST(c_custkey % 100 AS VARCHAR) ELSE '' END"
+        " || ' segment ' || c_mktsegment AS text FROM customer)"
+        " SELECT c_custkey,"
+        " CAST(len(regexp_extract_all(text, '" + EMAIL_RE + "')) AS INT) AS n_email,"
+        " CAST(len(regexp_extract_all(text, '" + IPV4_RE + "')) AS INT) AS n_ipv4,"
+        " CAST(len(regexp_extract_all(text, '" + PHONE_RE + "')) AS INT) AS n_phone,"
+        " regexp_replace(regexp_replace(regexp_replace(text,"
+        " '" + EMAIL_RE + "', '" + EMAIL_TAG + "', 'g'),"
+        " '" + IPV4_RE + "', '" + IPV4_TAG + "', 'g'),"
+        " '" + PHONE_RE + "', '" + PHONE_TAG + "', 'g') AS redacted"
+        " FROM p"
+    )
+
+
+# ----------------------------- half-life decay activity (exact dyadic)
+DECAY_ASOF = "2024-02-01"  # the "now" the decay is computed against
+DECAY_KCAP = 30  # see docstring: keeps the dyadic sum exactly representable
+
+
+def q139_decay_activity(spark, sf_dir):
+    """Per-user half-life-decayed activity score — the recency
+    weighting a feature store or engagement ranker applies (each
+    event contributes 2^-age_days): sum over events of
+    1 / 2^min(days_before_asof, 30). EXACT by construction, not
+    approximately-float: events fold to per-(user, age) counts first,
+    and each term count/2^age is a dyadic rational; with count < 2^22
+    and age ≤ 30 every partial sum fits a 53-bit mantissa, so the
+    total is the same double under ANY fold order and partitioning —
+    no pow(), whose rounding the engines need not agree on, and no
+    order-sensitive float accumulation (the mixture-weight trick,
+    applied to time decay)."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.least(
+        F.datediff(F.lit(DECAY_ASOF).cast("date"), F.to_date("ts")),
+        F.lit(DECAY_KCAP),
+    )
+    per = ev.groupBy(F.col("user_id"), k.alias("k")).agg(F.count("*").alias("c"))
+    term = F.expr("cast(c as double) / cast(shiftleft(cast(1 as bigint), k) as double)")
+    return per.groupBy("user_id").agg(
+        F.sum(term).alias("decay_score"),
+        F.sum("c").cast("long").alias("n_events"),
+    )
+
+
+Q139_SQL = f"""
+WITH per AS (
+  SELECT user_id,
+         least(date_diff('day', CAST(ts AS DATE), DATE '{DECAY_ASOF}'),
+               {DECAY_KCAP}) AS k,
+         count(*) AS c
+  FROM events GROUP BY 1, 2
+)
+SELECT user_id,
+       sum(CAST(c AS DOUBLE) / CAST((1::BIGINT << k) AS DOUBLE)) AS decay_score,
+       CAST(sum(c) AS BIGINT) AS n_events
+FROM per GROUP BY user_id
+"""
+
+
+REGISTRY.update(
+    {
+        "q137_repetition_stats": QuerySpec(q137_repetition_stats, Q137_SQL),
+        "q138_pii_redaction": QuerySpec(q138_pii_redaction, _q138_oracle()),
+        "q139_decay_activity": QuerySpec(q139_decay_activity, Q139_SQL),
+    }
+)
+
+
 # ------------------------------------------------------------------------
 # Registry ordering contract: the driver's correctness harness records
 # at most 50 entries per round, in registry order — so the order IS the
