@@ -6763,8 +6763,9 @@ def _q138_oracle() -> str:
 
 
 # ----------------------------- half-life decay activity (exact dyadic)
+from ..operators.decay_score import DECAY_KCAP, decay_age  # noqa: E402
+
 DECAY_ASOF = "2024-02-01"  # the "now" the decay is computed against
-DECAY_KCAP = 30  # see docstring: keeps the dyadic sum exactly representable
 
 
 def q139_decay_activity(spark, sf_dir):
@@ -6780,10 +6781,7 @@ def q139_decay_activity(spark, sf_dir):
     order-sensitive float accumulation (the mixture-weight trick,
     applied to time decay)."""
     ev = _t(spark, sf_dir, "events")
-    k = F.least(
-        F.datediff(F.lit(DECAY_ASOF).cast("date"), F.to_date("ts")),
-        F.lit(DECAY_KCAP),
-    )
+    k = decay_age(F.to_date("ts"), DECAY_ASOF)
     per = ev.groupBy(F.col("user_id"), k.alias("k")).agg(F.count("*").alias("c"))
     term = F.expr("cast(c as double) / cast(shiftleft(cast(1 as bigint), k) as double)")
     return per.groupBy("user_id").agg(

@@ -97,3 +97,29 @@ def test_decay_score_partitioning_invariant(spark):
     b = {r.user_id: (r.decay_score, r.n_events)
          for r in q139_decay_activity(spark, d).collect()}
     assert a == b  # bit-identical doubles, not approximately equal
+
+
+def test_pii_report_runs_verbatim_on_a_stream(spark, tmp_path):
+    """pii_report is a stateless narrow map — the SAME call compiles
+    on a streaming frame and each micro-batch equals the batch op."""
+    rows = [(1, "bob@ex.com at 10.1.2.3"), (2, "call 555-1234 now")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    in_dir = tmp_path / "in"
+    df.coalesce(1).write.parquet(str(in_dir / "f0"))
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .parquet(str(in_dir) + "/*")
+    )
+    got = []
+    q = (
+        pii_report(stream)
+        .writeStream.outputMode("append")
+        .foreachBatch(lambda b, _: got.extend(tuple(r) for r in b.collect()))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    want = {tuple(r) for r in pii_report(df).collect()}
+    assert set(got) == want
