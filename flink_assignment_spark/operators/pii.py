@@ -3,6 +3,14 @@ pipeline runs before text leaves the ingestion zone (the C4 / Dolma /
 FineWeb pipelines all carry one; see Soldaini et al. 2024's Dolma
 toolkit for the canonical open implementation).
 
+This module EXTENDS the q59 gate (operators/gates.py::pii_stats —
+email/URL counts + redacted-text hash) with the other Dolma scrub
+categories (IPv4 addresses, phone-shaped digit runs), a typed-
+placeholder FULL-TEXT redaction contract (the downstream pipeline
+consumes the redacted text itself, not just its hash), and pinned
+idempotence. The email pattern is imported from gates — one
+definition, no drift.
+
 Catalyst-only: detection is ``regexp_extract_all`` counts and
 redaction is ordered ``regexp_replace`` passes, so the operator is a
 STATELESS NARROW MAP — no shuffle, runs verbatim on a streaming frame,
@@ -25,8 +33,10 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-# Java-regex / RE2 common-subset patterns (see module docstring)
-EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+# Java-regex / RE2 common-subset patterns (see module docstring);
+# EMAIL_RE is shared with the q59 gate — one definition, no drift
+from .gates import EMAIL_RE  # noqa: E402
+
 IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
 PHONE_RE = r"\b\d{3}-\d{4}\b"
 

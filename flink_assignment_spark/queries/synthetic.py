@@ -6594,7 +6594,12 @@ def q137_repetition_stats(spark, sf_dir):
     """Word-level repetition metrics per document — the Gopher
     repetition filters (Rae et al. 2021 §A1.1: duplicate-fraction and
     top-n-gram-coverage cuts), the quality signals a pretraining
-    pipeline thresholds alongside q32's length/punct scores: the
+    pipeline thresholds alongside q32's length/punct scores.
+    COMPLEMENT of q61, not a duplicate: q61 reports the dup-SHINGLE
+    ratio (a narrow map); this adds the two remaining Gopher rules —
+    dup-TOKEN fraction and TOP-BIGRAM coverage, whose per-doc MODE
+    needs a genuinely different plan shape (two-level aggregate +
+    deterministic tie-broken argmax, not a per-row expression): the
     duplicate-token fraction (1 − distinct/total) and the corpus-
     independent top-bigram coverage (tokens claimed by the most
     frequent adjacent word pair, ties broken by bigram ascending so
@@ -6684,6 +6689,12 @@ def q138_pii_redaction(spark, sf_dir):
     corpus carries no contact strings, so the profile text is built
     in-query — emails for even keys, phones for keys % 3, IPv4 for
     keys % 5 — and every row exercises the detector differently).
+    COMPLEMENT of q59, not a duplicate: q59 gates documents on the
+    email/URL categories and reports the redacted hash; this covers
+    the remaining Dolma scrub categories (IPv4, phone) and pins the
+    full redacted TEXT plus the ordered-redaction contract
+    (operators/pii.py, which imports q59's email pattern — one
+    definition).
     Counts are detected on the RAW text; redaction replaces emails →
     IPv4 → phones with typed placeholders (operators/pii.py — a
     stateless narrow map, zero shuffles, stream-portable verbatim).
@@ -6805,11 +6816,68 @@ FROM per GROUP BY user_id
 """
 
 
+# ------------------------- erasure propagation (right-to-be-forgotten)
+ERASE_MOD = 97  # deterministic tombstone set: c_custkey % 97 == 0
+
+
+def q140_erasure_cascade(spark, sf_dir):
+    """GDPR erasure cascade audit (operators/erasure.py) — the delete
+    a lakehouse propagates through foreign keys when a user invokes
+    the right to be forgotten: tombstoned customers (the deterministic
+    c_custkey % 97 set plays the request queue), their orders, and
+    those orders' line items. One broadcast left-join + one aggregate
+    per table, no driver-side counting; the report's exact
+    reconciliation (n_rows = n_purged + n_kept per table, hash-checked
+    against DuckDB) is the compliance property — a cascade that loses
+    or spares rows is a correctness bug with legal teeth. The
+    streaming half (erasure_stream.py) gates live arrivals and
+    retro-purges bucket-partitioned state."""
+    from ..operators.erasure import erasure_report
+
+    cust = _t(spark, sf_dir, "customer")
+    return erasure_report(
+        cust,
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "lineitem"),
+        cust.filter(F.col("c_custkey") % ERASE_MOD == 0),
+    )
+
+
+Q140_SQL = f"""
+WITH tomb AS (SELECT c_custkey FROM customer WHERE c_custkey % {ERASE_MOD} = 0)
+SELECT 'customer' AS table_name,
+       (SELECT count(*) FROM customer) AS n_rows,
+       (SELECT count(*) FROM customer c
+         WHERE EXISTS (SELECT 1 FROM tomb t WHERE t.c_custkey = c.c_custkey))
+         AS n_purged,
+       (SELECT count(*) FROM customer c
+         WHERE NOT EXISTS (SELECT 1 FROM tomb t WHERE t.c_custkey = c.c_custkey))
+         AS n_kept
+UNION ALL
+SELECT 'orders',
+       (SELECT count(*) FROM orders),
+       (SELECT count(*) FROM orders o
+         WHERE EXISTS (SELECT 1 FROM tomb t WHERE t.c_custkey = o.o_custkey)),
+       (SELECT count(*) FROM orders o
+         WHERE NOT EXISTS (SELECT 1 FROM tomb t WHERE t.c_custkey = o.o_custkey))
+UNION ALL
+SELECT 'lineitem',
+       (SELECT count(*) FROM lineitem),
+       (SELECT count(*) FROM lineitem l WHERE EXISTS (
+          SELECT 1 FROM orders o JOIN tomb t ON t.c_custkey = o.o_custkey
+          WHERE o.o_orderkey = l.l_orderkey)),
+       (SELECT count(*) FROM lineitem l WHERE NOT EXISTS (
+          SELECT 1 FROM orders o JOIN tomb t ON t.c_custkey = o.o_custkey
+          WHERE o.o_orderkey = l.l_orderkey))
+"""
+
+
 REGISTRY.update(
     {
         "q137_repetition_stats": QuerySpec(q137_repetition_stats, Q137_SQL),
         "q138_pii_redaction": QuerySpec(q138_pii_redaction, _q138_oracle()),
         "q139_decay_activity": QuerySpec(q139_decay_activity, Q139_SQL),
+        "q140_erasure_cascade": QuerySpec(q140_erasure_cascade, Q140_SQL),
     }
 )
 
