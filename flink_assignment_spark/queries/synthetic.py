@@ -6882,6 +6882,83 @@ REGISTRY.update(
 )
 
 
+# -------------- point-in-time feature lookup (SCD2 × as-of, composed)
+def q141_pit_prior_state(spark, sf_dir):
+    """Point-in-time feature lookup — the PIT join a feature store
+    runs to avoid label leakage (Feast/Tecton semantics): for every
+    purchase event, the user's event-type RUN in effect STRICTLY
+    BEFORE it (the SCD2 dimension row whose validity interval covers
+    ts − 1µs; NULL when the purchase opens the user's history).
+    Composition of two existing operators, no new kernel: the q127
+    SCD2 build is the dimension, and the q34 as-of kernel (union +
+    running last_value — ONE shuffle of |facts|+|dim|, never a
+    per-pair range join) resolves the interval. The strictly-before
+    offset is what makes it leakage-free: at-or-before would match
+    the run the purchase itself opened."""
+    from ..operators.asof import asof_join
+    from ..operators.timeseries import scd2_intervals
+
+    ev = _t(spark, sf_dir, "events")
+    dim = scd2_intervals(ev, "user_id", "event_type", "ts", "event_id").select(
+        F.col("key").alias("user_id"),
+        F.col("state"),
+        F.col("valid_from").alias("vf"),
+        F.col("version"),
+    )
+    facts = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.expr("ts - INTERVAL 1 MICROSECOND").alias("pit"),
+    )
+    j = asof_join(
+        facts, dim, on=["user_id"], left_ts="pit", right_ts="vf",
+        tie_break="version", how="left",
+    )
+    return j.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.col("asof_state").alias("prior_state"),
+        F.col("asof_version").cast("int").alias("prior_version"),
+    )
+
+
+Q141_SQL = """
+WITH o AS (
+  SELECT user_id, event_type, ts, event_id,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+), runs AS (
+  SELECT user_id, event_type AS state, ts AS valid_from, event_id
+  FROM o WHERE prev IS NULL OR prev <> event_type
+), v AS (
+  SELECT user_id, state, valid_from,
+         CAST(row_number() OVER (PARTITION BY user_id
+                                 ORDER BY valid_from, event_id) AS INT) AS version
+  FROM runs
+), f AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+), j AS (
+  SELECT f.event_id, f.user_id, f.ts, v.state, v.version,
+         row_number() OVER (PARTITION BY f.event_id
+                            ORDER BY v.valid_from DESC NULLS LAST,
+                                     v.version DESC NULLS LAST) AS rn
+  FROM f LEFT JOIN v
+    ON v.user_id = f.user_id
+   AND v.valid_from <= f.ts - INTERVAL 1 MICROSECOND
+)
+SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+       state AS prior_state, version AS prior_version
+FROM j WHERE rn = 1
+"""
+
+
+REGISTRY.update(
+    {"q141_pit_prior_state": QuerySpec(q141_pit_prior_state, Q141_SQL)}
+)
+
+
 # ------------------------------------------------------------------------
 # Registry ordering contract: the driver's correctness harness records
 # at most 50 entries per round, in registry order — so the order IS the
