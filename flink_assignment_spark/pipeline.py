@@ -99,10 +99,15 @@ class CorpusPipeline:
         )
         return self._next(out, "gate_compression")
 
-    def scrub_pii(self) -> "CorpusPipeline":
+    def scrub_pii(self, extended: bool = False) -> "CorpusPipeline":
         """Redact emails/URLs IN the text column (the transform whose
         audit form is q59's pii_stats) — a pure narrow map of JVM-side
-        regexes, so it applies unchanged to batch or stream."""
+        regexes, so it applies unchanged to batch or stream.
+        ``extended=True`` additionally applies the q138 categories
+        (IPv4 addresses, phone-shaped digit runs) in the
+        operators/pii.py ordered-redaction contract; the default stays
+        email/URL so existing pipelines (q83's oracle) are
+        byte-stable."""
         from .operators.gates import EMAIL_RE, URL_RE
 
         redacted = F.regexp_replace(
@@ -110,6 +115,12 @@ class CorpusPipeline:
             URL_RE,
             "<URL>",
         )
+        if extended:
+            from .operators.pii import IPV4_RE, IPV4_TAG, PHONE_RE, PHONE_TAG
+
+            redacted = F.regexp_replace(
+                F.regexp_replace(redacted, IPV4_RE, IPV4_TAG), PHONE_RE, PHONE_TAG
+            )
         out = self._df.withColumn(self.text_col, redacted)
         return self._next(out, "scrub_pii")
 

@@ -123,3 +123,19 @@ def test_pii_report_runs_verbatim_on_a_stream(spark, tmp_path):
         q.stop()
     want = {tuple(r) for r in pii_report(df).collect()}
     assert set(got) == want
+
+
+def test_pipeline_scrub_pii_extended(spark):
+    """CorpusPipeline.scrub_pii(extended=True) layers the q138
+    categories on top of the default email/URL scrub; the default
+    path stays byte-stable (q83's oracle depends on it)."""
+    from flink_assignment_spark.pipeline import CorpusPipeline
+
+    docs = spark.createDataFrame(
+        [(1, "see https://site.example/x mail a@b.io ip 10.1.2.3 call 555-1234")],
+        "doc_id long, text string",
+    )
+    base = CorpusPipeline(docs).scrub_pii().df.collect()[0].text
+    assert base == "see <URL> mail <EMAIL> ip 10.1.2.3 call 555-1234"
+    ext = CorpusPipeline(docs).scrub_pii(extended=True).df.collect()[0].text
+    assert ext == "see <URL> mail <EMAIL> ip <IP> call <PHONE>"
