@@ -637,6 +637,98 @@ def stream_split_sweep(spark, scales: list[int], n_batches: int = 10) -> dict:
     return out
 
 
+def stream_decay_sweep(spark, n_events: int, n_batches: int = 10) -> dict:
+    """Per-batch latency of the incremental decayed-activity fold
+    (streaming/decay_stream.py) as batches stream through. The claim
+    under test: per-batch cost tracks BATCH volume, not accumulated
+    history — the state is per-(user, day) counts (bounded by
+    users × horizon), the fold rewrites only the touched buckets, and
+    the read-side scoring is deferred entirely. Batches are in event
+    order, so later batches add new days to existing users — the
+    steady-state shape."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from flink_assignment_spark.streaming.decay_stream import (
+        merge_decay_batch,
+        read_decay,
+    )
+
+    base = f"/tmp/fas_scale_{n_events}"
+    ensure_events(spark, n_events, os.path.join(base, "events.parquet"))
+    ev = spark.read.parquet(os.path.join(base, "events.parquet"))
+    state_dir = f"/tmp/fas_decay_stream_{n_events}"
+    if os.path.exists(state_dir):
+        shutil.rmtree(state_dir)
+    bsz = n_events // n_batches
+    per_batch = []
+    for b in range(n_batches):
+        batch = ev.filter(
+            (F.col("event_id") >= b * bsz) & (F.col("event_id") < (b + 1) * bsz)
+        )
+        t0 = time.monotonic()
+        merge_decay_batch(batch, b, state_dir)
+        per_batch.append(round(time.monotonic() - t0, 2))
+    t0 = time.monotonic()
+    n_users = read_decay(spark, state_dir, "2024-03-01").count()
+    read_sec = round(time.monotonic() - t0, 2)
+    state_rows = spark.read.parquet(os.path.join(state_dir, "counts")).count()
+    shutil.rmtree(state_dir)
+    return {
+        "per_batch_sec": per_batch,
+        "batch_events": bsz,
+        "state_rows": state_rows,
+        "users": n_users,
+        "read_score_sec": read_sec,
+    }
+
+
+def stream_ssjoin_sweep(spark, n_docs: int, n_batches: int = 10) -> dict:
+    """Per-batch latency of the incremental set-similarity join
+    (streaming/ssjoin_stream.py) as the postings index grows. The
+    honest expectation is NOT flat: each batch probes its shingles
+    against every colliding posting accumulated so far, so per-batch
+    cost tracks COLLIDING-POSTING volume (output-bound, like the
+    linkage stream) — the sweep records per-batch seconds alongside
+    the cumulative pair count so reviewers can see which it tracks."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from flink_assignment_spark.streaming.ssjoin_stream import (
+        merge_ssjoin_batch,
+        read_ssjoin_pairs,
+    )
+
+    base = f"/tmp/fas_docscale_{n_docs}"
+    ensure_documents(spark, n_docs, os.path.join(base, "documents.parquet"))
+    docs = spark.read.parquet(os.path.join(base, "documents.parquet"))
+    state_dir = f"/tmp/fas_ssjoin_stream_{n_docs}"
+    if os.path.exists(state_dir):
+        shutil.rmtree(state_dir)
+    bsz = n_docs // n_batches
+    per_batch, pair_growth = [], []
+    for b in range(n_batches):
+        batch = docs.filter(
+            (F.col("doc_id") >= b * bsz) & (F.col("doc_id") < (b + 1) * bsz)
+        )
+        t0 = time.monotonic()
+        merge_ssjoin_batch(batch, b, state_dir, threshold=0.5)
+        per_batch.append(round(time.monotonic() - t0, 2))
+        pair_growth.append(
+            read_ssjoin_pairs(spark, state_dir).count()
+        )
+    postings = spark.read.parquet(os.path.join(state_dir, "postings")).count()
+    shutil.rmtree(state_dir)
+    return {
+        "per_batch_sec": per_batch,
+        "batch_docs": bsz,
+        "cumulative_pairs": pair_growth,
+        "postings_rows": postings,
+    }
+
+
 def split_file_growth_sweep(
     spark, n_docs: int, n_batches: int = 100, compact_every: int = 0
 ) -> dict:
@@ -1153,6 +1245,16 @@ def main() -> None:
         "(doc counts from --doc-scales)",
     )
     ap.add_argument(
+        "--stream-decay", type=int, metavar="N_EVENTS",
+        help="run ONLY the incremental decay-fold per-batch sweep at "
+        "N_EVENTS (expect flat per-batch cost + deferred read scoring)",
+    )
+    ap.add_argument(
+        "--stream-ssjoin", type=int, metavar="N_DOCS",
+        help="run ONLY the incremental set-similarity-join sweep at "
+        "N_DOCS (expect collision/output-bound per-batch cost)",
+    )
+    ap.add_argument(
         "--semantic-probe", type=int, nargs="+", metavar="N_PROBE",
         help="run ONLY the semantic-contamination probe-size sweep "
         "(one-block vs folded-4k-blocks per size)",
@@ -1353,6 +1455,30 @@ def main() -> None:
                 {
                     "metric": "contamination gate A/B: exact set broadcast vs Bloom bitmap",
                     "bloom_ab": bloom_ab_point(spark, args.bloom_ab, reps=args.reps),
+                }
+            )
+        )
+        return
+    if args.stream_decay:
+        print(
+            json.dumps(
+                {
+                    "metric": "incremental decay-fold per-batch latency",
+                    "stream_decay": stream_decay_sweep(
+                        spark, args.stream_decay, n_batches=args.n_batches
+                    ),
+                }
+            )
+        )
+        return
+    if args.stream_ssjoin:
+        print(
+            json.dumps(
+                {
+                    "metric": "incremental set-similarity-join per-batch latency vs postings state",
+                    "stream_ssjoin": stream_ssjoin_sweep(
+                        spark, args.stream_ssjoin, n_batches=args.n_batches
+                    ),
                 }
             )
         )
