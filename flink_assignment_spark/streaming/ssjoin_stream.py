@@ -134,7 +134,18 @@ def merge_ssjoin_batch(
     state = backend.read(spark, post_path, "bucket")
     if state is not None:
         touched = [int(r.bucket) for r in sh.select("bucket").distinct().collect()]
-        seen = state.filter(F.col("bucket").isin(touched))
+        # PROBE-SIDE DEDUP is load-bearing, not hygiene: a replayed
+        # batch whose crash fell between the postings append and the
+        # marker leaves duplicate (h, doc) rows, and the pair kernel
+        # COUNTS join rows — duplicates would inflate `common` and
+        # corrupt every future Jaccard against that doc until the
+        # out-of-band compaction ran. (The linkage stream tolerates
+        # duplicates because its reader drops pair duplicates; here
+        # the count itself must be exact.) Cost is bounded by the
+        # touched-bucket slice, not the index.
+        seen = state.filter(F.col("bucket").isin(touched)).dropDuplicates(
+            ["h", "doc_id"]
+        )
         # cross-batch: order the pair by id, not by arrival
         cross = sh.alias("n").join(
             seen.alias("s"),

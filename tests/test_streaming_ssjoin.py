@@ -133,3 +133,33 @@ def test_ssjoin_uncheckpointed_restart_refused(spark, tmp_path):
     dummy = spark.createDataFrame([(1, "a b c")], SCHEMA)
     with pytest.raises(ValueError, match="applied-batch"):
         incremental_ssjoin(dummy, state_dir, TAU)
+
+
+def test_ssjoin_crash_window_duplicate_postings_stay_exact(spark, tmp_path):
+    """The postings-append → marker crash window leaves one batch's
+    postings DUPLICATED on replay; the pair kernel counts join rows,
+    so without the probe-side dedup a future batch's Jaccard against
+    those docs would be inflated (possibly past the threshold). Kill
+    the fold inside the window and assert the next batch's pairs
+    equal the never-crashed outcome exactly."""
+    b0 = [(1, "the quick brown fox jumps over the lazy dog today")]
+    b1 = [(2, "the quick brown fox jumps over the lazy dog tonight")]
+
+    # never-crashed reference
+    ref = tmp_path / "ref"
+    merge_ssjoin_batch(spark.createDataFrame(b0, SCHEMA), 0, str(ref), TAU)
+    merge_ssjoin_batch(spark.createDataFrame(b1, SCHEMA), 1, str(ref), TAU)
+    want = _stream_pairs(spark, ref)
+
+    # crashed run: batch 0 applies fully, then its marker is removed
+    # (simulating the crash after the postings append) and batch 0
+    # redelivers — postings rows for doc 1 now exist TWICE
+    state = tmp_path / "crash"
+    merge_ssjoin_batch(spark.createDataFrame(b0, SCHEMA), 0, str(state), TAU)
+    os.remove(os.path.join(str(state), "_applied_batch"))
+    merge_ssjoin_batch(spark.createDataFrame(b0, SCHEMA), 0, str(state), TAU)
+    post = spark.read.parquet(os.path.join(str(state), "postings"))
+    # the duplication is real: physical rows exceed distinct (h, doc)
+    assert post.count() > post.dropDuplicates(["h", "doc_id"]).count()
+    merge_ssjoin_batch(spark.createDataFrame(b1, SCHEMA), 1, str(state), TAU)
+    assert _stream_pairs(spark, state) == want
