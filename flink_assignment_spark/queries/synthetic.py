@@ -6959,6 +6959,32 @@ REGISTRY.update(
 )
 
 
+# ------------------- word-frequency BPE training (the 100 TB form)
+def q142_bpe_word_merges(spark, sf_dir):
+    """Word-frequency BPE training (Sennrich 2016's word-internal
+    form) — the 100 TB tokenizer-build path next to q135's exact
+    byte-level trainer: ONE corpus pass folds the whitespace-tokenized
+    corpus into the distinct (word, count) table, then every merge
+    round runs over VOCAB-sized state with frequency-weighted pair
+    counts — per-merge cost flat in corpus size (measured: 0.98 →
+    0.53 s/merge across a 10× corpus at fixed vocab, SCALING.md),
+    where the byte-level form rewrites the full corpus each round to
+    keep cross-word counts exact. FULL corpus, no sample — vocab-sized
+    rounds make the sample unnecessary, which is the point. Rows-only
+    like q135 (iterative argmax is not SQL-expressible); pytest pins
+    rule equality with the byte-level trainer on word-internal-winner
+    corpora, k-fold duplication invariance, and the never-cross-a-
+    boundary property (tests/test_bpe.py)."""
+    from ..operators.bpe import bpe_merges_df
+
+    return bpe_merges_df(
+        _t(spark, sf_dir, "documents"), 6, word_level=True
+    )
+
+
+REGISTRY.update({"q142_bpe_word_merges": QuerySpec(q142_bpe_word_merges, None)})
+
+
 # ------------------------------------------------------------------------
 # Registry ordering contract: the driver's correctness harness records
 # at most 50 entries per round, in registry order — so the order IS the
