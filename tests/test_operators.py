@@ -1055,24 +1055,37 @@ def test_cosine_topk_query_artifact_roundtrip(spark, tmp_path):
     assert direct == via and len(direct) == 60
 
 
-def test_session_broadcast_slot_evicts_on_artifact_swap(spark):
+def test_session_broadcast_slot_evicts_on_artifact_swap(spark, monkeypatch):
     """A blue/green artifact swap (new fingerprint, same slot) must
     unpersist the superseded broadcast IMMEDIATELY rather than waiting
     for the 8-entry LRU to reach it (r13 judge ask #7: a swap-heavy
     session pinned up to CAP-1 dead executor copies for its
-    lifetime). Memory profile across N swaps is flat: one live entry
-    per slot."""
+    lifetime). Two assertions: the old broadcast's executor copies are
+    actually RELEASED (unpersist observed on the superseded object),
+    and the memory profile across N swaps is flat — one live entry per
+    slot."""
+    from pyspark.broadcast import Broadcast
+
     from flink_assignment_spark.operators.similarity import (
         _BC_MEMO,
         collect_probe_blocks,
         semantic_contamination,
     )
 
+    released: list[int] = []
+    orig_unpersist = Broadcast.unpersist
+
+    def spying_unpersist(self, blocking=False):
+        released.append(id(self))
+        return orig_unpersist(self, blocking)
+
+    monkeypatch.setattr(Broadcast, "unpersist", spying_unpersist)
+
     corpus = spark.createDataFrame(
         _emb_rows(range(10), seed=1), "vec_id long, embedding array<double>"
     )
     app = spark.sparkContext.applicationId
-    fps = []
+    fps, superseded = [], []
     for seed in range(2, 7):  # five successive probe-set swaps
         probes = spark.createDataFrame(
             _emb_rows(range(5), seed=seed), "vec_id long, embedding array<double>"
@@ -1083,4 +1096,8 @@ def test_session_broadcast_slot_evicts_on_artifact_swap(spark):
         live = [k for k in _BC_MEMO if k[0] == app and k[1].startswith("probe:")]
         # exactly ONE live probe broadcast — the newest fingerprint
         assert live == [(app, "probe:" + pb.fingerprint)]
+        superseded.append(id(_BC_MEMO[live[0]]))
     assert len(set(fps)) == 5  # the swaps were real (distinct artifacts)
+    # every superseded broadcast (all but the newest) was unpersisted
+    for old in superseded[:-1]:
+        assert old in released
