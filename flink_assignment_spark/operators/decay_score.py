@@ -24,7 +24,15 @@ DECAY_KCAP = 30  # keeps every partial sum exactly representable
 
 def decay_age(day: Column, asof: str) -> Column:
     """Capped whole-day age of ``day`` at ``asof`` (a NULL day is the
-    always-capped sentinel the streaming compaction writes)."""
+    always-capped sentinel the streaming compaction writes). Clamped
+    at BOTH ends: an event dated after ``asof`` (or a replayed read
+    with an earlier asof) must score at age 0, not feed a negative
+    shift count into ``shiftleft`` — Spark/Java wraps a negative count
+    mod 64 while DuckDB's ``<<`` does not, which would silently break
+    the exact cross-engine dyadic contract this module promises."""
     return F.when(day.isNull(), F.lit(DECAY_KCAP)).otherwise(
-        F.least(F.datediff(F.lit(asof).cast("date"), day), F.lit(DECAY_KCAP))
+        F.greatest(
+            F.lit(0),
+            F.least(F.datediff(F.lit(asof).cast("date"), day), F.lit(DECAY_KCAP)),
+        )
     )

@@ -6804,8 +6804,9 @@ def q139_decay_activity(spark, sf_dir):
 Q139_SQL = f"""
 WITH per AS (
   SELECT user_id,
-         least(date_diff('day', CAST(ts AS DATE), DATE '{DECAY_ASOF}'),
-               {DECAY_KCAP}) AS k,
+         greatest(0,
+           least(date_diff('day', CAST(ts AS DATE), DATE '{DECAY_ASOF}'),
+                 {DECAY_KCAP})) AS k,
          count(*) AS c
   FROM events GROUP BY 1, 2
 )

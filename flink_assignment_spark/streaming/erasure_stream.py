@@ -92,8 +92,15 @@ def gate_batch(
 ) -> DataFrame:
     """Drop every record whose subject is tombstoned — one broadcast
     anti-join against the (tiny) tombstone set; run it inside any
-    foreachBatch sink before the records reach storage."""
-    tomb = read_tombstones(records.sparkSession, state_dir, backend)
+    foreachBatch sink before the records reach storage. No tombstone
+    state yet (the gate wired before the first delete request lands)
+    is a NORMAL state, not an error: the batch passes through
+    unchanged rather than crashing the sink."""
+    backend = backend or DEFAULT_BACKEND
+    t = backend.read(records.sparkSession, _tombs_path(state_dir), "bucket")
+    if t is None:
+        return records
+    tomb = t.select("user_id").distinct()
     return records.join(
         F.broadcast(tomb.withColumnRenamed("user_id", key_col)),
         key_col,

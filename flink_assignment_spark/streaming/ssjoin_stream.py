@@ -42,10 +42,15 @@ untouched, which is the property q128 exists to guarantee.
 Replay (foreachBatch is at-least-once): pairs-append → postings-append
 → marker, the linkage contract: a fully-applied redelivery is skipped
 by the marker; a replay that raced the crash re-derives the SAME pairs
-(the state probe may now also see the batch's own postings — those
-rediscoveries duplicate the batch-internal pairs exactly, because a
-pair's common/na/nb depend only on final document contents) and
-``read_ssjoin_pairs`` drops duplicates by (doc_a, doc_b).
+and ``read_ssjoin_pairs`` drops duplicates by (doc_a, doc_b). The
+state probe is STRICTLY cross-batch (the batch's own doc ids are
+anti-joined out of ``seen``), so even when the crash fell after the
+postings append — i.e. the replayed batch's own shingles are already
+in state — batch-internal pairs are derived exactly once, from
+``internal``; without that fence they would also match ``cross`` in
+both directions and the shared groupBy would count common three times
+(pinned by tests/test_streaming_ssjoin.py's two-doc crash-window
+test).
 """
 
 from __future__ import annotations
@@ -145,6 +150,17 @@ def merge_ssjoin_batch(
         # touched-bucket slice, not the index.
         seen = state.filter(F.col("bucket").isin(touched)).dropDuplicates(
             ["h", "doc_id"]
+        )
+        # STRICTLY CROSS-BATCH: a replay whose crash fell AFTER the
+        # postings append sees the batch's own docs in state; letting
+        # them through would re-derive each batch-internal pair from
+        # `cross` in BOTH directions on top of `internal` — the three
+        # share one groupBy, so common would be 3c and the Jaccard
+        # inflated (denominator na+nb-3c can even go <= 0). Anti-join
+        # the batch's own ids out so `internal` is the only source of
+        # same-batch pairs under any crash window.
+        seen = seen.join(
+            sh.select("doc_id").distinct(), "doc_id", "left_anti"
         )
         # cross-batch: order the pair by id, not by arrival
         cross = sh.alias("n").join(

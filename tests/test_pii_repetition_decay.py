@@ -139,3 +139,27 @@ def test_pipeline_scrub_pii_extended(spark):
     assert base == "see <URL> mail <EMAIL> ip 10.1.2.3 call 555-1234"
     ext = CorpusPipeline(docs).scrub_pii(extended=True).df.collect()[0].text
     assert ext == "see <URL> mail <EMAIL> ip <IP> call <PHONE>"
+
+
+def test_decay_age_clamps_future_events(spark):
+    """An event dated AFTER asof (or a read with an earlier asof) must
+    score at age 0 — a negative shift count would wrap mod 64 in
+    Spark/Java while DuckDB's << does not, silently breaking the exact
+    cross-engine dyadic contract (r14 ADVICE)."""
+    from pyspark.sql import functions as F
+
+    from flink_assignment_spark.operators.decay_score import decay_age
+
+    df = spark.createDataFrame(
+        [("2024-02-05",), ("2024-02-01",), ("2024-01-31",), (None,)],
+        "day string",
+    ).select(decay_age(F.col("day").cast("date"), "2024-02-01").alias("k"))
+    ks = [r.k for r in df.collect()]
+    assert ks == [0, 0, 1, 30]
+    # the full term stays a positive dyadic rational for a future day
+    term = df.select(
+        F.expr(
+            "cast(1 as double) / cast(shiftleft(cast(1 as bigint), k) as double)"
+        ).alias("t")
+    )
+    assert all(0 < r.t <= 1.0 for r in term.collect())

@@ -102,3 +102,13 @@ def test_erasure_uncheckpointed_restart_refused(spark, tmp_path):
     dummy = spark.createDataFrame([(1,)], REQ_SCHEMA)
     with pytest.raises(ValueError, match="applied-batch"):
         incremental_tombstones(dummy, state_dir)
+
+
+def test_gate_passes_through_before_first_tombstone(spark, tmp_path):
+    """A gate wired into a pipeline BEFORE any delete request has
+    landed must pass records through unchanged — an empty tombstone
+    set is a normal state, not an error (r14 ADVICE: the old raise
+    crashed the foreachBatch sink)."""
+    ev = load_table(spark, SF_DIR, "events").limit(20)
+    kept = gate_batch(ev, str(tmp_path / "never-written"))
+    assert kept.count() == ev.count()

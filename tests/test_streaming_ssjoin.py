@@ -163,3 +163,31 @@ def test_ssjoin_crash_window_duplicate_postings_stay_exact(spark, tmp_path):
     assert post.count() > post.dropDuplicates(["h", "doc_id"]).count()
     merge_ssjoin_batch(spark.createDataFrame(b1, SCHEMA), 1, str(state), TAU)
     assert _stream_pairs(spark, state) == want
+
+
+def test_ssjoin_crash_window_internal_pair_not_triple_counted(spark, tmp_path):
+    """A replayed batch containing BOTH members of a pair, with the
+    crash after the postings append: the batch's own docs are now in
+    state, so without the strict cross-batch fence the pair matches
+    `internal` AND `cross` in both directions — one groupBy sums all
+    three, common becomes 3c, and the appended jaccard row is corrupt
+    (it survives read_ssjoin_pairs' arbitrary-row dedup). Assert the
+    replay reproduces the never-crashed pair set EXACTLY, jaccard
+    values included."""
+    b0 = [
+        (1, "the quick brown fox jumps over the lazy dog today"),
+        (2, "the quick brown fox jumps over the lazy dog tonight"),
+    ]
+
+    ref = tmp_path / "ref"
+    merge_ssjoin_batch(spark.createDataFrame(b0, SCHEMA), 0, str(ref), TAU)
+    want = _stream_pairs(spark, ref)
+    assert any(p[:2] == (1, 2) for p in want)
+
+    state = tmp_path / "crash"
+    merge_ssjoin_batch(spark.createDataFrame(b0, SCHEMA), 0, str(state), TAU)
+    os.remove(os.path.join(str(state), "_applied_batch"))
+    # redelivery races the crash: postings for docs 1 and 2 are
+    # already in state while batch 0 re-derives its own pairs
+    merge_ssjoin_batch(spark.createDataFrame(b0, SCHEMA), 0, str(state), TAU)
+    assert _stream_pairs(spark, state) == want
