@@ -41,15 +41,18 @@ def run_query(df) -> None:
 
 
 def short_keys(timings: dict[str, float]) -> dict[str, float]:
-    """Query-number key compression ("q16_dedup_minhash_lsh" → "q16")
+    """Query-number key compression ("q16_dedup_minhash_lsh" → "16")
     for the driver-facing compact line, values at 2 decimals —
     tests/test_bench_contract.py pins the compact line under the
-    driver's ~2 KB tail-capture window at the current registry size
-    (the 7-char scheme outgrew it at 103 queries). Same-number names
-    (q03_keyed_count / q03_running_count) get an "x" suffix guard."""
+    driver's ~2 KB tail-capture window at the current registry size.
+    Key-scheme history, every step paid for by registry growth: 7-char
+    prefixes outgrew the window at 103 queries (→ "qNN"), and the "q"
+    itself went at 147 (every key starts with it — 150 dead bytes).
+    Same-number names (q03_keyed_count / q03_running_count) get an
+    "x" suffix guard."""
     short: dict[str, float] = {}
     for name, sec in timings.items():
-        key = name.split("_", 1)[0]
+        key = name.split("_", 1)[0].removeprefix("q")
         while key in short:
             key += "x"
         short[key] = round(sec, 2)
@@ -207,8 +210,8 @@ def main() -> None:
     # by construction today with an "x"-suffix guard; the line stays
     # well under the tail window so the final line always parses.
     compact = {
-        k: v for k, v in payload.items() if k != "metric"
-    }  # the full-name line above carries the metric string
+        k: v for k, v in payload.items() if k not in ("metric", "reps_per_query")
+    }  # the full-name line above carries the metric string + reps
     print(
         json.dumps(
             {

@@ -31,6 +31,8 @@ key. No Python in the row path.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -97,4 +99,102 @@ def pack_stats(
             F.round(F.col("total_tokens") / (F.col("n_seqs") * capacity), 6),
         )
         .withColumnRenamed("grp", group_col)
+    )
+
+
+# --------------------------------------------------------------------
+# FIRST-FIT-DECREASING bin packing — the ASSIGNMENT form of packing.
+#
+# pack_stats above measures concatenate-and-chunk (GPT-style: docs
+# split across sequence boundaries). Some training setups instead
+# want WHOLE documents per sequence (no straddling — instruction
+# tuning, contrastive batches): that is bin packing, FFD (Johnson
+# 1973, <= 11/9*OPT + 1 bins). FFD is inherently sequential, so at
+# 100 TB documents hash into deterministic shards and each shard
+# packs independently in one Arrow kernel, bin ids globally unique by
+# shard prefix; the per-shard order (size desc, id asc) is explicit,
+# so the assignment is a pure function of (corpus, budget, n_shards).
+# Sharding costs efficiency only at the margin: each shard wastes at
+# most one half-empty bin (the first-fit property), negligible when
+# shards hold >> budget tokens. Docs larger than the budget surface
+# as flagged singleton bins (a packer must not edit text).
+# --------------------------------------------------------------------
+
+
+def pack_sequences(
+    docs: DataFrame,
+    budget: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_tokens_col: str | None = None,
+    n_shards: int = 16,
+) -> DataFrame:
+    """Assign every document to a training bin: ``(doc_id, n_tokens,
+    bin_id, overflow)``. Token counts default to whitespace tokens of
+    ``text_col``; pass ``n_tokens_col`` to pack under a real
+    tokenizer's counts (e.g. size(bpe_apply(...)) — the operator is
+    count-agnostic). Each bin's token sum is ≤ ``budget`` except
+    flagged overflow singletons."""
+    if n_tokens_col is None:
+        base = docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.size(tokens(F.col(text_col))).cast("long").alias("n_tokens"),
+        )
+    else:
+        base = docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.col(n_tokens_col).cast("long").alias("n_tokens"),
+        )
+    sharded = base.withColumn(
+        "shard",
+        F.pmod(F.xxhash64("doc_id", F.lit("pack")), F.lit(n_shards)).cast("int"),
+    )
+
+    def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            ["n_tokens", "doc_id"], ascending=[False, True], kind="mergesort"
+        )
+        shard = int(pdf["shard"].iloc[0])
+        bins: list[int] = []  # remaining capacity per local bin
+        out_bin: list[int] = []
+        out_over: list[bool] = []
+        for nt in pdf["n_tokens"]:
+            nt = int(nt)
+            if nt > budget:
+                bins.append(-1)  # full sentinel: nothing joins it
+                out_bin.append(len(bins) - 1)
+                out_over.append(True)
+                continue
+            for i, cap in enumerate(bins):
+                if cap >= nt:
+                    bins[i] = cap - nt
+                    out_bin.append(i)
+                    break
+            else:
+                bins.append(budget - nt)
+                out_bin.append(len(bins) - 1)
+            out_over.append(False)
+        return pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].values,
+                "n_tokens": pdf["n_tokens"].values,
+                "bin_id": [shard * 1_000_000 + b for b in out_bin],
+                "overflow": out_over,
+            }
+        )
+
+    return sharded.groupBy("shard").applyInPandas(
+        _pack, schema="doc_id long, n_tokens long, bin_id long, overflow boolean"
+    )
+
+
+def packing_stats(assignment: DataFrame, budget: int) -> DataFrame:
+    """Per-bin roll-up of a :func:`pack_sequences` assignment:
+    ``(bin_id, n_docs, n_tokens, fill_ratio, overflow)`` — the
+    padding-waste report a training pipeline tracks."""
+    return assignment.groupBy("bin_id").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+        F.round(F.sum("n_tokens") / F.lit(float(budget)), 6).alias("fill_ratio"),
+        F.max(F.col("overflow").cast("int")).alias("overflow"),
     )

@@ -7016,6 +7016,132 @@ WHERE levenshtein(a.c_name, b.c_name) <= 2
 REGISTRY.update({"q143_fuzzy_match2": QuerySpec(q143_fuzzy_match2, Q143_SQL)})
 
 
+# ----------------- k-anonymity / l-diversity release audit
+K_ANON = 5  # minimum group size for release
+L_DIV = 3  # minimum sensitive-value diversity
+
+
+def q144_k_anonymity(spark, sf_dir):
+    """Group-privacy audit before a table release (operators/
+    privacy.py): every (nation, market segment, account-balance band)
+    quasi-identifier group with its size, sensitive-value diversity
+    (distinct exact balances), and the k-anonymity / l-diversity
+    verdicts — the re-identification guard that complements record-
+    level PII redaction (q138) and subject erasure (q140). One
+    hash-partitioned aggregate, map-side partials, no join."""
+    from ..operators.privacy import k_anonymity_audit
+
+    cust = _t(spark, sf_dir, "customer").withColumn(
+        "acct_band", F.floor(F.col("c_acctbal") / 2000).cast("int")
+    )
+    a = k_anonymity_audit(
+        cust,
+        ["c_nationkey", "c_mktsegment", "acct_band"],
+        k=K_ANON,
+        sensitive=F.col("c_acctbal"),
+        l_div=L_DIV,
+    )
+    return a.select(
+        "c_nationkey",
+        "c_mktsegment",
+        "acct_band",
+        F.col("n").cast("long").alias("n"),
+        F.col("n_sensitive").cast("long").alias("n_sensitive"),
+        F.col("k_ok").cast("int").alias("k_ok"),
+        F.col("l_ok").cast("int").alias("l_ok"),
+    )
+
+
+Q144_SQL = f"""
+SELECT c_nationkey, c_mktsegment,
+       CAST(floor(c_acctbal / 2000) AS INT) AS acct_band,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(count(DISTINCT c_acctbal) AS BIGINT) AS n_sensitive,
+       CAST(count(*) >= {K_ANON} AS INT) AS k_ok,
+       CAST(count(DISTINCT c_acctbal) >= {L_DIV} AS INT) AS l_ok
+FROM customer GROUP BY 1, 2, 3
+"""
+
+
+REGISTRY.update({"q144_k_anonymity": QuerySpec(q144_k_anonymity, Q144_SQL)})
+
+
+# ---------------- event-sequence transition matrix (Markov counts)
+def q145_event_transitions(spark, sf_dir):
+    """First-order Markov transition matrix over each user's event
+    sequence — the behavioral-model fit a product pipeline runs next
+    to the CEP patterns (q09 detects ONE pattern; this measures ALL
+    pairwise dynamics): for every (from_type, to_type), the count of
+    consecutive occurrences and the row-normalized transition
+    probability. One lag window per user (bounded partitions: ≤ ~100
+    events/user) + one aggregate; tie-broken by event_id so the
+    sequence — and the exact oracle — is deterministic. prob is an
+    int/int division in double, bit-exact across engines."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    steps = ev.select(
+        "user_id",
+        F.lag("event_type").over(w).alias("from_type"),
+        F.col("event_type").alias("to_type"),
+    ).filter(F.col("from_type").isNotNull())
+    cnt = steps.groupBy("from_type", "to_type").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    wf = Window.partitionBy("from_type")
+    return cnt.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(wf), 6).alias("prob"),
+    )
+
+
+Q145_SQL = """
+WITH steps AS (
+  SELECT user_id,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS from_type,
+         event_type AS to_type
+  FROM events
+), c AS (
+  SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+  FROM steps WHERE from_type IS NOT NULL GROUP BY 1, 2
+)
+SELECT from_type, to_type, n,
+       round(n / sum(n) OVER (PARTITION BY from_type), 6) AS prob
+FROM c
+"""
+
+
+REGISTRY.update(
+    {"q145_event_transitions": QuerySpec(q145_event_transitions, Q145_SQL)}
+)
+
+
+# ---------------- sequence packing (training-batch assembly)
+PACK_BUDGET = 128  # tokens per training sequence
+
+
+def q146_ffd_binpack(spark, sf_dir):
+    """Whole-document sample packing for a training run (operators/
+    packing.py FFD section; q66 is the concatenate-and-chunk form):
+    documents bin-packed into fixed 128-token sequences by sharded
+    first-fit-decreasing — per-bin fill report. Rows-only: FFD
+    assignment is an algorithmic artifact, not SQL-derivable; the
+    budget ceiling, conservation (every doc in exactly one bin),
+    determinism, and the ≤-one-half-empty-bin-per-shard efficiency
+    property are pytest-pinned (tests/test_round15_properties.py)."""
+    from ..operators.packing import pack_sequences, packing_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    return packing_stats(
+        pack_sequences(docs, PACK_BUDGET), PACK_BUDGET
+    ).orderBy("bin_id")
+
+
+REGISTRY.update({"q146_ffd_binpack": QuerySpec(q146_ffd_binpack, None)})
+
+
 # ------------------------------------------------------------------------
 # Registry ordering contract: the driver's correctness harness records
 # at most 50 entries per round, in registry order — so the order IS the

@@ -31,8 +31,10 @@ def test_compact_line_fits_tail_window():
             "unit": "sec",
             "queries": short_keys(timings),
             "sf": 0.1,
-            "reps_per_query": 2,
-            "sent": {k: [123.45, 12.3] for k in ("q05", "q23", "q39", "q72", "q74")},
+            "sent": {
+                k: [123.45, 12.3]
+                for k in ("q05", "q23", "q39", "q72", "q74", "probe")
+            },
         },
         separators=(",", ":"),
     )
@@ -49,5 +51,5 @@ def test_short_keys_unique_and_values_rounded():
     assert all(v == 1.23 for v in short.values())
     # every key resolves back to at least one query by number prefix
     for key in short:
-        base = key.rstrip("x")
+        base = "q" + key.rstrip("x")
         assert any(n.split("_", 1)[0] == base for n in names), key
