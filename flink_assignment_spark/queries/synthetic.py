@@ -7142,6 +7142,143 @@ def q146_ffd_binpack(spark, sf_dir):
 REGISTRY.update({"q146_ffd_binpack": QuerySpec(q146_ffd_binpack, None)})
 
 
+# ---------------- rolling anomaly detection (exact integer z-scores)
+def q147_rolling_anomaly(spark, sf_dir):
+    """Rolling per-user activity anomalies — the monitoring query an
+    event pipeline runs next to the drift monitor (q134 compares
+    windows; this scores each day against the user's own trailing
+    week): a day is anomalous when its event count deviates from the
+    trailing-7-day mean by more than 2 sample standard deviations.
+
+    Cross-engine exactness by construction: the window aggregates are
+    INTEGER sums (count, sum, sum of squares over a deterministic
+    ordered frame), and mean/variance derive from them with the exact
+    closed form var = (n·Σx² − (Σx)²) / (n·(n−1)) — never the engines'
+    streaming stddev kernels, whose float fold orders need not agree.
+    dev² > 4·var compares exactly representable products, so the flag
+    itself involves no rounding at all."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id", F.to_date("ts").alias("day")
+    ).agg(F.count("*").alias("c"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    n = F.count("*").over(w)
+    s = F.sum("c").over(w)
+    ss = F.sum(F.col("c") * F.col("c")).over(w)
+    stats = daily.select(
+        "user_id",
+        "day",
+        F.col("c").cast("long").alias("c"),
+        n.cast("long").alias("n"),
+        s.cast("long").alias("s"),
+        ss.cast("long").alias("ss"),
+    ).filter(F.col("n") >= 4)
+    mean = F.col("s") / F.col("n")
+    var = (F.col("n") * F.col("ss") - F.col("s") * F.col("s")) / (
+        F.col("n") * (F.col("n") - 1)
+    )
+    dev = F.col("c") - mean
+    return stats.select(
+        "user_id",
+        "day",
+        "c",
+        F.round(mean, 6).alias("mean7"),
+        F.round(var, 6).alias("var7"),
+        (dev * dev > F.lit(4) * var).cast("int").alias("anomaly"),
+    ).filter(F.col("anomaly") == 1)
+
+
+Q147_SQL = """
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS c
+  FROM events GROUP BY 1, 2
+), stats AS (
+  SELECT user_id, day, CAST(c AS BIGINT) AS c,
+         CAST(count(*) OVER w AS BIGINT) AS n,
+         CAST(sum(c) OVER w AS BIGINT) AS s,
+         CAST(sum(c * c) OVER w AS BIGINT) AS ss
+  FROM daily
+  WINDOW w AS (PARTITION BY user_id ORDER BY day
+               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+)
+SELECT user_id, day, c,
+       round(s / n, 6) AS mean7,
+       round((n * ss - s * s) / (n * (n - 1.0)), 6) AS var7,
+       CAST((c - s / n) * (c - s / n) > 4 * (n * ss - s * s)
+            / (n * (n - 1.0)) AS INT) AS anomaly
+FROM stats
+WHERE n >= 4
+  AND (c - s / n) * (c - s / n) > 4 * (n * ss - s * s) / (n * (n - 1.0))
+"""
+
+
+REGISTRY.update(
+    {"q147_rolling_anomaly": QuerySpec(q147_rolling_anomaly, Q147_SQL)}
+)
+
+
+# ---------------- cohort retention matrix (exact; q82 is the sketch)
+def q148_cohort_retention(spark, sf_dir):
+    """Weekly cohort retention — the exact counterpart of q82's theta-
+    sketch retention: users cohorted by their FIRST event week, then
+    for each (cohort_week, weeks_since) the distinct users active that
+    many weeks later and the retention rate against the cohort's size.
+    Two shuffles (first-event min; distinct per cell), both on bounded
+    keys; the rate is int/int division in double — bit-exact."""
+    ev = _t(spark, sf_dir, "events")
+    base = ev.select("user_id", F.to_date("ts").alias("day"))
+    # epoch-week: days since 1970-01-05 (a Monday) / 7 — engine-stable
+    week = F.floor(F.datediff(F.col("day"), F.lit("1970-01-05").cast("date")) / 7)
+    weekly = base.select("user_id", week.cast("long").alias("week")).distinct()
+    first = weekly.groupBy("user_id").agg(F.min("week").alias("cohort"))
+    cells = (
+        weekly.join(first, "user_id")
+        .groupBy("cohort", (F.col("week") - F.col("cohort")).alias("weeks_since"))
+        .agg(F.countDistinct("user_id").cast("long").alias("n_active"))
+    )
+    size = first.groupBy("cohort").agg(
+        F.count("*").cast("long").alias("cohort_size")
+    )
+    return cells.join(size, "cohort").select(
+        "cohort",
+        F.col("weeks_since").cast("long").alias("weeks_since"),
+        "n_active",
+        "cohort_size",
+        F.round(F.col("n_active") / F.col("cohort_size"), 6).alias("retention"),
+    )
+
+
+Q148_SQL = """
+WITH weekly AS (
+  SELECT DISTINCT user_id,
+         CAST(floor(date_diff('day', DATE '1970-01-05', CAST(ts AS DATE)) / 7.0)
+              AS BIGINT) AS week
+  FROM events
+), first AS (
+  SELECT user_id, min(week) AS cohort FROM weekly GROUP BY 1
+), cells AS (
+  SELECT f.cohort, w.week - f.cohort AS weeks_since,
+         CAST(count(DISTINCT w.user_id) AS BIGINT) AS n_active
+  FROM weekly w JOIN first f USING (user_id)
+  GROUP BY 1, 2
+), size AS (
+  SELECT cohort, CAST(count(*) AS BIGINT) AS cohort_size FROM first GROUP BY 1
+)
+SELECT cohort, CAST(weeks_since AS BIGINT) AS weeks_since, n_active,
+       cohort_size, round(n_active / cohort_size, 6) AS retention
+FROM cells JOIN size USING (cohort)
+"""
+
+
+REGISTRY.update(
+    {"q148_cohort_retention": QuerySpec(q148_cohort_retention, Q148_SQL)}
+)
+
+
 # ------------------------------------------------------------------------
 # Registry ordering contract: the driver's correctness harness records
 # at most 50 entries per round, in registry order — so the order IS the

@@ -1,5 +1,5 @@
 """Incremental record linkage — the streaming twin of q125
-(operators/linkage.fuzzy_pairs_lev1).
+(operators/linkage.fuzzy_pairs, any max_dist; k=1 default).
 
 An entity table ingested live must surface fuzzy matches the moment a
 record lands: each arriving record pairs against every previously-seen
@@ -41,7 +41,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.text import hash60
-from ..operators.linkage import deletion_variants
+from ..operators.linkage import deletion_neighborhood
 from ._state import (
     DEFAULT_BACKEND,
     applied_batch,
@@ -60,13 +60,42 @@ def _pairs_path(state_dir: str) -> str:
     return os.path.join(state_dir, "pairs")
 
 
-def _variant_rows(batch_df: DataFrame, id_col: str, name_col: str) -> DataFrame:
+def _resolve_max_dist(state_dir: str, requested: int) -> int:
+    """Pin max_dist at first fold (the _detector n_pt pattern): the
+    variant index is only complete for the k it was built with, so a
+    caller changing the parameter mid-stream must fail loudly, not
+    silently miss pairs."""
+    path = os.path.join(state_dir, "_max_dist")
+    if os.path.exists(path):
+        with open(path) as f:
+            pinned = int(f.read().strip())
+        if pinned != requested:
+            raise ValueError(
+                f"linkage state at {state_dir!r} was built with "
+                f"max_dist={pinned}; got {requested} — the index is only "
+                "complete for the distance it was built with (rebuild, or "
+                "keep the pinned value)"
+            )
+        return pinned
+    os.makedirs(state_dir, exist_ok=True)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(str(int(requested)))
+    os.replace(tmp, path)
+    return requested
+
+
+def _variant_rows(
+    batch_df: DataFrame, id_col: str, name_col: str, max_dist: int
+) -> DataFrame:
     v = (
         batch_df.select(F.col(id_col).alias("rid"), F.col(name_col).alias("name"))
         .select(
             "rid",
             "name",
-            F.explode_outer(deletion_variants(F.col("name"))).alias("var"),
+            F.explode_outer(
+                deletion_neighborhood(F.col("name"), max_dist)
+            ).alias("var"),
         )
         .filter(F.col("var").isNotNull())
     )
@@ -81,18 +110,23 @@ def merge_linkage_batch(
     state_dir: str,
     id_col: str = "rid",
     name_col: str = "name",
+    max_dist: int = 1,
     backend=None,
 ) -> None:
     """Match one micro-batch against itself and the seen-record index,
     then extend the index — see the module docstring for the
-    crash/replay contract."""
+    crash/replay contract. ``max_dist`` generalizes the candidate
+    neighborhood to any edit distance (operators/linkage.fuzzy_pairs;
+    lossless at every k) and is PINNED at first fold — the index is
+    only complete for the k it was built with."""
     if batch_id <= applied_batch(state_dir):
         return
+    max_dist = _resolve_max_dist(state_dir, max_dist)
     backend = backend or DEFAULT_BACKEND
     spark = batch_df.sparkSession
     var_path, pairs_path = _variants_path(state_dir), _pairs_path(state_dir)
 
-    v = _variant_rows(batch_df, id_col, name_col).cache()
+    v = _variant_rows(batch_df, id_col, name_col, max_dist).cache()
     if v.count() == 0:
         v.unpersist()
         commit_marker(state_dir, batch_id)
@@ -137,7 +171,7 @@ def merge_linkage_batch(
 
     pairs = (
         cand.distinct()
-        .filter(F.levenshtein("name_a", "name_b") <= 1)
+        .filter(F.levenshtein("name_a", "name_b") <= max_dist)
         .select(
             "id_a",
             "id_b",
@@ -191,6 +225,7 @@ def incremental_linkage(
     state_dir: str,
     id_col: str = "rid",
     name_col: str = "name",
+    max_dist: int = 1,
     backend=None,
     checkpoint: str | None = None,
 ):
@@ -205,7 +240,9 @@ def incremental_linkage(
     require_restart_checkpoint(state_dir, checkpoint)
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
-        merge_linkage_batch(batch_df, batch_id, state_dir, id_col, name_col, backend)
+        merge_linkage_batch(
+            batch_df, batch_id, state_dir, id_col, name_col, max_dist, backend
+        )
 
     w = records.writeStream.outputMode("append").foreachBatch(_sink)
     if checkpoint is not None:

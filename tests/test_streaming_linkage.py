@@ -127,3 +127,41 @@ def test_linkage_uncheckpointed_restart_refused(spark, tmp_path):
     dummy = spark.createDataFrame([(1, "a")], SCHEMA)
     with pytest.raises(ValueError, match="applied-batch"):
         incremental_linkage(dummy, state_dir)
+
+
+def test_linkage_stream_k2_matches_batch_and_pins_max_dist(spark, tmp_path):
+    """max_dist=2 streaming linkage equals batch fuzzy_pairs(k=2) on
+    the same corpus (arrival-split), and the pinned parameter refuses
+    a mid-stream change (the index is only complete for its k)."""
+    import pytest
+
+    from flink_assignment_spark.operators.linkage import fuzzy_pairs
+
+    rows = [
+        (0, "alpha"), (1, "alpxb"), (2, "alp"), (3, "beta"),
+        (4, "betxx"), (5, "gamma"), (6, "gxmma"), (7, "ab"), (8, "ba"),
+    ]
+    df = spark.createDataFrame(rows, "rid long, name string")
+    want = {
+        (r.id_a, r.id_b, r.dist)
+        for r in fuzzy_pairs(df, "rid", "name", max_dist=2).collect()
+    }
+    assert any(p[2] == 2 for p in want)  # distance-2 pairs exist
+
+    state = tmp_path / "lk2"
+    half = len(rows) // 2
+    for b, chunk in enumerate((rows[:half], rows[half:])):
+        merge_linkage_batch(
+            spark.createDataFrame(chunk, "rid long, name string"),
+            b, str(state), max_dist=2,
+        )
+    got = {
+        (r.id_a, r.id_b, r.dist)
+        for r in read_pairs(spark, str(state)).collect()
+    }
+    assert got == want
+    with pytest.raises(ValueError, match="max_dist=2"):
+        merge_linkage_batch(
+            spark.createDataFrame(rows[:1], "rid long, name string"),
+            5, str(state), max_dist=1,
+        )
