@@ -1,0 +1,101 @@
+"""Corpus manifest — content-addressed integrity audit.
+
+A curation pipeline that erases subjects (operators/erasure.py,
+streaming/erasure_stream.py), rewrites buckets, and compacts state
+needs a cheap way to PROVE two copies of a table hold the same rows —
+across engines, partitionings, and file layouts. The manifest is the
+lakehouse answer: per hash-bucket, the row count and an
+order-independent digest (the SUM of per-row md5-derived hashes,
+wrapped into 63 bits so the engines' bigint overflow semantics never
+fire). Equal manifests ⇔ equal row multisets per bucket (up to hash
+collision, ~2^-60 per row pair); a single changed, dropped, or
+duplicated row flips exactly its bucket's row — so a diff localizes
+WHERE two copies diverge, the point of bucketing the digest.
+
+Design notes:
+
+- SUM, not an ordered fold: addition is commutative/associative, so
+  the digest is partition- and order-independent by construction — no
+  sort, one aggregate pass, map-side partials (same reason the
+  mixture/decay folds use order-free forms).
+- md5-derived ``hash60``, not the engines' native ``hash``: the
+  DuckDB oracle computes the identical value, so the manifest itself
+  is oracle-checkable (the hash-dependent-operator rule every MinHash/
+  SimHash query here follows).
+- the sum runs in DECIMAL(38,0) on the Spark side (exact to 10^38 —
+  ~10^20 rows per bucket before it could saturate) because a bigint
+  sum of 60-bit values overflows after only EIGHT rows, and Spark's
+  silent two's-complement wrap disagrees with DuckDB's int128
+  accumulation; the final ``% 2^63`` renormalizes both engines to the
+  same non-negative bigint.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import hash60
+
+N_BUCKETS = 64
+_WRAP = 2**63
+
+
+def row_digest(cols: list[Column]) -> Column:
+    """60-bit content hash of one row: md5 over the '\\x1f'-joined
+    string forms (NULL-safe: concat_ws folds NULL to '', distinct
+    from any real value by position)."""
+    return hash60(F.concat_ws("\x1f", *[c.cast("string") for c in cols]))
+
+
+def corpus_manifest(
+    df: DataFrame,
+    key_col: str,
+    content_cols: list[str],
+    n_buckets: int = N_BUCKETS,
+) -> DataFrame:
+    """``(bucket, n_rows, digest)`` per hash-bucket of ``key_col`` —
+    one aggregate pass, fully order/partitioning-independent."""
+    h = row_digest([F.col(c) for c in content_cols])
+    bucket = F.pmod(
+        hash60(F.concat(F.lit("manifest:"), F.col(key_col).cast("string"))),
+        F.lit(n_buckets),
+    ).cast("int")
+    return (
+        df.select(bucket.alias("bucket"), h.alias("h"))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            # 2^63 exceeds a JVM long literal — ship it as a decimal
+            (
+                F.sum(F.col("h").cast("decimal(38,0)"))
+                % F.expr(f"CAST('{_WRAP}' AS DECIMAL(38,0))")
+            )
+            .cast("long")
+            .alias("digest"),
+        )
+    )
+
+
+def manifest_diff(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Buckets where two manifests disagree (full outer join on
+    bucket; a bucket present on one side only also surfaces) — the
+    localization step an integrity check runs before any row-level
+    repair scan."""
+    aa = a.select(
+        "bucket",
+        F.col("n_rows").alias("n_rows_a"),
+        F.col("digest").alias("digest_a"),
+    )
+    bb = b.select(
+        "bucket",
+        F.col("n_rows").alias("n_rows_b"),
+        F.col("digest").alias("digest_b"),
+    )
+    j = aa.join(bb, "bucket", "full_outer")
+    return j.filter(
+        ~(
+            F.col("digest_a").eqNullSafe(F.col("digest_b"))
+            & F.col("n_rows_a").eqNullSafe(F.col("n_rows_b"))
+        )
+    )

@@ -7279,6 +7279,43 @@ REGISTRY.update(
 )
 
 
+# ---------------- corpus manifest (content-addressed integrity audit)
+def q149_corpus_manifest(spark, sf_dir):
+    """Integrity manifest of the documents table (operators/
+    manifest.py): per hash-bucket row count + order-independent
+    content digest (sum of md5-derived row hashes mod 2^63, summed in
+    exact decimal — a bigint sum of 60-bit hashes overflows after 8
+    rows). Equal manifests ⇔ equal row multisets per bucket; a diff
+    localizes divergence to buckets before any row-level scan — the
+    audit an erasure/compaction pipeline runs to prove a rewrite
+    changed exactly what it claimed. Oracle-exact because the digest
+    uses the shared md5 hash, not engine-native hash()."""
+    from ..operators.manifest import corpus_manifest
+
+    docs = _t(spark, sf_dir, "documents")
+    return corpus_manifest(docs, "doc_id", ["doc_id", "text", "lang", "source"])
+
+
+Q149_SQL = """
+WITH h AS (
+  SELECT CAST(CAST('0x' || substring(md5('manifest:' || CAST(doc_id AS VARCHAR)), 1, 15)
+              AS BIGINT) % 64 AS INT) AS bucket,
+         CAST('0x' || substring(md5(
+           CAST(doc_id AS VARCHAR) || chr(31) || text || chr(31) ||
+           lang || chr(31) || source), 1, 15) AS BIGINT) AS hv
+  FROM documents
+)
+SELECT bucket, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(hv) % 9223372036854775808 AS BIGINT) AS digest
+FROM h GROUP BY bucket
+"""
+
+
+REGISTRY.update(
+    {"q149_corpus_manifest": QuerySpec(q149_corpus_manifest, Q149_SQL)}
+)
+
+
 # ------------------------------------------------------------------------
 # Registry ordering contract: the driver's correctness harness records
 # at most 50 entries per round, in registry order — so the order IS the

@@ -1,6 +1,5 @@
 """Property tests for the round-15 operators: k-anonymity suppression,
-sequence packing, and privacy-audit internals (the MG sketch has its
-own file, tests/test_mg_sketch.py)."""
+FFD sequence packing, and the corpus-integrity manifest."""
 
 from __future__ import annotations
 
@@ -118,3 +117,68 @@ def test_packing_with_external_token_counts(spark):
         pack_sequences(df, 64, n_tokens_col="toks", n_shards=1), 64
     )
     assert stats.filter(F.col("overflow") == 0).count() == 3
+
+
+# ------------------------------------------------------ corpus manifest
+def test_manifest_localizes_single_row_changes(spark):
+    from flink_assignment_spark.operators.manifest import (
+        corpus_manifest,
+        manifest_diff,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "doc_id", "text", "lang", "source"
+    )
+    cols = ["doc_id", "text", "lang", "source"]
+    m0 = corpus_manifest(docs, "doc_id", cols)
+    # identical copy, different partitioning: zero diff (order/layout
+    # independence is the whole point)
+    m1 = corpus_manifest(docs.repartition(23), "doc_id", cols)
+    assert manifest_diff(m0, m1).count() == 0
+    # one mutated row: exactly ONE bucket flagged, same n_rows
+    vid = docs.select(F.min("doc_id")).collect()[0][0]
+    mutated = docs.withColumn(
+        "text",
+        F.when(F.col("doc_id") == vid, F.concat(F.col("text"), F.lit("!")))
+        .otherwise(F.col("text")),
+    )
+    d = manifest_diff(m0, corpus_manifest(mutated, "doc_id", cols)).collect()
+    assert len(d) == 1 and d[0].n_rows_a == d[0].n_rows_b
+    # one dropped row: exactly one bucket flagged, count off by one
+    d2 = manifest_diff(
+        m0, corpus_manifest(docs.filter(F.col("doc_id") != vid), "doc_id", cols)
+    ).collect()
+    assert len(d2) == 1 and d2[0].n_rows_a == d2[0].n_rows_b + 1
+
+
+def test_manifest_proves_erasure_cascade(spark):
+    """Composition: the manifest localizes an erasure to exactly the
+    erased subjects' buckets — the audit a right-to-be-forgotten
+    rewrite ships with its report."""
+    from flink_assignment_spark.operators.manifest import (
+        corpus_manifest,
+        manifest_diff,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    erase = {0, 7}
+    after = docs.filter(~F.col("doc_id").isin(list(erase)))
+    d = manifest_diff(
+        corpus_manifest(docs, "doc_id", ["doc_id", "text"]),
+        corpus_manifest(after, "doc_id", ["doc_id", "text"]),
+    )
+    flagged = {r.bucket for r in d.collect()}
+    from flink_assignment_spark.functions.text import hash60
+
+    want = {
+        r.b
+        for r in docs.filter(F.col("doc_id").isin(list(erase)))
+        .select(
+            F.pmod(
+                hash60(F.concat(F.lit("manifest:"), F.col("doc_id").cast("string"))),
+                F.lit(64),
+            ).cast("int").alias("b")
+        )
+        .collect()
+    }
+    assert flagged == want
