@@ -348,3 +348,36 @@ def test_temperature_targets_empty_corpus_raises(spark):
     docs = load_table(spark, SF_DIR, "documents").filter(F.lit(False))
     with pytest.raises(ValueError, match="empty corpus"):
         temperature_targets(docs, "lang", 300)
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    names=st.lists(
+        st.text(alphabet="abc", min_size=0, max_size=6), min_size=2, max_size=8
+    ),
+    k=st.integers(min_value=1, max_value=2),
+)
+def test_fuzzy_pairs_property_vs_bruteforce(spark, names, k):
+    """Property: for random short strings over a tiny alphabet (dense
+    edit neighborhoods — the adversarial case for candidate
+    generation), fuzzy_pairs(k) equals the brute-force all-pairs
+    Levenshtein filter exactly. Losslessness of the deletion-
+    neighborhood join at k ∈ {1, 2}, not just on curated examples."""
+    from flink_assignment_spark.operators.linkage import fuzzy_pairs
+
+    rows = list(enumerate(names))
+    df = spark.createDataFrame(rows, "rid long, name string")
+    got = {
+        (r.id_a, r.id_b, r.dist)
+        for r in fuzzy_pairs(df, "rid", "name", max_dist=k).collect()
+    }
+    want = {
+        (i, j, _lev(a, b))
+        for (i, a), (j, b) in itertools.combinations(rows, 2)
+        if _lev(a, b) <= k
+    }
+    assert got == want
