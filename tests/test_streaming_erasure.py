@@ -217,3 +217,57 @@ def test_detector_erase_crash_window_masks_reads(spark, tmp_path):
         1, str(state),
     )
     assert all(victim not in p[:2] for p in _lsh_pairs(spark, state))
+
+
+def test_rtbf_composition_detector_plus_manifest(spark, tmp_path):
+    """The full right-to-be-forgotten story across two live state
+    surfaces: docs stream into the LSH detector AND the incremental
+    manifest; one subject's doc is erased; afterwards (a) the detector
+    answers as if the doc never existed, and (b) the live manifest
+    equals a from-scratch manifest of the surviving corpus — the
+    erasure is both EFFECTIVE (no trace serves) and PROVEN (the audit
+    artifact agrees)."""
+    from flink_assignment_spark.operators.manifest import (
+        corpus_manifest,
+        manifest_diff,
+    )
+    from flink_assignment_spark.streaming.lsh_stream import (
+        erase_lsh_docs,
+        merge_lsh_batch,
+    )
+    from flink_assignment_spark.streaming.manifest_stream import (
+        merge_manifest_batch,
+        read_manifest,
+    )
+
+    rows = [(r.doc_id, r.text) for r in _lsh_docs(spark, 30).collect()]
+    det = tmp_path / "det"
+    man = tmp_path / "man"
+    half = len(rows) // 2
+    for b, chunk in enumerate((rows[:half], rows[half:])):
+        df = spark.createDataFrame(chunk, "doc_id long, text string")
+        merge_lsh_batch(df, b, str(det))
+        merge_manifest_batch(df, b, str(man), "doc_id", ["doc_id", "text"])
+
+    victim = rows[0][0]
+    erase_lsh_docs(spark, str(det), [victim])
+    merge_manifest_batch(
+        spark.createDataFrame([rows[0]], "doc_id long, text string"),
+        2, str(man), "doc_id", ["doc_id", "text"], sign=-1,
+    )
+
+    # (a) effective: no served pair mentions the subject, and a probe
+    # duplicating the erased text matches only the survivors
+    assert all(victim not in p[:2] for p in _lsh_pairs(spark, det))
+    merge_lsh_batch(
+        spark.createDataFrame([(900001, rows[0][1])], "doc_id long, text string"),
+        3, str(det),
+    )
+    assert all(victim not in p[:2] for p in _lsh_pairs(spark, det))
+
+    # (b) proven: the live manifest == rebuild without the subject
+    survivors = spark.createDataFrame(
+        [r for r in rows if r[0] != victim], "doc_id long, text string"
+    )
+    want = corpus_manifest(survivors, "doc_id", ["doc_id", "text"])
+    assert manifest_diff(read_manifest(spark, str(man)), want).count() == 0
