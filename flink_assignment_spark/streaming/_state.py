@@ -79,7 +79,11 @@ def applied_batch(state_dir: str, marker: str = "_applied_batch") -> int:
 def commit_marker(
     state_dir: str, batch_id: int, marker: str = "_applied_batch"
 ) -> None:
-    """Atomically record ``batch_id`` as applied (tmp + rename)."""
+    """Atomically record ``batch_id`` as applied (tmp + rename). The
+    state dir may not exist yet — a stream whose FIRST batches are
+    empty (e.g. a reorder buffer holding everything back) commits
+    markers before any fold has created the directory."""
+    os.makedirs(state_dir, exist_ok=True)
     tmp = os.path.join(state_dir, marker + ".tmp")
     with open(tmp, "w") as f:
         f.write(str(int(batch_id)))
