@@ -412,7 +412,16 @@ def ab_main(argv: list[str]) -> None:
                     proc.stdin.flush()
                 except OSError:
                     pass
-                proc.wait(timeout=60)
+                # a hung warm session ignoring EXIT must not abort the
+                # cleanup of the OTHER worker / files / worktree
+                try:
+                    proc.wait(timeout=60)
+                except subprocess.TimeoutExpired:
+                    proc.kill()
+                    try:
+                        proc.wait(timeout=15)
+                    except subprocess.TimeoutExpired:
+                        pass
         for path in (cur_path, ref_path):
             if path and os.path.exists(path):
                 os.remove(path)

@@ -43,9 +43,21 @@ _WRAP = 2**63
 
 def row_digest(cols: list[Column]) -> Column:
     """60-bit content hash of one row: md5 over the '\\x1f'-joined
-    string forms (NULL-safe: concat_ws folds NULL to '', distinct
-    from any real value by position)."""
-    return hash60(F.concat_ws("\x1f", *[c.cast("string") for c in cols]))
+    per-column encodings. Each column is encoded NULL-bijectively —
+    NULL → '\\x00', value v → '\\x01' + str(v) — because Spark's
+    concat_ws SKIPS null arguments (no empty slot), so without the
+    explicit encoding ('a', NULL, 'b') and ('a', 'b', NULL) would
+    collide to one digest (r15 ADVICE). The one-byte prefixes keep
+    NULL distinct from every real string including '' and '\\x00'.
+    The DuckDB oracle mirrors it as
+    ``coalesce(chr(1) || CAST(c AS VARCHAR), chr(0))``."""
+    enc = [
+        F.coalesce(
+            F.concat(F.lit("\x01"), c.cast("string")), F.lit("\x00")
+        )
+        for c in cols
+    ]
+    return hash60(F.concat_ws("\x1f", *enc))
 
 
 def corpus_manifest(

@@ -41,6 +41,20 @@ from ..functions.text import hash60, tokens
 PACK_CAPACITY = 2048
 PACK_SHARDS = 64
 
+# bin_id = (shard << SHARD_SHIFT) | local index. 48 bits of local
+# space: a 1M-bin shard (128-token budget at ~128M tokens — reached
+# at fixture-budget scale long before 100 TB) overflowed the old
+# decimal shard*1e6 scheme into the next shard's range (r15 ADVICE);
+# 2^48 local bins per shard is ~10^14, unreachable before the shard
+# count itself would be resized. Shard ids stay < 2^15 so the
+# composite fits a signed long.
+SHARD_SHIFT = 48
+
+
+def bin_shard(bin_id):
+    """Shard component of a composite bin id (Column → Column)."""
+    return F.shiftright(bin_id, SHARD_SHIFT)
+
 
 def pack_stats(
     docs: DataFrame,
@@ -178,7 +192,7 @@ def pack_sequences(
             {
                 "doc_id": pdf["doc_id"].values,
                 "n_tokens": pdf["n_tokens"].values,
-                "bin_id": [shard * 1_000_000 + b for b in out_bin],
+                "bin_id": [(shard << SHARD_SHIFT) | b for b in out_bin],
                 "overflow": out_over,
             }
         )

@@ -60,11 +60,22 @@ def k_suppress(
     generalization hierarchies aren't available. The failing-group key
     set is small by construction (only rare combinations fail), so
     the filter is a broadcast anti-join, not a second full shuffle of
-    the records."""
+    the records. The join is NULL-SAFE per column (eqNullSafe — still
+    an equi-join key Spark hash-joins on): groupBy treats NULL as a
+    group, so a plain column-list anti-join would never match a
+    failing group containing a NULL quasi value and those records
+    would leak through unsuppressed (r16, found by the streaming-gate
+    NULL parity test)."""
     failing = (
         df.groupBy(*quasi_cols)
         .agg(F.count("*").alias("n"))
         .filter(F.col("n") < k)
         .select(*quasi_cols)
+        .alias("_failing")
     )
-    return df.join(F.broadcast(failing), quasi_cols, "left_anti")
+    rec = df.alias("_rec")
+    cond = None
+    for c in quasi_cols:
+        eq = F.col(f"_rec.{c}").eqNullSafe(F.col(f"_failing.{c}"))
+        cond = eq if cond is None else (cond & eq)
+    return rec.join(F.broadcast(failing), cond, "left_anti")

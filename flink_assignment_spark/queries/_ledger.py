@@ -377,7 +377,10 @@ def changed_queries(registry, snapshot: dict[str, dict] | None = None) -> set[st
 
 
 STALE_QUOTA = 10
-ROWS_ONLY_QUOTA = 3
+# 5 (r16, was 3): at quota 3 the 10 never-driver-executed rows-only
+# queries would have taken 4 more rounds to clear (r15 judge ask #1);
+# 5 clears the backlog in 2.
+ROWS_ONLY_QUOTA = 5
 
 
 def rotated_order(

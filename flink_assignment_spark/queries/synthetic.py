@@ -7301,8 +7301,10 @@ WITH h AS (
   SELECT CAST(CAST('0x' || substring(md5('manifest:' || CAST(doc_id AS VARCHAR)), 1, 15)
               AS BIGINT) % 64 AS INT) AS bucket,
          CAST('0x' || substring(md5(
-           CAST(doc_id AS VARCHAR) || chr(31) || text || chr(31) ||
-           lang || chr(31) || source), 1, 15) AS BIGINT) AS hv
+           coalesce(chr(1) || CAST(doc_id AS VARCHAR), chr(0)) || chr(31) ||
+           coalesce(chr(1) || text, chr(0)) || chr(31) ||
+           coalesce(chr(1) || lang, chr(0)) || chr(31) ||
+           coalesce(chr(1) || source, chr(0))), 1, 15) AS BIGINT) AS hv
   FROM documents
 )
 SELECT bucket, CAST(count(*) AS BIGINT) AS n_rows,
@@ -7328,7 +7330,7 @@ REGISTRY.update(
 #            tools/query_source_hashes.json snapshot — r12 judge: the
 #            rotation was blind to code changes and rotated q16/q122
 #            out in the round their kernels changed)
-#   next     the ROWS-ONLY band — up to 3 rows-only queries, stalest
+#   next     the ROWS-ONLY band — up to 5 rows-only queries, stalest
 #            external rows-only confirmation first (r14 judge: 12 of
 #            them had never been executed by the driver at all; the
 #            spark_rows>0 + schema record is their only external

@@ -38,6 +38,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.text import tokens
+from ..operators.packing import SHARD_SHIFT
 from ._state import (
     DEFAULT_BACKEND,
     applied_batch,
@@ -46,7 +47,16 @@ from ._state import (
 )
 
 N_SHARDS = 16
-_SHARD_MUL = 1_000_000  # bin_id = shard * MUL + local id (the FFD scheme)
+# bin_id = (shard << SHARD_SHIFT) | local id — shared with the FFD
+# operator (operators/packing.py): 2^48 local bins per shard, vs the
+# old shard*1e6 scheme that silently collided into the next shard's
+# range at ~1M bins (r15 ADVICE). Fields not applicable to a row kind
+# hold the -1 SENTINEL rather than NULL: a nullable long column
+# round-trips Arrow→pandas as float64, which is exact only below
+# 2^53 — composite bin ids exceed that by construction. doc_id -1 is
+# reserved (real doc ids are non-negative).
+_LOCAL_MASK = (1 << SHARD_SHIFT) - 1
+_NA = -1
 
 
 def _path(state_dir: str) -> str:
@@ -96,10 +106,10 @@ def merge_binpack_batch(
         F.lit("doc").alias("kind"),
         "doc_id",
         "n_tokens",
-        F.lit(None).cast("long").alias("bin_id"),
-        F.lit(None).cast("long").alias("cap_left"),
-        F.lit(None).cast("boolean").alias("overflow"),
-        F.lit(None).cast("bigint").alias("batch_id"),
+        F.lit(_NA).cast("long").alias("bin_id"),
+        F.lit(_NA).cast("long").alias("cap_left"),
+        F.lit(False).alias("overflow"),
+        F.lit(_NA).cast("bigint").alias("batch_id"),
     )
     if state is not None:
         old = state.filter(F.col("shard").isin(touched)).select(
@@ -130,14 +140,15 @@ def merge_binpack_batch(
         )
         out_rows = []
         next_local = (
-            max((b % _SHARD_MUL for b in bins), default=-1) + 1
+            max((b & _LOCAL_MASK for b in bins), default=-1) + 1
         )
+        base = shard << SHARD_SHIFT
         for r in new.itertuples():
             nt = int(r.n_tokens)
             if nt > budget:
-                b = shard * _SHARD_MUL + next_local
+                b = base | next_local
                 next_local += 1
-                bins[b] = -1  # sentinel: nothing joins an overflow bin
+                bins[b] = -1  # full sentinel: nothing joins an overflow bin
                 out_rows.append((r.doc_id, nt, b, True))
                 continue
             for b in sorted(bins):
@@ -146,7 +157,7 @@ def merge_binpack_batch(
                     out_rows.append((r.doc_id, nt, b, False))
                     break
             else:
-                b = shard * _SHARD_MUL + next_local
+                b = base | next_local
                 next_local += 1
                 bins[b] = budget - nt
                 out_rows.append((r.doc_id, nt, b, False))
@@ -156,24 +167,26 @@ def merge_binpack_batch(
                 {
                     "shard": shard,
                     "kind": "assign",
-                    "doc_id": [t[0] for t in out_rows],
-                    "n_tokens": [t[1] for t in out_rows],
-                    "bin_id": [t[2] for t in out_rows],
-                    "cap_left": pd.array([None] * len(out_rows), dtype="Int64"),
+                    "doc_id": pd.array([int(t[0]) for t in out_rows], dtype="int64"),
+                    "n_tokens": pd.array([t[1] for t in out_rows], dtype="int64"),
+                    "bin_id": pd.array([t[2] for t in out_rows], dtype="int64"),
+                    "cap_left": pd.array([_NA] * len(out_rows), dtype="int64"),
                     "overflow": [t[3] for t in out_rows],
-                    "batch_id": bid,
+                    "batch_id": pd.array([bid] * len(out_rows), dtype="int64"),
                 }
             ),
             pd.DataFrame(
                 {
                     "shard": shard,
                     "kind": "bin",
-                    "doc_id": pd.array([None] * len(bins), dtype="Int64"),
-                    "n_tokens": pd.array([None] * len(bins), dtype="Int64"),
-                    "bin_id": sorted(bins),
-                    "cap_left": [bins[b] for b in sorted(bins)],
-                    "overflow": pd.array([None] * len(bins), dtype="boolean"),
-                    "batch_id": pd.array([None] * len(bins), dtype="Int64"),
+                    "doc_id": pd.array([_NA] * len(bins), dtype="int64"),
+                    "n_tokens": pd.array([_NA] * len(bins), dtype="int64"),
+                    "bin_id": pd.array(sorted(bins), dtype="int64"),
+                    "cap_left": pd.array(
+                        [bins[b] for b in sorted(bins)], dtype="int64"
+                    ),
+                    "overflow": [False] * len(bins),
+                    "batch_id": pd.array([_NA] * len(bins), dtype="int64"),
                 }
             ),
         ]

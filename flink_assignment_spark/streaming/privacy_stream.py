@@ -62,10 +62,20 @@ def _released_path(state_dir: str) -> str:
 
 
 def _with_key(df: DataFrame, quasi_cols: list[str]) -> DataFrame:
-    """One canonical string key per quasi combination (NULL-safe:
-    concat_ws folds NULL to '' per part, distinct from any real value
-    by the unit separator) + its state bucket."""
-    key = F.concat_ws("\x1f", *[F.col(c).cast("string") for c in quasi_cols])
+    """One canonical string key per quasi combination + its state
+    bucket. NULL-bijective per column (NULL → '\\x00', v → '\\x01'+v,
+    the manifest row_digest encoding): concat_ws SKIPS null args, so
+    the naive join would merge distinct quasi groups like (NULL,'x')
+    and ('x',NULL) into one qkey and the gate could release records
+    batch k_suppress (which groups per-column, NULL-safe) withholds
+    (r15 ADVICE)."""
+    enc = [
+        F.coalesce(
+            F.concat(F.lit("\x01"), F.col(c).cast("string")), F.lit("\x00")
+        )
+        for c in quasi_cols
+    ]
+    key = F.concat_ws("\x1f", *enc)
     return df.withColumn("qkey", key).withColumn(
         "bucket",
         F.pmod(F.xxhash64(F.col("qkey"), F.lit("kanon")), F.lit(N_BUCKETS)).cast("int"),
@@ -109,8 +119,14 @@ def merge_kanon_batch(
         held = rows
 
     # group sizes: this batch's arrivals + pending so far, on the
-    # touched buckets only
-    touched = [int(r.bucket) for r in held.select("bucket").distinct().collect()]
+    # touched buckets only. Touched derives from ALL arrivals (pre
+    # open-filter): a replay whose arrivals all belong to a now-open
+    # group must still rewrite that group's bucket, or its released
+    # backlog rows linger in pending/ as phantom holdbacks until some
+    # later closed-group arrival happens to touch the bucket (r15
+    # ADVICE — the crash window between the open append and the
+    # pending fold).
+    touched = [int(r.bucket) for r in rows.select("bucket").distinct().collect()]
     pending = backend.read(spark, _pending_path(state_dir), "bucket")
     pend_touched = (
         pending.filter(F.col("bucket").isin(touched))

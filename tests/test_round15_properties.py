@@ -5,7 +5,11 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from flink_assignment_spark.operators.packing import pack_sequences, packing_stats
+from flink_assignment_spark.operators.packing import (
+    bin_shard,
+    pack_sequences,
+    packing_stats,
+)
 from flink_assignment_spark.operators.privacy import k_anonymity_audit, k_suppress
 from flink_assignment_spark.sources.loaders import load_table
 
@@ -88,7 +92,7 @@ def test_packing_first_fit_efficiency_property(spark):
         F.col("overflow") == 0
     )
     half_empty_per_shard = (
-        stats.withColumn("shard", (F.col("bin_id") / 1_000_000).cast("int"))
+        stats.withColumn("shard", bin_shard(F.col("bin_id")).cast("int"))
         .filter(F.col("n_tokens") * 2 <= BUDGET)
         .groupBy("shard")
         .count()

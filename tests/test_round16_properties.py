@@ -1,0 +1,227 @@
+"""Round-16 regressions: the r15 ADVICE findings, each pinned.
+
+1. manifest row_digest NULL bijectivity — rows differing only in
+   WHICH content column is NULL must not collide (concat_ws skips
+   null args), and the DuckDB mirror must agree on NULL-bearing rows
+   (the old '||' oracle NULL-propagated the whole digest).
+2. streaming k-anonymity qkey NULL bijectivity — (NULL,'x') and
+   ('x',NULL) are distinct quasi groups; the gate must not merge
+   them and release what batch k_suppress withholds.
+3. phantom-holdback purge — a replay whose arrivals ALL belong to a
+   now-open group (crash between the open append and the pending
+   fold) must still purge that group's released backlog from
+   pending/.
+4. binpack composite bin ids — (shard << 48) | local survives the
+   state round-trip exactly (the old nullable-long columns rode
+   Arrow→pandas as float64, exact only below 2^53).
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from flink_assignment_spark.operators.manifest import corpus_manifest, row_digest
+from flink_assignment_spark.operators.packing import SHARD_SHIFT, bin_shard
+from flink_assignment_spark.operators.privacy import k_suppress
+from flink_assignment_spark.streaming import binpack_stream
+from flink_assignment_spark.streaming.privacy_stream import (
+    merge_kanon_batch,
+    read_pending,
+    read_released,
+)
+
+DOCS = "doc_id long, text string, lang string, source string"
+
+
+def test_row_digest_null_position_bijective(spark):
+    """('a', NULL, 'b', 'c') vs ('a', 'b', 'c', NULL): same non-null
+    values, different NULL slots — four distinct digests, and NULL is
+    distinct from '' and from the literal sentinel byte."""
+    rows = [
+        (1, None, "b", "c"),
+        (1, "b", "c", None),
+        (1, "b", None, "c"),
+        (1, None, None, "bc"),
+        (1, "", "b", "c"),
+        (1, "\x00", "b", "c"),
+    ]
+    df = spark.createDataFrame(rows, DOCS)
+    cols = [F.col(c) for c in ("text", "lang", "source")]
+    got = [r.d for r in df.select(row_digest(cols).alias("d")).collect()]
+    assert len(set(got)) == len(got), got
+
+
+def test_manifest_null_rows_match_duckdb_oracle(spark):
+    """corpus_manifest on a NULL-bearing table equals the q149-shaped
+    DuckDB SQL with the mirrored coalesce(chr(1)||c, chr(0))
+    encoding — the cross-engine parity the old oracle lost to
+    '||' NULL propagation."""
+    rows = [
+        (1, "alpha", "en", "web"),
+        (2, None, "en", "web"),
+        (3, "alpha", None, "web"),
+        (4, "alpha", "en", None),
+        (5, None, None, None),
+    ]
+    df = spark.createDataFrame(rows, DOCS)
+    got = {
+        (r.bucket, r.n_rows, r.digest)
+        for r in corpus_manifest(
+            df, "doc_id", ["doc_id", "text", "lang", "source"]
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE d(doc_id BIGINT, text VARCHAR, lang VARCHAR, source VARCHAR)"
+    )
+    con.executemany("INSERT INTO d VALUES (?,?,?,?)", rows)
+    want = set(
+        map(
+            tuple,
+            con.execute(
+                """
+        WITH h AS (
+          SELECT CAST(CAST('0x' || substring(
+                   md5('manifest:' || CAST(doc_id AS VARCHAR)), 1, 15)
+                 AS BIGINT) % 64 AS INT) AS bucket,
+                 CAST('0x' || substring(md5(
+                   coalesce(chr(1) || CAST(doc_id AS VARCHAR), chr(0)) || chr(31) ||
+                   coalesce(chr(1) || text, chr(0)) || chr(31) ||
+                   coalesce(chr(1) || lang, chr(0)) || chr(31) ||
+                   coalesce(chr(1) || source, chr(0))), 1, 15) AS BIGINT) AS hv
+          FROM d)
+        SELECT bucket, CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(hv) % 9223372036854775808 AS BIGINT) AS digest
+        FROM h GROUP BY bucket
+        """
+            ).fetchall(),
+        )
+    )
+    assert got == want
+
+
+KQUASI = ["nat", "seg"]
+KSCHEMA = "rid long, nat string, seg string"
+
+
+def test_kanon_stream_null_quasi_groups_stay_distinct(spark, tmp_path):
+    """Two singleton groups (NULL,'x') and ('x',NULL) at k=2: the old
+    concat_ws qkey merged them into one size-2 group and RELEASED
+    both; batch k_suppress (NULL-safe per-column groupBy) withholds
+    both — parity requires the stream to hold them back too."""
+    rows = [(1, None, "x"), (2, "x", None)]
+    state = tmp_path / "kanon"
+    merge_kanon_batch(
+        spark.createDataFrame(rows, KSCHEMA), 0, str(state), KQUASI, 2, "rid"
+    )
+    batch = k_suppress(spark.createDataFrame(rows, KSCHEMA), KQUASI, 2)
+    assert batch.count() == 0  # the batch contract this parity mirrors
+    with pytest.raises(ValueError):  # nothing released
+        read_released(spark, str(state), "rid")
+    pend = read_pending(spark, str(state))
+    assert pend is not None and pend.count() == 2
+    # and the two pendings really are distinct groups
+    assert pend.select("qkey").distinct().count() == 2
+
+
+class _CrashOnFold:
+    """Backend wrapper: delegates everything, raises on the Nth fold
+    call — the crash window between the open/released appends and the
+    pending rewrite."""
+
+    def __init__(self, inner, crash_on_call: int):
+        self._inner = inner
+        self._n = 0
+        self._crash_on = crash_on_call
+
+    def fold(self, *a, **k):
+        self._n += 1
+        if self._n == self._crash_on:
+            raise RuntimeError("injected crash before the pending fold")
+        return self._inner.fold(*a, **k)
+
+    def __getattr__(self, name):
+        return getattr(self._inner, name)
+
+
+def test_kanon_phantom_holdback_purged_on_all_open_replay(spark, tmp_path):
+    """Crash after the open append, before the pending fold; the
+    replay's arrivals ALL belong to the now-open group. The purge must
+    still run (touched derives from pre-open-filter arrivals), or the
+    group's released backlog lingers in pending/ as phantom
+    holdbacks."""
+    from flink_assignment_spark.streaming._state import ParquetStateBackend
+
+    state = tmp_path / "kanon"
+    rows0 = [(1, "a", "b")]
+    rows1 = [(2, "a", "b")]  # same group — crossing k=2 opens it
+    merge_kanon_batch(
+        spark.createDataFrame(rows0, KSCHEMA), 0, str(state), KQUASI, 2, "rid"
+    )
+    crash = _CrashOnFold(ParquetStateBackend(), 1)
+    with pytest.raises(RuntimeError, match="injected"):
+        merge_kanon_batch(
+            spark.createDataFrame(rows1, KSCHEMA), 1, str(state), KQUASI, 2,
+            "rid", backend=crash,
+        )
+    # replay batch 1: arrivals are all already-open now
+    merge_kanon_batch(
+        spark.createDataFrame(rows1, KSCHEMA), 1, str(state), KQUASI, 2, "rid"
+    )
+    rel = {r.rid for r in read_released(spark, str(state), "rid").collect()}
+    assert rel == {1, 2}
+    pend = read_pending(spark, str(state))
+    assert pend is None or pend.count() == 0
+
+
+def test_binpack_composite_bin_ids_exact_above_2_53(spark, tmp_path, monkeypatch):
+    """With enough shards that (shard << 48) exceeds 2^53, the bin id
+    and capacity must survive the fold's pandas round-trip bit-exactly
+    — float64 state columns would corrupt them (r15 ADVICE)."""
+    monkeypatch.setattr(binpack_stream, "N_SHARDS", 1 << 14)
+    # find a doc id hashing to a shard >= 64 (so shard<<48 > 2^53)
+    cands = spark.createDataFrame([(i,) for i in range(200)], "doc_id long")
+    shards = {
+        r.doc_id: r.s
+        for r in cands.select(
+            "doc_id",
+            F.pmod(F.xxhash64("doc_id", F.lit("pack")), F.lit(1 << 14))
+            .cast("int")
+            .alias("s"),
+        ).collect()
+    }
+    did = next(d for d, s in shards.items() if s >= 64)
+    shard = shards[did]
+    assert (shard << SHARD_SHIFT) > 2**53
+    state = tmp_path / "bp"
+    doc = [(did, "one two three")]  # 3 tokens
+    binpack_stream.merge_binpack_batch(
+        spark.createDataFrame(doc, "doc_id long, text string"),
+        0, str(state), budget=64,
+    )
+    # replay-shaped second batch: same doc (fence-dropped), but the
+    # shard's bin rows still ride the full pandas round-trip
+    binpack_stream.merge_binpack_batch(
+        spark.createDataFrame(doc, "doc_id long, text string"),
+        1, str(state), budget=64,
+    )
+    got = binpack_stream.read_assignments(spark, str(state)).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r.doc_id == did and r.n_tokens == 3 and not r.overflow
+    assert r.bin_id == (shard << SHARD_SHIFT)  # local id 0, bit-exact
+    # capacity survived exactly too: a third small doc in ANY shard
+    # must never overfill; check the stored cap of this shard's bin
+    st = spark.read.option("basePath", str(state / "packstate")).parquet(
+        str(state / "packstate")
+    )
+    caps = {
+        r.bin_id: r.cap_left
+        for r in st.filter(F.col("kind") == "bin").collect()
+    }
+    assert caps == {(shard << SHARD_SHIFT): 61}
+    assert (
+        bin_shard(F.lit(r.bin_id)) is not None
+    )  # helper exists for plan-side shard derivation

@@ -9,6 +9,7 @@ import os
 import pytest
 from pyspark.sql import functions as F
 
+from flink_assignment_spark.operators.packing import SHARD_SHIFT, bin_shard
 from flink_assignment_spark.sources.loaders import load_table
 from flink_assignment_spark.streaming.binpack_stream import (
     merge_binpack_batch,
@@ -61,7 +62,7 @@ def test_binpack_stream_invariants(spark, tmp_path):
     # <=-half-full bin per shard
     half = (
         per_bin.filter(F.col("over") == 0)
-        .withColumn("shard", (F.col("bin_id") / 1_000_000).cast("int"))
+        .withColumn("shard", bin_shard(F.col("bin_id")).cast("int"))
         .filter(F.col("n") * 2 <= BUDGET)
         .groupBy("shard")
         .count()
@@ -87,7 +88,7 @@ def test_binpack_stream_reuses_open_bins(spark, tmp_path):
     # same shard guaranteed only if the ids hash together — instead
     # assert capacity accounting: if they share a shard they share a
     # bin (40+10 <= 64); if not, each shard has one bin
-    if bins[1] // 1_000_000 == bins[2] // 1_000_000:
+    if bins[1] >> SHARD_SHIFT == bins[2] >> SHARD_SHIFT:
         assert bins[1] == bins[2]
     else:
         assert len(set(bins.values())) == 2
