@@ -111,3 +111,55 @@ def manifest_diff(a: DataFrame, b: DataFrame) -> DataFrame:
             & F.col("n_rows_a").eqNullSafe(F.col("n_rows_b"))
         )
     )
+
+
+def manifest_repair(
+    a: DataFrame,
+    b: DataFrame,
+    key_col: str,
+    content_cols: list[str],
+    buckets: list[int] | None = None,
+    n_buckets: int = N_BUCKETS,
+) -> DataFrame:
+    """Row-level delta between two copies of a table, restricted to
+    the ``buckets`` a :func:`manifest_diff` flagged — the step an
+    integrity pipeline runs AFTER the diff localizes divergence:
+    which rows, exactly, differ. Output: ``(bucket, key, h, n_a,
+    n_b)`` for every (key, row-content) multiplicity that disagrees —
+    a row changed in place surfaces twice (its old digest with
+    ``n_b = 0``-shaped imbalance and its new one), a dropped row once,
+    a duplicated row with ``n_a != n_b``.
+
+    Scale shape: both sides are scanned once (the bucket is computed,
+    not stored, so the restriction prunes the SHUFFLE and the
+    aggregate state, not the scan — at 100 TB the manifest tables
+    would be written bucket-partitioned and the filter would prune
+    files too); the grouped compare shuffles only the flagged
+    buckets' rows, which after a localized incident are a tiny
+    fraction of the corpus. With ``buckets=None`` it degrades to the
+    honest full-table compare."""
+    want = [int(x) for x in buckets] if buckets is not None else None
+
+    def prep(df: DataFrame, side: str) -> DataFrame:
+        h = row_digest([F.col(c) for c in content_cols])
+        bucket = F.pmod(
+            hash60(F.concat(F.lit("manifest:"), F.col(key_col).cast("string"))),
+            F.lit(n_buckets),
+        ).cast("int")
+        out = df.select(
+            bucket.alias("bucket"), F.col(key_col).alias("key"), h.alias("h")
+        )
+        if want is not None:
+            out = out.filter(F.col("bucket").isin(want))
+        return out.groupBy("bucket", "key", "h").agg(
+            F.count("*").cast("long").alias(f"n_{side}")
+        )
+
+    j = prep(a, "a").join(prep(b, "b"), ["bucket", "key", "h"], "full_outer")
+    return j.select(
+        "bucket",
+        "key",
+        "h",
+        F.coalesce("n_a", F.lit(0)).cast("long").alias("n_a"),
+        F.coalesce("n_b", F.lit(0)).cast("long").alias("n_b"),
+    ).filter(F.col("n_a") != F.col("n_b"))

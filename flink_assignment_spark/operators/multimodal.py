@@ -458,12 +458,14 @@ def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
     return spread.mapInPandas(resize, schema=out_schema)
 
 
-def media_from_documents(docs: DataFrame) -> DataFrame:
+def media_from_documents(docs: DataFrame, keep_cols: tuple[str, ...] = ()) -> DataFrame:
     """Deterministic synthetic media table over ``documents`` (the
     container ships no binary media fixtures): payload = utf-8 bytes
     of the text, metadata models a video whose duration tracks doc
     length. Lets the media operators run through the driver contract
-    on real distributed input with reproducible values."""
+    on real distributed input with reproducible values. ``keep_cols``
+    carries extra document columns through (e.g. ``source`` for
+    per-source media rollups) without a join back."""
     return docs.select(
         F.col("doc_id").alias("media_id"),
         F.col("text").cast("binary").alias("payload"),
@@ -474,4 +476,5 @@ def media_from_documents(docs: DataFrame) -> DataFrame:
             F.lit(None).cast("int").alias("height"),
             F.col("n_chars").cast("long").alias("duration_ms"),
         ).alias("meta"),
+        *[F.col(c) for c in keep_cols],
     )

@@ -28,6 +28,19 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def _null_safe_anti_semi(df: DataFrame, keys: DataFrame, on: list[str], how: str) -> DataFrame:
+    """left_anti / left_semi of ``df`` against ``keys`` with per-column
+    NULL-SAFE equality (groupBy treats NULL as a value; a plain
+    column-list join would never match NULL keys)."""
+    rec = df.alias("_rec")
+    key = keys.alias("_key")
+    cond = None
+    for c in on:
+        eq = F.col(f"_rec.{c}").eqNullSafe(F.col(f"_key.{c}"))
+        cond = eq if cond is None else (cond & eq)
+    return rec.join(F.broadcast(key), cond, how)
+
+
 def k_anonymity_audit(
     df: DataFrame,
     quasi_cols: list[str],
@@ -71,11 +84,68 @@ def k_suppress(
         .agg(F.count("*").alias("n"))
         .filter(F.col("n") < k)
         .select(*quasi_cols)
-        .alias("_failing")
     )
-    rec = df.alias("_rec")
-    cond = None
-    for c in quasi_cols:
-        eq = F.col(f"_rec.{c}").eqNullSafe(F.col(f"_failing.{c}"))
-        cond = eq if cond is None else (cond & eq)
-    return rec.join(F.broadcast(failing), cond, "left_anti")
+    return _null_safe_anti_semi(df, failing, quasi_cols, "left_anti")
+
+
+def k_generalize(
+    df: DataFrame,
+    quasi_cols: list[str],
+    levels: list[dict[str, Column]],
+    k: int,
+) -> DataFrame:
+    """Generalize-then-release: the non-lossy k-anonymization real
+    release pipelines try BEFORE suppression (Sweeney 2002 §5 —
+    generalization walks a value hierarchy; suppression biases the
+    corpus by dropping exactly the rare combinations).
+
+    ``levels[i]`` maps quasi column → its level-``i`` generalization
+    expression (columns absent from a level's dict stay at their
+    original value; ``levels[0]`` is normally ``{}`` = the exact
+    values). Each record is released at the FIRST level at which its
+    progressively-generalized group — among the records not yet
+    released at a finer level — reaches ``k`` members; records whose
+    group never reaches ``k`` at the coarsest level are the suppressed
+    residue and are excluded. Output: the input columns plus
+    ``gen_level`` (int, the release level). The released table is
+    k-anonymous on (gen_level, generalized quasi tuple) by
+    construction: a level's released groups each hold ≥ k records and
+    levels are disjoint record sets.
+
+    Scale shape: one aggregate per level over the REMAINING records
+    (shrinking fast — most of the corpus releases at level 0), each
+    followed by a broadcast anti/semi join on the failing-group keys,
+    which are small by definition (only under-k combinations fail).
+    ``len(levels)`` is a small constant (a hierarchy has 3–5 rungs),
+    so the loop is a fixed plan, not data-dependent iteration."""
+    remaining = df
+    released: DataFrame | None = None
+    gcols = [f"_g_{c}" for c in quasi_cols]
+    for lvl, overrides in enumerate(levels):
+        unknown = set(overrides) - set(quasi_cols)
+        if unknown:
+            raise ValueError(f"level {lvl} generalizes non-quasi columns {sorted(unknown)}")
+        tagged = remaining.select(
+            "*",
+            *[
+                overrides.get(c, F.col(c)).alias(g)
+                for c, g in zip(quasi_cols, gcols)
+            ],
+        )
+        failing = (
+            tagged.groupBy(*gcols)
+            .agg(F.count("*").alias("n"))
+            .filter(F.col("n") < k)
+            .select(*gcols)
+        )
+        rel = (
+            _null_safe_anti_semi(tagged, failing, gcols, "left_anti")
+            .drop(*gcols)
+            .withColumn("gen_level", F.lit(lvl))
+        )
+        released = rel if released is None else released.unionByName(rel)
+        remaining = _null_safe_anti_semi(tagged, failing, gcols, "left_semi").drop(
+            *gcols
+        )
+    assert released is not None  # levels must be non-empty
+    return released

@@ -7318,6 +7318,194 @@ REGISTRY.update(
 )
 
 
+# ---------------- k-anonymization by generalization (q144/q150 pair)
+def q150_k_generalize(spark, sf_dir):
+    """Non-lossy k-anonymization (operators/privacy.k_generalize —
+    the release path real pipelines try BEFORE q144's suppression,
+    which biases the corpus by dropping exactly the rare groups):
+    each customer releases at the FIRST account-balance band width
+    (2000 → 4000 → 8000) at which its (nation, segment, band) group
+    reaches k members among the not-yet-released; the never-passing
+    residue stays suppressed. Output is the released table with the
+    release level and the generalized band — k-anonymous on
+    (gen_level, quasi tuple) by construction. Per level: one
+    aggregate over the shrinking remainder + a broadcast anti/semi
+    join on the (small) failing-group keys."""
+    from ..operators.privacy import k_generalize
+
+    cust = _t(spark, sf_dir, "customer").withColumn(
+        "acct_band", F.floor(F.col("c_acctbal") / 2000).cast("long")
+    )
+    levels = [
+        {},
+        {"acct_band": F.floor(F.col("c_acctbal") / 4000).cast("long")},
+        {"acct_band": F.floor(F.col("c_acctbal") / 8000).cast("long")},
+    ]
+    rel = k_generalize(
+        cust, ["c_nationkey", "c_mktsegment", "acct_band"], levels, K_ANON
+    )
+    width = F.expr("CAST(shiftleft(2000, gen_level) AS BIGINT)")
+    return rel.select(
+        "c_custkey",
+        "c_nationkey",
+        "c_mktsegment",
+        F.col("gen_level").cast("int").alias("gen_level"),
+        (F.floor(F.col("c_acctbal") / width) * width).cast("long").alias("band_lo"),
+        width.alias("band_w"),
+    )
+
+
+Q150_SQL = f"""
+WITH l0 AS (
+  SELECT c_custkey, c_nationkey, c_mktsegment, c_acctbal,
+         CAST(floor(c_acctbal / 2000) AS BIGINT) AS g
+  FROM customer),
+ok0 AS (SELECT c_nationkey, c_mktsegment, g FROM l0
+        GROUP BY 1, 2, 3 HAVING count(*) >= {K_ANON}),
+r0 AS (SELECT l0.* FROM l0 SEMI JOIN ok0 USING (c_nationkey, c_mktsegment, g)),
+f0 AS (SELECT l0.* FROM l0 ANTI JOIN ok0 USING (c_nationkey, c_mktsegment, g)),
+l1 AS (SELECT c_custkey, c_nationkey, c_mktsegment, c_acctbal,
+              CAST(floor(c_acctbal / 4000) AS BIGINT) AS g FROM f0),
+ok1 AS (SELECT c_nationkey, c_mktsegment, g FROM l1
+        GROUP BY 1, 2, 3 HAVING count(*) >= {K_ANON}),
+r1 AS (SELECT l1.* FROM l1 SEMI JOIN ok1 USING (c_nationkey, c_mktsegment, g)),
+f1 AS (SELECT l1.* FROM l1 ANTI JOIN ok1 USING (c_nationkey, c_mktsegment, g)),
+l2 AS (SELECT c_custkey, c_nationkey, c_mktsegment, c_acctbal,
+              CAST(floor(c_acctbal / 8000) AS BIGINT) AS g FROM f1),
+ok2 AS (SELECT c_nationkey, c_mktsegment, g FROM l2
+        GROUP BY 1, 2, 3 HAVING count(*) >= {K_ANON}),
+r2 AS (SELECT l2.* FROM l2 SEMI JOIN ok2 USING (c_nationkey, c_mktsegment, g))
+SELECT c_custkey, c_nationkey, c_mktsegment, CAST(0 AS INT) AS gen_level,
+       CAST(g * 2000 AS BIGINT) AS band_lo, CAST(2000 AS BIGINT) AS band_w
+FROM r0
+UNION ALL
+SELECT c_custkey, c_nationkey, c_mktsegment, CAST(1 AS INT),
+       CAST(g * 4000 AS BIGINT), CAST(4000 AS BIGINT) FROM r1
+UNION ALL
+SELECT c_custkey, c_nationkey, c_mktsegment, CAST(2 AS INT),
+       CAST(g * 8000 AS BIGINT), CAST(8000 AS BIGINT) FROM r2
+"""
+
+
+REGISTRY.update({"q150_k_generalize": QuerySpec(q150_k_generalize, Q150_SQL)})
+
+
+# ---------------- manifest bucket repair scan (q149's next step)
+def q151_manifest_repair(spark, sf_dir):
+    """Row-level integrity repair scan (operators/manifest.
+    manifest_repair): after q149's manifest diff localizes divergence
+    to buckets, scan ONLY those buckets for the exact differing rows.
+    Exercised against a deliberately perturbed copy of documents —
+    every 97th doc's text corrupted, every 101st dropped — so the
+    delta names precisely the corrupted rows (old + new digest) and
+    the dropped ones. The flagged-bucket list driving the restriction
+    is a collect() of manifest_diff output: bounded by n_buckets=64
+    ids, a constant, never data."""
+    from ..operators.manifest import (
+        corpus_manifest,
+        manifest_diff,
+        manifest_repair,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    cols = ["doc_id", "text", "lang", "source"]
+    perturbed = docs.filter(F.col("doc_id") % 101 != 0).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 97 == 0, F.concat(F.col("text"), F.lit(" CORRUPT"))
+        ).otherwise(F.col("text")),
+    )
+    flagged = [
+        int(r.bucket)
+        for r in manifest_diff(
+            corpus_manifest(docs, "doc_id", cols),
+            corpus_manifest(perturbed, "doc_id", cols),
+        )
+        .select("bucket")
+        .collect()
+    ]
+    rep = manifest_repair(docs, perturbed, "doc_id", cols, buckets=flagged)
+    return rep.select(
+        "bucket", F.col("key").alias("doc_id"), "h", "n_a", "n_b"
+    )
+
+
+_Q151_DIGEST = """CAST('0x' || substring(md5(
+      coalesce(chr(1) || CAST(doc_id AS VARCHAR), chr(0)) || chr(31) ||
+      coalesce(chr(1) || text, chr(0)) || chr(31) ||
+      coalesce(chr(1) || lang, chr(0)) || chr(31) ||
+      coalesce(chr(1) || source, chr(0))), 1, 15) AS BIGINT)"""
+
+Q151_SQL = f"""
+WITH pert AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 97 = 0 THEN text || ' CORRUPT' ELSE text END AS text,
+         lang, source
+  FROM documents WHERE doc_id % 101 <> 0),
+ga AS (
+  SELECT CAST(CAST('0x' || substring(md5('manifest:' || CAST(doc_id AS VARCHAR)), 1, 15)
+              AS BIGINT) % 64 AS INT) AS bucket,
+         doc_id, {_Q151_DIGEST} AS h, CAST(count(*) AS BIGINT) AS n_a
+  FROM documents GROUP BY 1, 2, 3),
+gb AS (
+  SELECT CAST(CAST('0x' || substring(md5('manifest:' || CAST(doc_id AS VARCHAR)), 1, 15)
+              AS BIGINT) % 64 AS INT) AS bucket,
+         doc_id, {_Q151_DIGEST} AS h, CAST(count(*) AS BIGINT) AS n_b
+  FROM pert GROUP BY 1, 2, 3)
+SELECT coalesce(ga.bucket, gb.bucket) AS bucket,
+       coalesce(ga.doc_id, gb.doc_id) AS doc_id,
+       coalesce(ga.h, gb.h) AS h,
+       coalesce(n_a, 0) AS n_a, coalesce(n_b, 0) AS n_b
+FROM ga FULL OUTER JOIN gb
+  ON ga.bucket = gb.bucket AND ga.doc_id = gb.doc_id AND ga.h = gb.h
+WHERE coalesce(n_a, 0) <> coalesce(n_b, 0)
+"""
+
+
+REGISTRY.update({"q151_manifest_repair": QuerySpec(q151_manifest_repair, Q151_SQL)})
+
+
+# ---------------- per-source media metadata rollup (multimodal anchor)
+def q152_media_meta_stats(spark, sf_dir):
+    """Per-source media metadata rollup THROUGH the typed media
+    schema (operators/multimodal.media_from_documents: binary payload
+    + meta struct): media count, duration stats from
+    ``meta.duration_ms``, and total payload bytes. The oracle-green
+    hash anchor for the multimodal surface — q37/q85 cover the
+    Python decode kernels rows-only; this certifies the schema,
+    struct-field access, and byte-length semantics exactly (payload
+    is the utf-8 text bytes, so DuckDB's strlen reproduces
+    ``length(binary)``). One aggregate pass, map-side partials."""
+    from ..operators.multimodal import media_from_documents
+
+    media = media_from_documents(
+        _t(spark, sf_dir, "documents"), keep_cols=("source",)
+    )
+    return media.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_media"),
+        F.sum(F.col("meta.duration_ms")).cast("long").alias("total_ms"),
+        F.min(F.col("meta.duration_ms")).cast("long").alias("min_ms"),
+        F.max(F.col("meta.duration_ms")).cast("long").alias("max_ms"),
+        F.sum(F.length(F.col("payload"))).cast("long").alias("total_bytes"),
+    )
+
+
+Q152_SQL = """
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_media,
+       CAST(sum(n_chars) AS BIGINT) AS total_ms,
+       CAST(min(n_chars) AS BIGINT) AS min_ms,
+       CAST(max(n_chars) AS BIGINT) AS max_ms,
+       CAST(sum(strlen(text)) AS BIGINT) AS total_bytes
+FROM documents GROUP BY source
+"""
+
+
+REGISTRY.update(
+    {"q152_media_meta_stats": QuerySpec(q152_media_meta_stats, Q152_SQL)}
+)
+
+
 # ------------------------------------------------------------------------
 # Registry ordering contract: the driver's correctness harness records
 # at most 50 entries per round, in registry order — so the order IS the

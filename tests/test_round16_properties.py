@@ -225,3 +225,87 @@ def test_binpack_composite_bin_ids_exact_above_2_53(spark, tmp_path, monkeypatch
     assert (
         bin_shard(F.lit(r.bin_id)) is not None
     )  # helper exists for plan-side shard derivation
+
+
+def test_k_generalize_output_is_k_anonymous_and_row_conserving(spark):
+    """k_generalize (q150): the released table is k-anonymous on
+    (gen_level, generalized quasi tuple); released + suppressed
+    residue partition the input exactly; and the residue really fails
+    k at the coarsest level (nothing releasable was suppressed)."""
+    from flink_assignment_spark.operators.privacy import k_generalize
+    from flink_assignment_spark.sources.loaders import load_table
+
+    from .conftest import SF_DIR_ORACLE
+
+    k = 5
+    cust = load_table(spark, SF_DIR_ORACLE, "customer").withColumn(
+        "acct_band", F.floor(F.col("c_acctbal") / 2000).cast("long")
+    )
+    levels = [
+        {},
+        {"acct_band": F.floor(F.col("c_acctbal") / 4000).cast("long")},
+        {"acct_band": F.floor(F.col("c_acctbal") / 8000).cast("long")},
+    ]
+    quasi = ["c_nationkey", "c_mktsegment", "acct_band"]
+    rel = k_generalize(cust, quasi, levels, k).cache()
+    # k-anonymity: regeneralize each released row at ITS level and
+    # check every (level, tuple) group holds >= k records
+    width = F.expr("CAST(shiftleft(2000, gen_level) AS BIGINT)")
+    groups = (
+        rel.withColumn("gband", F.floor(F.col("c_acctbal") / width))
+        .groupBy("gen_level", "c_nationkey", "c_mktsegment", "gband")
+        .count()
+    )
+    assert groups.filter(F.col("count") < k).count() == 0
+    # partition: every custkey released at most once; residue =
+    # input minus released
+    n_in = cust.count()
+    n_rel = rel.count()
+    assert rel.select("c_custkey").distinct().count() == n_rel
+    residue = cust.join(rel.select("c_custkey"), "c_custkey", "left_anti")
+    assert residue.count() == n_in - n_rel
+    # residue is genuinely unreleasable: at the coarsest band (8000)
+    # every residue group is still < k among the residue
+    res_groups = (
+        residue.withColumn("g8", F.floor(F.col("c_acctbal") / 8000))
+        .groupBy("c_nationkey", "c_mktsegment", "g8")
+        .count()
+    )
+    assert res_groups.filter(F.col("count") >= k).count() == 0
+    rel.unpersist()
+
+
+def test_manifest_repair_names_exactly_the_erased_rows(spark):
+    """The integrity pipeline end-to-end (q151's operator): erase a
+    subject from a copy of the corpus, diff the manifests to flag the
+    touched buckets, then the repair scan over ONLY those buckets
+    names exactly the erased rows — nothing more, nothing less — and
+    a restriction to the flagged buckets equals the unrestricted
+    full-table compare."""
+    from flink_assignment_spark.operators.manifest import (
+        corpus_manifest,
+        manifest_diff,
+        manifest_repair,
+    )
+    from flink_assignment_spark.sources.loaders import load_table
+
+    from .conftest import SF_DIR_ORACLE
+
+    cols = ["doc_id", "text", "lang", "source"]
+    docs = load_table(spark, SF_DIR_ORACLE, "documents")
+    erased = [7, 42, 301]
+    after = docs.filter(~F.col("doc_id").isin(erased))
+    flagged = [
+        int(r.bucket)
+        for r in manifest_diff(
+            corpus_manifest(docs, "doc_id", cols),
+            corpus_manifest(after, "doc_id", cols),
+        ).collect()
+    ]
+    assert flagged  # three erasures touch at least one bucket
+    rep = manifest_repair(docs, after, "doc_id", cols, buckets=flagged)
+    got = {(r.key, r.n_a, r.n_b) for r in rep.collect()}
+    assert got == {(d, 1, 0) for d in erased}
+    # bucket restriction loses nothing vs the full compare
+    full = manifest_repair(docs, after, "doc_id", cols, buckets=None)
+    assert {(r.key, r.n_a, r.n_b) for r in full.collect()} == got
