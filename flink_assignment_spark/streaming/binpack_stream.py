@@ -38,7 +38,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.text import tokens
-from ..operators.packing import SHARD_SHIFT
+from ..operators.packing import SHARD_SHIFT, FirstFitTree
 from ._state import (
     DEFAULT_BACKEND,
     applied_batch,
@@ -139,28 +139,29 @@ def merge_binpack_batch(
             ["n_tokens", "doc_id"], ascending=[False, True], kind="mergesort"
         )
         out_rows = []
-        next_local = (
-            max((b & _LOCAL_MASK for b in bins), default=-1) + 1
-        )
         base = shard << SHARD_SHIFT
+        # O(log bins) first-fit via the shared segment tree (leaf
+        # index == local bin id — locals are allocated contiguously,
+        # but tolerate holes by padding them unmatchable)
+        lc = {b & _LOCAL_MASK: cap for b, cap in bins.items()}
+        real = set(lc)
+        tree = FirstFitTree()
+        for i in range(max(lc, default=-1) + 1):
+            tree.append(lc.get(i, FirstFitTree._EMPTY))
         for r in new.itertuples():
             nt = int(r.n_tokens)
             if nt > budget:
-                b = base | next_local
-                next_local += 1
-                bins[b] = -1  # full sentinel: nothing joins an overflow bin
-                out_rows.append((r.doc_id, nt, b, True))
+                local = tree.append(-1)  # full sentinel: nothing joins it
+                real.add(local)
+                out_rows.append((r.doc_id, nt, base | local, True))
                 continue
-            for b in sorted(bins):
-                if bins[b] >= nt:
-                    bins[b] -= nt
-                    out_rows.append((r.doc_id, nt, b, False))
-                    break
-            else:
-                b = base | next_local
-                next_local += 1
-                bins[b] = budget - nt
-                out_rows.append((r.doc_id, nt, b, False))
+            local = tree.take(nt)
+            if local < 0:
+                local = tree.append(budget - nt)
+            real.add(local)
+            out_rows.append((r.doc_id, nt, base | local, False))
+        caps = tree.capacities()
+        bins = {base | i: caps[i] for i in range(tree.n) if i in real}
         frames = [
             assigns,
             pd.DataFrame(

