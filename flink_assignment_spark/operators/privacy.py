@@ -24,7 +24,7 @@ groups only.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -88,6 +88,114 @@ def k_suppress(
     return _null_safe_anti_semi(df, failing, quasi_cols, "left_anti")
 
 
+def l_suppress(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive: Column,
+    l_div: int,
+) -> DataFrame:
+    """Drop every record whose quasi-identifier group has fewer than
+    ``l_div`` DISTINCT sensitive values (Machanavajjhala et al. 2007:
+    a k-anonymous group whose sensitive attribute is near-constant
+    still leaks it — the homogeneity attack k-anonymity alone misses).
+    Same shape as :func:`k_suppress`: one aggregate, then a NULL-safe
+    broadcast anti-join on the (small) failing-group keys."""
+    failing = (
+        df.groupBy(*quasi_cols)
+        .agg(F.countDistinct(sensitive).alias("_nd"))
+        .filter(F.col("_nd") < l_div)
+        .select(*quasi_cols)
+    )
+    return _null_safe_anti_semi(df, failing, quasi_cols, "left_anti")
+
+
+def t_closeness_audit(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive: Column,
+    t_frac: tuple[int, int] = (1, 5),
+) -> DataFrame:
+    """t-closeness audit (Li, Li & Venkatasubramanian, ICDE 2007) for
+    an ORDERED sensitive attribute: per quasi-identifier group, the
+    Earth Mover's Distance between the group's sensitive-value
+    distribution and the whole table's, under ordered distance —
+    EMD = (1/(m−1)) · Σ_i |Σ_{j≤i} (p_j − q_j)| over the m global
+    domain values. The third rung of the group-privacy ladder:
+    k-anonymity bounds group SIZE, l-diversity bounds VARIETY, and
+    t-closeness bounds how much the group's distribution itself
+    leaks against the published global one.
+
+    Exact integer arithmetic end-to-end (the engine's float folds
+    never touch the verdict): with group counts c_gj, global counts
+    c_j, group size n_g, total N, the EMD numerator is
+    Σ_i |Σ_{j≤i} (c_gj·N − c_j·n_g)| over the global value order and
+    the denominator is n_g·N·(m−1); the pass verdict compares the
+    fraction against ``t_frac = (num, den)`` by cross-multiplication
+    (default 1/5 = 0.2). Callers pass a BANDED sensitive column (m
+    small) — the generalized domain t-closeness is defined over in
+    practice, and what keeps the group×domain grid at
+    |groups| × m rows.
+
+    Scale shape: two aggregates over the records; the m-row global
+    distribution (with N and m attached by an unpartitioned window
+    over m rows) broadcasts onto the groups through a constant-key
+    BROADCAST HASH join — an equi join, not a nested loop — and the
+    per-group cumulative sums window over exactly m rows each.
+
+    Output per group: quasi cols, ``n``, ``emd_num``, ``emd_den``,
+    ``t_emd`` (rounded double for reading), ``t_ok``."""
+    base = df.select(*quasi_cols, sensitive.alias("_v"))
+    gv = base.groupBy("_v").agg(F.count("*").cast("long").alias("_c_v"))
+    w_all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    # the constant broadcast key must be DATA-DEPENDENT (n − n, not
+    # lit(1)): Catalyst constant-folds a literal join key into a
+    # trivially-true condition and plans a BroadcastNestedLoopJoin —
+    # the derived zero keeps it a BroadcastHashJoin
+    gv = gv.select(
+        "_v",
+        "_c_v",
+        F.sum("_c_v").over(w_all).cast("long").alias("_N"),
+        F.count("*").over(w_all).cast("long").alias("_m"),
+        (F.col("_c_v") - F.col("_c_v")).cast("long").alias("_one"),
+    )
+    groups = base.groupBy(*quasi_cols).agg(
+        F.count("*").cast("long").alias("n")
+    ).withColumn("_one", (F.col("n") - F.col("n")).cast("long"))
+    counts = base.groupBy(*quasi_cols, "_v").agg(
+        F.count("*").cast("long").alias("_c_gv")
+    )
+    grid = groups.join(F.broadcast(gv), "_one").drop("_one")
+    grid = grid.join(counts, [*quasi_cols, "_v"], "left").withColumn(
+        "_c_gv", F.coalesce(F.col("_c_gv"), F.lit(0)).cast("long")
+    )
+    w = Window.partitionBy(*quasi_cols).orderBy("_v")
+    cum = grid.withColumn(
+        "_cs",
+        F.sum(F.col("_c_gv") * F.col("_N") - F.col("_c_v") * F.col("n")).over(w),
+    )
+    tn, td = t_frac
+    out = cum.groupBy(*quasi_cols).agg(
+        F.first("n").alias("n"),
+        # Σ|cs| over ALL m values: the m-th cumulative term is 0 by
+        # construction (both distributions sum to 1), so the i<m sum
+        # and the full sum coincide
+        F.sum(F.abs(F.col("_cs"))).cast("long").alias("emd_num"),
+        (F.first("n") * F.first("_N") * (F.first("_m") - 1))
+        .cast("long")
+        .alias("emd_den"),
+    )
+    return out.select(
+        *quasi_cols,
+        "n",
+        "emd_num",
+        "emd_den",
+        F.round(F.col("emd_num") / F.col("emd_den"), 6).alias("t_emd"),
+        (F.col("emd_num") * F.lit(td) <= F.col("emd_den") * F.lit(tn))
+        .cast("int")
+        .alias("t_ok"),
+    )
+
+
 def k_generalize(
     df: DataFrame,
     quasi_cols: list[str],
@@ -125,13 +233,17 @@ def k_generalize(
         unknown = set(overrides) - set(quasi_cols)
         if unknown:
             raise ValueError(f"level {lvl} generalizes non-quasi columns {sorted(unknown)}")
+        # persist each level's tagged frame: failing, the release, and
+        # the next level's remainder all read it, and without the cache
+        # level L's lineage would re-run every earlier level's joins
+        # (the plan audit showed 14 base scans for 3 levels)
         tagged = remaining.select(
             "*",
             *[
                 overrides.get(c, F.col(c)).alias(g)
                 for c, g in zip(quasi_cols, gcols)
             ],
-        )
+        ).persist()
         failing = (
             tagged.groupBy(*gcols)
             .agg(F.count("*").alias("n"))

@@ -355,3 +355,29 @@ def test_first_fit_tree_identical_to_linear_scan():
             got.append(b if b >= 0 else tree.append(budget - nt))
         assert got == want, (trial, budget, sizes[:20])
         assert tree.capacities() == bins
+
+
+def test_t_closeness_audit_properties(spark):
+    """EMD invariants of the exact-integer t-closeness audit: every
+    group's EMD lies in [0, 1]; a group that IS the whole table has
+    EMD exactly 0; a singleton group at the domain's extreme value
+    has the maximum possible EMD for its size; and the verdict is the
+    exact cross-multiplied fraction compare."""
+    from flink_assignment_spark.operators.privacy import t_closeness_audit
+
+    rows = [("g1", v) for v in (0, 0, 1, 1, 2, 2)] + [("g2", 2)]
+    df = spark.createDataFrame(rows, "grp string, v long")
+    out = {r.grp: r for r in t_closeness_audit(df, ["grp"], F.col("v")).collect()}
+    for r in out.values():
+        assert 0 <= r.emd_num <= r.emd_den
+        assert r.t_ok == int(r.emd_num * 5 <= r.emd_den)
+    # whole-table-shaped group: g1 is 6/7 of the table and nearly
+    # uniform; g2 is a singleton at the top value — strictly farther
+    assert out["g1"].emd_num * out["g2"].emd_den < out["g2"].emd_num * out["g1"].emd_den
+    # exact g2 check: p=(0,0,1), q=(2/7,2/7,3/7) over v∈{0,1,2};
+    # cum diffs −2/7, −4/7, 0 → EMD = (2/7+4/7)/2 = 3/7
+    assert out["g2"].emd_num * 7 == out["g2"].emd_den * 3
+    # a group equal to the whole table has EMD 0
+    one = spark.createDataFrame([("g", v) for v in (0, 1, 2)], "grp string, v long")
+    r = t_closeness_audit(one, ["grp"], F.col("v")).collect()[0]
+    assert r.emd_num == 0 and r.t_ok == 1
