@@ -126,3 +126,47 @@ def test_retention_uncheckpointed_restart_refused(spark, tmp_path):
     dummy = spark.readStream.format("rate").option("rowsPerSecond", 1).load()
     with pytest.raises(ValueError, match="applied-batch"):
         incremental_retention(dummy, state)
+
+
+def test_retention_rtbf_purge_equals_rebuild_without(spark, tmp_path):
+    """Right-to-be-forgotten composition: erase a user from the live
+    retention state via the generic bucketed purge — the user's
+    cohort contribution vanishes (including the cohort SIZE
+    denominator), every other cell equals a from-scratch rebuild
+    without the subject, and only the tombstone's bucket rewrites."""
+    from flink_assignment_spark.streaming.erasure_stream import (
+        merge_tombstone_batch,
+        purge_bucketed_state,
+    )
+    from flink_assignment_spark.streaming.retention_stream import (
+        N_BUCKETS as RET_BUCKETS,
+    )
+
+    rows = [
+        (r.ts, r.user_id)
+        for r in load_table(spark, SF_DIR, "events")
+        .filter(F.col("user_id") < 25)
+        .select("ts", "user_id")
+        .collect()
+    ]
+    state = tmp_path / "ret"
+    _replay(spark, state, rows, n_batches=2)
+    victim = rows[0][1]
+
+    er = tmp_path / "erasure"
+    merge_tombstone_batch(
+        spark.createDataFrame([(int(victim),)], "user_id long"), 0, str(er)
+    )
+    purge_bucketed_state(
+        spark,
+        os.path.join(str(state), "userweeks"),
+        "bucket",
+        lambda u: F.pmod(F.xxhash64(u, F.lit("retention")), F.lit(RET_BUCKETS)).cast("int"),
+        str(er),
+    )
+    got = _stream_set(spark, state)
+
+    survivors = [r for r in rows if r[1] != victim]
+    want_state = tmp_path / "rebuild"
+    _replay(spark, want_state, survivors, n_batches=2)
+    assert got == _stream_set(spark, want_state)
