@@ -218,3 +218,93 @@ def test_restart_refusal_is_backend_independent(spark, tmp_path, backend):
         )
         with pytest.raises(ValueError, match="applied-batch"):
             start(dummy, state)
+
+
+# --------------------------------------------------------------- retention
+def test_retention_parity_and_crash_on_both_backends(spark, tmp_path, backend):
+    """The round-16 retention fold honors the seam too: parity with a
+    never-crashed run after a lost-marker replay, on both backends."""
+    from datetime import datetime, timedelta
+
+    from flink_assignment_spark.streaming.retention_stream import (
+        merge_retention_batch,
+        read_retention,
+    )
+
+    def ts(week):
+        return datetime(1970, 1, 5) + timedelta(days=7 * week)
+
+    rows = [(ts(w), u) for u in range(6) for w in (u % 3, u % 3 + 2)]
+    ev = "ts timestamp, user_id long"
+
+    def table(state):
+        return {
+            (r.cohort, r.weeks_since, r.n_active, r.cohort_size)
+            for r in read_retention(spark, str(state), backend=backend).collect()
+        }
+
+    ref = tmp_path / "ref"
+    merge_retention_batch(
+        spark.createDataFrame(rows[:6], ev), 0, str(ref), backend=backend
+    )
+    merge_retention_batch(
+        spark.createDataFrame(rows[6:], ev), 1, str(ref), backend=backend
+    )
+    want = table(ref)
+
+    crash = tmp_path / "crash"
+    merge_retention_batch(
+        spark.createDataFrame(rows[:6], ev), 0, str(crash), backend=backend
+    )
+    merge_retention_batch(
+        spark.createDataFrame(rows[6:], ev), 1, str(crash), backend=backend
+    )
+    os.remove(os.path.join(str(crash), "_applied_batch"))
+    merge_retention_batch(
+        spark.createDataFrame(rows[6:], ev), 1, str(crash), backend=backend
+    )
+    assert table(crash) == want
+
+
+# -------------------------------------------------------------- generalize
+def test_generalize_gate_crash_on_both_backends(spark, tmp_path, backend):
+    """The generalize-then-release gate's crash replay converges on
+    both backends (released dedup by id, open dedup at read, pending
+    purge)."""
+    from flink_assignment_spark.streaming.generalize_stream import (
+        merge_generalize_batch,
+        read_pending,
+        read_released,
+    )
+
+    levels = [{}, {"band": F.floor(F.col("v") / 2).cast("long")}]
+    rows = [(1, 0, 0), (2, 0, 0), (3, 5, 5)]
+    schema = "rid long, band long, v long"
+
+    def released(state):
+        return {
+            (r.rid, r.gen_level)
+            for r in read_released(spark, str(state), "rid", backend=backend).collect()
+        }
+
+    ref = tmp_path / "ref"
+    merge_generalize_batch(
+        spark.createDataFrame(rows, schema), 0, str(ref), ["band"], levels, 2,
+        "rid", backend=backend,
+    )
+    want = released(ref)
+    assert want == {(1, 0), (2, 0)}
+
+    crash = tmp_path / "crash"
+    merge_generalize_batch(
+        spark.createDataFrame(rows, schema), 0, str(crash), ["band"], levels, 2,
+        "rid", backend=backend,
+    )
+    os.remove(os.path.join(str(crash), "_applied_batch"))
+    merge_generalize_batch(
+        spark.createDataFrame(rows, schema), 0, str(crash), ["band"], levels, 2,
+        "rid", backend=backend,
+    )
+    assert released(crash) == want
+    p_ref = read_pending(spark, str(crash), backend=backend)
+    assert {r.rid for r in p_ref.collect()} == {3}
