@@ -1,0 +1,113 @@
+"""Iterative graph algorithms over edge DataFrames.
+
+Connected components (operators/components.py) already covers the
+dedup-cluster use; this module adds WEIGHTED PAGERANK (Page et al.
+1999) — the influence/authority score a curation pipeline uses to
+weight sources and domains (web-graph authority is a classic quality
+prior for pretraining data, e.g. the harmonic-centrality filter in
+Common Crawl pipelines).
+
+Exactness across engines is the design constraint: float PageRank
+sums contributions in shuffle order, so two engines (or two runs)
+disagree in the last ulps and a value-hash oracle can never pass.
+This implementation is INTEGER PageRank: ranks live in integer
+``scale`` units (default 1e9), every per-edge contribution is an
+integer floor division, and every aggregate is an integer SUM —
+order-free, so the result is a pure function of the graph, identical
+in Spark and DuckDB (the repo's exact-integer rule, applied to an
+iterative algorithm):
+
+    r0(v)   = scale DIV n
+    contrib = (r(u) * damping_pct * w(u,v)) DIV (100 * W(u))
+    dang    = Σ r(u) over nodes with no out-edges
+    r'(v)   = ((100 - damping_pct) * scale DIV 100) DIV n
+              + dang * damping_pct DIV (100 * n)
+              + Σ_in contrib
+
+All quantities are non-negative, so Spark's ``DIV`` (truncate) and
+DuckDB's ``//`` (floor) agree. Totals drift slightly below ``scale``
+from floor remainders — deterministically, by the same amount in both
+engines.
+
+Scale shape: one broadcast-ready node table (ranks: |V| rows) joined
+per iteration against the edge table on ``src`` — at web scale the
+edges are hash-partitioned by src ONCE and every iteration reuses
+that partitioning (one shuffle for the per-dst aggregation per
+iteration, none for the join when ranks broadcast or co-partition);
+the iteration count is a fixed small constant, so the whole plan is
+k joins + k aggregates, no driver-side data loops (only the bounded
+iteration loop itself).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+PR_SCALE = 10**9
+
+
+def weighted_pagerank(
+    edges: DataFrame,
+    n_iters: int = 5,
+    damping_pct: int = 85,
+    scale: int = PR_SCALE,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str | None = "weight",
+) -> DataFrame:
+    """Integer weighted PageRank after ``n_iters`` synchronous
+    iterations. ``edges``: (src, dst[, weight]) — parallel edges are
+    legal (weights add); ``weight=None`` treats every edge as 1.
+    Returns ``(node, rank)`` with ``rank`` in ``scale`` units.
+    Deterministic: every step is integer arithmetic under SUM, so no
+    fold-order sensitivity (the property that makes q155
+    oracle-checkable)."""
+    w_col = F.col(weight).cast("long") if weight is not None else F.lit(1).cast("long")
+    e = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst"), w_col.alias("w")
+    )
+    # collapse parallel edges once; cache — every iteration reuses it
+    e = e.groupBy("src", "dst").agg(F.sum("w").alias("w")).persist()
+    out_w = e.groupBy("src").agg(F.sum("w").alias("w_out"))
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .join(out_w.withColumnRenamed("src", "node"), "node", "left")
+        .persist()
+    )
+    n = nodes.count()  # |V| — a bounded scalar, not data
+    d = int(damping_pct)
+    base = ((100 - d) * scale // 100) // n
+
+    ranks = nodes.select("node", F.lit(scale // n).cast("long").alias("rank"))
+    for _ in range(n_iters):
+        ranks = ranks.persist()
+        # dangling mass: one tiny aggregate over |V| rows
+        dang = (
+            nodes.join(ranks, "node")
+            .filter(F.col("w_out").isNull())
+            .agg(F.coalesce(F.sum("rank"), F.lit(0)).cast("long").alias("s"))
+            .collect()[0]["s"]
+        )
+        dang_share = dang * d // (100 * n)
+        contrib = (
+            e.join(ranks.withColumnRenamed("node", "src"), "src")
+            .join(out_w, "src")
+            .select(
+                F.col("dst").alias("node"),
+                F.expr(f"(rank * {d} * w) DIV (100 * w_out)").alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").cast("long").alias("in_sum"))
+        )
+        ranks = nodes.select("node").join(contrib, "node", "left").select(
+            "node",
+            (
+                F.lit(base).cast("long")
+                + F.lit(int(dang_share)).cast("long")
+                + F.coalesce(F.col("in_sum"), F.lit(0))
+            ).alias("rank"),
+        )
+    return ranks

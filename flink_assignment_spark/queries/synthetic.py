@@ -7605,6 +7605,90 @@ FROM cum GROUP BY 1, 2
 REGISTRY.update({"q154_t_closeness": QuerySpec(q154_t_closeness, Q154_SQL)})
 
 
+# ---------------- weighted PageRank over the nation trade graph
+PR_ITERS = 5
+
+
+def q155_nation_pagerank(spark, sf_dir):
+    """Influence ranking of nations in the supply graph
+    (operators/graph.weighted_pagerank): edges supplier-nation →
+    customer-nation weighted by lineitem count (the q91 join
+    pipeline feeding an ITERATIVE algorithm — the authority/quality
+    prior curation pipelines compute over source/domain graphs).
+    INTEGER PageRank: ranks in 1e9 units, every contribution an
+    integer floor division under SUM — order-free, so the iterative
+    result is oracle-exact (float PageRank could never hash-match
+    across engines). 5 synchronous iterations, damping 0.85."""
+    from ..operators.graph import weighted_pagerank
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    edges = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .groupBy(
+            F.col("s_nationkey").alias("src"), F.col("c_nationkey").alias("dst")
+        )
+        .agg(F.count("*").cast("long").alias("weight"))
+    )
+    pr = weighted_pagerank(edges, n_iters=PR_ITERS)
+    return pr.select(
+        F.col("node").cast("int").alias("nation"), F.col("rank").cast("long").alias("rank")
+    )
+
+
+def _q155_oracle() -> str:
+    scale = 10**9
+    parts = [
+        """
+WITH e AS (
+  SELECT s.s_nationkey AS src, c.c_nationkey AS dst,
+         CAST(count(*) AS BIGINT) AS w
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  GROUP BY 1, 2),
+ow AS (SELECT src, CAST(sum(w) AS BIGINT) AS w_out FROM e GROUP BY 1),
+nodes AS (SELECT DISTINCT node
+          FROM (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+r0 AS (SELECT node, CAST(%(scale)d // (SELECT n FROM nn) AS BIGINT) AS rank
+       FROM nodes)"""
+        % {"scale": scale}
+    ]
+    for i in range(1, PR_ITERS + 1):
+        parts.append(
+            f""",
+d{i} AS (SELECT CAST(coalesce(sum(r.rank), 0) AS BIGINT) AS s
+         FROM r{i - 1} r ANTI JOIN ow ON r.node = ow.src),
+c{i} AS (SELECT e.dst AS node,
+                CAST(sum((r.rank * 85 * e.w) // (100 * ow.w_out)) AS BIGINT)
+                  AS in_sum
+         FROM e JOIN r{i - 1} r ON e.src = r.node
+         JOIN ow ON e.src = ow.src
+         GROUP BY 1),
+r{i} AS (SELECT nd.node,
+                CAST((15 * CAST({scale} AS BIGINT) // 100) // (SELECT n FROM nn)
+                     + (SELECT s FROM d{i}) * 85 // (100 * (SELECT n FROM nn))
+                     + coalesce(c.in_sum, 0) AS BIGINT) AS rank
+         FROM nodes nd LEFT JOIN c{i} c USING (node))"""
+        )
+    parts.append(
+        f"""
+SELECT CAST(node AS INT) AS nation, rank FROM r{PR_ITERS}"""
+    )
+    return "".join(parts)
+
+
+REGISTRY.update(
+    {"q155_nation_pagerank": QuerySpec(q155_nation_pagerank, _q155_oracle())}
+)
+
+
 # ------------------------------------------------------------------------
 # Registry ordering contract: the driver's correctness harness records
 # at most 50 entries per round, in registry order — so the order IS the

@@ -381,3 +381,34 @@ def test_t_closeness_audit_properties(spark):
     one = spark.createDataFrame([("g", v) for v in (0, 1, 2)], "grp string, v long")
     r = t_closeness_audit(one, ["grp"], F.col("v")).collect()[0]
     assert r.emd_num == 0 and r.t_ok == 1
+
+
+def test_weighted_pagerank_properties(spark):
+    """Integer PageRank invariants: rank mass conserved up to floor
+    drift (never above scale, within m+2 units per division below),
+    uniform cycle → exactly uniform ranks, an authority (all edges
+    point at it) out-ranks its spokes, and a dangling node's mass
+    redistributes instead of vanishing."""
+    from flink_assignment_spark.operators.graph import PR_SCALE, weighted_pagerank
+
+    E = "src int, dst int, weight long"
+
+    def ranks(edges, **kw):
+        df = spark.createDataFrame(edges, E)
+        return {r.node: r.rank for r in weighted_pagerank(df, **kw).collect()}
+
+    # 3-cycle with equal weights: perfectly symmetric → equal ranks
+    cyc = ranks([(0, 1, 1), (1, 2, 1), (2, 0, 1)])
+    assert len(set(cyc.values())) == 1
+    assert 0 < sum(cyc.values()) <= PR_SCALE
+    # star: spokes → hub; hub out-ranks every spoke
+    star = ranks([(i, 9, 1) for i in range(1, 5)] + [(9, 1, 1)])
+    assert all(star[9] > star[i] for i in range(1, 5))
+    assert sum(star.values()) <= PR_SCALE
+    # dangling: 0→1, 1 has no out-edges; total mass still ~scale
+    dang = ranks([(0, 1, 1)])
+    assert sum(dang.values()) > PR_SCALE * 0.98
+    assert dang[1] > dang[0]  # 1 receives 0's mass plus its share
+    # weights matter: 0 splits 9:1 between 1 and 2
+    wtd = ranks([(0, 1, 9), (0, 2, 1), (1, 0, 1), (2, 0, 1)])
+    assert wtd[1] > wtd[2]
