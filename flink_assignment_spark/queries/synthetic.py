@@ -7689,6 +7689,71 @@ REGISTRY.update(
 )
 
 
+# ---------------- HTML → text extraction (web-corpus step 0)
+_HTML_PREFIX = (
+    "<html><head><title>d</title><style>p {color: red}</style>"
+    "<script type=\"text/javascript\">var x = 1 < 2; alert('no');</script>"
+    "</head><body><!-- crawl header --><h1>Doc "
+)
+_HTML_MID = "</h1>\n<div class=\"main\"><p>Q&amp;A &lt;section&gt;</p><p>"
+_HTML_SUFFIX = "</p><br/><li>tail&nbsp;item</li></div></body></html>"
+
+
+def q156_html_extract(spark, sf_dir):
+    """HTML → text extraction (operators/html.html_to_text — the C4/
+    CCNet step-0 every web corpus runs before any gate or dedup sees
+    a document): each doc is wrapped in a deterministic HTML shell
+    with a script block, a style block, a comment, entities, and
+    block tags; the Catalyst regexp chain strips executable/
+    presentation payloads, restores paragraph newlines, and decodes
+    entities. Output: per-doc extracted length, line count, and the
+    md5 of the extracted text — hash-exact vs DuckDB running the
+    IDENTICAL pattern chain (Java∩RE2 dialect, no lookarounds). Pure
+    scan-stage codegen, zero Python, zero shuffles before the final
+    projection."""
+    from ..operators.html import html_to_text
+
+    docs = _t(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit(_HTML_PREFIX),
+        F.col("doc_id").cast("string"),
+        F.lit(_HTML_MID),
+        F.col("text"),
+        F.lit(_HTML_SUFFIX),
+    )
+    txt = html_to_text(html)
+    return docs.select(
+        "doc_id",
+        F.length(txt).cast("long").alias("n_chars"),
+        (F.size(F.split(txt, "\n")) ).cast("long").alias("n_lines"),
+        F.md5(txt).alias("text_md5"),
+    )
+
+
+def _q156_oracle() -> str:
+    from ..operators.html import html_strip_sql
+
+    def lit(s: str) -> str:
+        return "'" + s.replace("'", "''").replace("\n", "' || chr(10) || '") + "'"
+
+    html = (
+        f"{lit(_HTML_PREFIX)} || CAST(doc_id AS VARCHAR) || "
+        f"{lit(_HTML_MID)} || text || {lit(_HTML_SUFFIX)}"
+    )
+    txt = html_strip_sql(html)
+    return f"""
+SELECT doc_id,
+       CAST(length({txt}) AS BIGINT) AS n_chars,
+       CAST(length({txt}) - length(replace({txt}, chr(10), '')) + 1 AS BIGINT)
+         AS n_lines,
+       md5({txt}) AS text_md5
+FROM documents
+"""
+
+
+REGISTRY.update({"q156_html_extract": QuerySpec(q156_html_extract, _q156_oracle())})
+
+
 # ------------------------------------------------------------------------
 # Registry ordering contract: the driver's correctness harness records
 # at most 50 entries per round, in registry order — so the order IS the

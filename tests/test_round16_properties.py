@@ -412,3 +412,26 @@ def test_weighted_pagerank_properties(spark):
     # weights matter: 0 splits 9:1 between 1 and 2
     wtd = ranks([(0, 1, 9), (0, 2, 1), (1, 0, 1), (2, 0, 1)])
     assert wtd[1] > wtd[2]
+
+
+def test_html_to_text_semantics(spark):
+    """The extraction chain's load-bearing behaviors: script/style
+    content is DROPPED (not just untagged), comments vanish, block
+    closers become newlines, entities decode with &amp; LAST (so
+    double-encoded &amp;lt; yields the literal '&lt;', not '<'), and
+    whitespace collapses."""
+    from flink_assignment_spark.operators.html import html_to_text
+
+    html = (
+        "<html><head><style>p{x:1}</style>"
+        "<script>var dangerous = 'payload';</script></head>"
+        "<body><!-- hidden -->"
+        "<h1>Title</h1><p>a  b</p><p>Q&amp;A &lt;tag&gt; &amp;lt;esc&amp;gt; "
+        "x&nbsp;y &#39;q&#39; &quot;z&quot;</p><br/>end</body></html>"
+    )
+    df = spark.createDataFrame([(html,)], "h string")
+    got = df.select(html_to_text(F.col("h")).alias("t")).first().t
+    assert got == (
+        "Title\na b\nQ&A <tag> &lt;esc&gt; x y 'q' \"z\"\nend"
+    ), repr(got)
+    assert "payload" not in got and "hidden" not in got and "x:1" not in got
