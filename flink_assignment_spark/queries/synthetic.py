@@ -7754,6 +7754,74 @@ FROM documents
 REGISTRY.update({"q156_html_extract": QuerySpec(q156_html_extract, _q156_oracle())})
 
 
+# ---------------- URL canonicalization + URL-level dedup report
+def q157_url_dedup(spark, sf_dir):
+    """URL-level dedup report (functions/url.canonical_url — the key
+    a web pipeline groups on BEFORE fetching or comparing content):
+    deterministic synthetic URLs over documents exercise every rule —
+    case-folded scheme/host, default-port strip, trailing-slash strip,
+    fragment drop, tracking-param drop, query-param sort — and two of
+    the three URL shapes canonicalize to the SAME key, so the groupBy
+    actually merges records. Output per canonical URL: crawl count
+    and first doc."""
+    from ..functions.url import canonical_url
+
+    docs = _t(spark, sf_dir, "documents")
+    m5 = (F.col("doc_id") % 5).cast("string")
+    m7 = (F.col("doc_id") % 7).cast("string")
+    url = (
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit("HTTPS://WWW.Site"), m5, F.lit(".COM:443/docs/"),
+                F.col("lang"), F.lit("/"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.concat(
+                F.lit("http://site"), m5, F.lit(".com/a?utm_source=x&b="),
+                m7, F.lit("&a=1#frag"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("http://Site"), m5, F.lit(".com:80/a/?gclid=zz&a=1&b="), m7
+            )
+        )
+    )
+    return (
+        docs.select(canonical_url(url).alias("curl"), "doc_id")
+        .groupBy("curl")
+        .agg(
+            F.count("*").cast("long").alias("n_crawls"),
+            F.min("doc_id").cast("long").alias("first_doc"),
+        )
+    )
+
+
+def _q157_oracle() -> str:
+    from ..functions.url import canonical_url_sql
+
+    url = """CASE
+      WHEN doc_id % 3 = 0 THEN 'HTTPS://WWW.Site' || CAST(doc_id % 5 AS VARCHAR)
+           || '.COM:443/docs/' || lang || '/'
+      WHEN doc_id % 3 = 1 THEN 'http://site' || CAST(doc_id % 5 AS VARCHAR)
+           || '.com/a?utm_source=x&b=' || CAST(doc_id % 7 AS VARCHAR) || '&a=1#frag'
+      ELSE 'http://Site' || CAST(doc_id % 5 AS VARCHAR)
+           || '.com:80/a/?gclid=zz&a=1&b=' || CAST(doc_id % 7 AS VARCHAR)
+    END"""
+    return f"""
+SELECT {canonical_url_sql(url)} AS curl,
+       CAST(count(*) AS BIGINT) AS n_crawls,
+       CAST(min(doc_id) AS BIGINT) AS first_doc
+FROM documents GROUP BY 1
+"""
+
+
+REGISTRY.update({"q157_url_dedup": QuerySpec(q157_url_dedup, _q157_oracle())})
+
+
 # ------------------------------------------------------------------------
 # Registry ordering contract: the driver's correctness harness records
 # at most 50 entries per round, in registry order — so the order IS the

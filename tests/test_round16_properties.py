@@ -435,3 +435,26 @@ def test_html_to_text_semantics(spark):
         "Title\na b\nQ&A <tag> &lt;esc&gt; x y 'q' \"z\"\nend"
     ), repr(got)
     assert "payload" not in got and "hidden" not in got and "x:1" not in got
+
+
+def test_canonical_url_rules(spark):
+    """Each canonicalization rule in isolation: fragment drop,
+    scheme/host case-fold, default-port strip (non-default kept),
+    trailing-slash strip (root kept), tracking-param drop, query
+    sort, and all-params-dropped → no '?'."""
+    from flink_assignment_spark.functions.url import canonical_url
+
+    cases = {
+        "http://Example.COM/a#frag": "http://example.com/a",
+        "HTTPS://HOST.com:443/a": "https://host.com/a",
+        "http://h.com:8080/a": "http://h.com:8080/a",
+        "http://h.com/a/b/": "http://h.com/a/b",
+        "http://h.com/": "http://h.com/",
+        "http://h.com/a?z=1&a=2": "http://h.com/a?a=2&z=1",
+        "http://h.com/a?utm_source=x&q=1&fbclid=y&gclid=z&ref=r": "http://h.com/a?q=1",
+        "http://h.com/a?utm_source=x": "http://h.com/a",
+        "http://h.com/a?refresh=1": "http://h.com/a?refresh=1",
+    }
+    df = spark.createDataFrame([(u,) for u in cases], "u string")
+    got = {r.u: r.c for r in df.select("u", canonical_url(F.col("u")).alias("c")).collect()}
+    assert got == cases
