@@ -67,15 +67,20 @@ def weighted_pagerank(
     e = edges.select(
         F.col(src).alias("src"), F.col(dst).alias("dst"), w_col.alias("w")
     )
-    # collapse parallel edges once; cache — every iteration reuses it
-    e = e.groupBy("src", "dst").agg(F.sum("w").alias("w")).persist()
+    # collapse parallel edges ONCE and materialize via localCheckpoint
+    # (not persist: the CacheManager matches canonicalized plans, so a
+    # persisted scan of a state path would serve STALE cached data to
+    # a later call after the path's files changed — the streaming
+    # read_pagerank case; localCheckpoint gives each call a unique
+    # materialized lineage)
+    e = e.groupBy("src", "dst").agg(F.sum("w").alias("w")).localCheckpoint()
     out_w = e.groupBy("src").agg(F.sum("w").alias("w_out"))
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
         .distinct()
         .join(out_w.withColumnRenamed("src", "node"), "node", "left")
-        .persist()
+        .localCheckpoint()
     )
     n = nodes.count()  # |V| — a bounded scalar, not data
     d = int(damping_pct)
@@ -83,7 +88,9 @@ def weighted_pagerank(
 
     ranks = nodes.select("node", F.lit(scale // n).cast("long").alias("rank"))
     for _ in range(n_iters):
-        ranks = ranks.persist()
+        # materialize each iteration (bounded |V| rows) — keeps the
+        # lineage flat instead of k-deep, same staleness-safe rationale
+        ranks = ranks.localCheckpoint()
         # dangling mass: one tiny aggregate over |V| rows
         dang = (
             nodes.join(ranks, "node")
