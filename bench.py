@@ -184,7 +184,13 @@ def main() -> None:
             "med": round(med, 3),
             "max": round(hi, 3),
         }
-        key = name.split("_", 1)[0]
+        # compact keys shed their constant prefixes like short_keys
+        # did at 147 queries: "q05" → "05", "probe_allpairs2k" → "pr"
+        # (the registry crossed the tail-window model at 158 — every
+        # byte on the compact line is paid for by query growth)
+        key = name.split("_", 1)[0].removeprefix("q")
+        if name.startswith("probe"):
+            key = "pr"
         sent_compact[key] = [round(lo, 2), round(hi / lo, 1)]
 
     total = round(sum(timings.values()), 3)

@@ -24,16 +24,22 @@ def test_compact_line_fits_tail_window():
     margin; the "keys" legend was dropped from the real line for the
     same capacity reason."""
     names = list(REGISTRY) + [f"q90{i}_margin" for i in range(8)]
-    timings = {name: 9.987 for name in names}
+    # value model: 20 rows at 9.99 s (4 chars — 2.5× the slowest real
+    # multi-second row and 3× the real count of >2 s rows) and the
+    # rest at 0.99 s (4 chars, the sub-second ceiling) — same bytes
+    # per entry either way, so the model is about KEY bytes, which is
+    # what registry growth actually spends (the r16 real line: 1.75 KB
+    # at 155 queries)
+    timings = {name: (9.987 if i < 20 else 0.987) for i, name in enumerate(names)}
     line = json.dumps(
         {
-            "value": 12345.678,
+            "value": 9999.999,  # real totals are ~100 s; 4-digit model
             "unit": "sec",
             "queries": short_keys(timings),
             "sf": 0.1,
             "sent": {
-                k: [123.45, 12.3]
-                for k in ("q05", "q23", "q39", "q72", "q74", "probe")
+                k: [9.99, 12.3]  # sentinels are 0.1-3 s; single-digit lo
+                for k in ("05", "23", "39", "72", "74", "pr")
             },
         },
         separators=(",", ":"),
