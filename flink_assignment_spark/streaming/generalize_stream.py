@@ -148,9 +148,11 @@ def merge_generalize_batch(
 
     released_parts: list[DataFrame] = []
     opened_parts: list[DataFrame] = []
+    cached: list[DataFrame] = []
     for lvl in range(n_levels):
         kc = f"_k{lvl}"
         cand = cand.cache()
+        cached.append(cand)
         if open_df is not None:
             open_l = (
                 open_df.filter(F.col("level") == lvl)
@@ -162,6 +164,7 @@ def merge_generalize_batch(
             released_parts.append(already.withColumn("gen_level", F.lit(lvl)))
         counts = cand.groupBy(kc).agg(F.count("*").alias("_n"))
         opening = counts.filter(F.col("_n") >= k).select(kc).cache()
+        cached.append(opening)
         released_parts.append(
             cand.join(F.broadcast(opening), kc, "inner").withColumn(
                 "gen_level", F.lit(lvl)
@@ -203,6 +206,8 @@ def merge_generalize_batch(
 
         shutil.rmtree(ppath)
     rows.unpersist()
+    for df in cached:
+        df.unpersist()
     if pend_touched is not None:
         pend_touched.unpersist()
     commit_marker(state_dir, batch_id)
