@@ -25,7 +25,10 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-TRACKING_RE = "^(utm_|fbclid|gclid|ref=|ref$)"
+# per-KEY anchored: the name must be exactly utm_*/fbclid/gclid/ref
+# (followed by '=' or end) — an unanchored prefix would strip real
+# params like gclidset=1 or refresh=1 (r16 review)
+TRACKING_RE = "^(utm_[^=]*|fbclid|gclid|ref)(=|$)"
 
 
 def url_host(url: Column) -> Column:
@@ -42,6 +45,10 @@ def canonical_url(url: Column) -> Column:
     scheme_host = F.regexp_replace(scheme_host, r":(80|443)$", "")
     path = F.regexp_extract(no_frag, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+([^?#]*)", 1)
     path = F.regexp_replace(path, r"^(.+?)/$", r"$1")
+    # RFC 3986 §6.2.3: an empty path is equivalent to '/' — without
+    # this, http://h.com and http://h.com/ (the most common dup pair
+    # on the web) would keep two dedup keys (r16 review)
+    path = F.when(path == "", F.lit("/")).otherwise(path)
     q = F.regexp_extract(no_frag, r"\?([^#]*)", 1)
     kept = F.array_sort(
         F.filter(
@@ -66,10 +73,11 @@ def canonical_url_sql(col_expr: str) -> str:
         f"regexp_replace(lower(regexp_extract({no_frag}, "
         f"'^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+)', 1)), ':(80|443)$', '')"
     )
-    path = (
+    path0 = (
         f"regexp_replace(regexp_extract({no_frag}, "
         f"'^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+([^?#]*)', 1), '^(.+?)/$', '\\1')"
     )
+    path = f"CASE WHEN {path0} = '' THEN '/' ELSE {path0} END"
     kept = (
         f"list_sort(list_filter(string_split(regexp_extract({no_frag}, "
         f"'\\?([^#]*)', 1), '&'), "

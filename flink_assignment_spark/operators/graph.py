@@ -64,9 +64,14 @@ def weighted_pagerank(
     fold-order sensitivity (the property that makes q155
     oracle-checkable)."""
     w_col = F.col(weight).cast("long") if weight is not None else F.lit(1).cast("long")
+    # weights must be POSITIVE: a zero/negative-weight edge would put
+    # a 0 (or negative) total out-weight in the divisor — Spark's DIV
+    # returns NULL on /0 (silent rank-mass loss) while DuckDB's //
+    # raises, a cross-engine divergence (r16 review). A non-positive
+    # weight means "not an edge"; drop it up front.
     e = edges.select(
         F.col(src).alias("src"), F.col(dst).alias("dst"), w_col.alias("w")
-    )
+    ).filter(F.col("w") > 0)
     # collapse parallel edges ONCE and materialize via localCheckpoint
     # (not persist: the CacheManager matches canonicalized plans, so a
     # persisted scan of a state path would serve STALE cached data to

@@ -60,6 +60,23 @@ def row_digest(cols: list[Column]) -> Column:
     return hash60(F.concat_ws("\x1f", *enc))
 
 
+def _key_bucket(key_col: str, n_buckets: int):
+    """Hash bucket of a row key, NULL-SAFE: a NULL key encodes to the
+    '\\x00' sentinel instead of NULL-propagating through the concat —
+    otherwise NULL-keyed rows land in a NULL bucket that every
+    null-unsafe bucket join/filter silently drops (r16 review: the
+    repair scan excluded them from BOTH sides and reported corrupted
+    NULL-key rows as equal). Mirrored in the oracles as
+    ``md5('manifest:' || coalesce(chr(1) || CAST(k AS VARCHAR),
+    chr(0)))``."""
+    enc = F.coalesce(
+        F.concat(F.lit("\x01"), F.col(key_col).cast("string")), F.lit("\x00")
+    )
+    return F.pmod(
+        hash60(F.concat(F.lit("manifest:"), enc)), F.lit(n_buckets)
+    ).cast("int")
+
+
 def corpus_manifest(
     df: DataFrame,
     key_col: str,
@@ -69,10 +86,7 @@ def corpus_manifest(
     """``(bucket, n_rows, digest)`` per hash-bucket of ``key_col`` —
     one aggregate pass, fully order/partitioning-independent."""
     h = row_digest([F.col(c) for c in content_cols])
-    bucket = F.pmod(
-        hash60(F.concat(F.lit("manifest:"), F.col(key_col).cast("string"))),
-        F.lit(n_buckets),
-    ).cast("int")
+    bucket = _key_bucket(key_col, n_buckets)
     return (
         df.select(bucket.alias("bucket"), h.alias("h"))
         .groupBy("bucket")
@@ -142,12 +156,10 @@ def manifest_repair(
 
     def prep(df: DataFrame, side: str) -> DataFrame:
         h = row_digest([F.col(c) for c in content_cols])
-        bucket = F.pmod(
-            hash60(F.concat(F.lit("manifest:"), F.col(key_col).cast("string"))),
-            F.lit(n_buckets),
-        ).cast("int")
         out = df.select(
-            bucket.alias("bucket"), F.col(key_col).alias("key"), h.alias("h")
+            _key_bucket(key_col, n_buckets).alias("bucket"),
+            F.col(key_col).alias("key"),
+            h.alias("h"),
         )
         if want is not None:
             out = out.filter(F.col("bucket").isin(want))
@@ -155,11 +167,22 @@ def manifest_repair(
             F.count("*").cast("long").alias(f"n_{side}")
         )
 
-    j = prep(a, "a").join(prep(b, "b"), ["bucket", "key", "h"], "full_outer")
+    # NULL-SAFE full outer on (bucket, key, h): key may legitimately
+    # be NULL (its bucket no longer is, see _key_bucket), and a plain
+    # column-list join would report two identical NULL-key rows as a
+    # bogus diff pair (r16 review)
+    aa = prep(a, "a").alias("_a")
+    bb = prep(b, "b").alias("_b")
+    cond = (
+        F.col("_a.bucket").eqNullSafe(F.col("_b.bucket"))
+        & F.col("_a.key").eqNullSafe(F.col("_b.key"))
+        & F.col("_a.h").eqNullSafe(F.col("_b.h"))
+    )
+    j = aa.join(bb, cond, "full_outer")
     return j.select(
-        "bucket",
-        "key",
-        "h",
+        F.coalesce(F.col("_a.bucket"), F.col("_b.bucket")).alias("bucket"),
+        F.coalesce(F.col("_a.key"), F.col("_b.key")).alias("key"),
+        F.coalesce(F.col("_a.h"), F.col("_b.h")).alias("h"),
         F.coalesce("n_a", F.lit(0)).cast("long").alias("n_a"),
         F.coalesce("n_b", F.lit(0)).cast("long").alias("n_b"),
     ).filter(F.col("n_a") != F.col("n_b"))

@@ -143,8 +143,16 @@ def t_closeness_audit(
     per-group cumulative sums window over exactly m rows each.
 
     Output per group: quasi cols, ``n``, ``emd_num``, ``emd_den``,
-    ``t_emd`` (rounded double for reading), ``t_ok``."""
-    base = df.select(*quasi_cols, sensitive.alias("_v"))
+    ``t_emd`` (rounded double for reading), ``t_ok``. Records whose
+    sensitive value is NULL are EXCLUDED from both distributions —
+    EMD over an ordered domain has no defined position for NULL, and
+    the engines even disagree on where a NULL sorts (Spark windows
+    order NULLS FIRST, DuckDB NULLS LAST), so including it would make
+    the audit engine-dependent. NULL quasi values are fine (NULL is a
+    group, matched null-safely throughout)."""
+    base = df.select(*quasi_cols, sensitive.alias("_v")).filter(
+        F.col("_v").isNotNull()
+    )
     gv = base.groupBy("_v").agg(F.count("*").cast("long").alias("_c_v"))
     w_all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     # the constant broadcast key must be DATA-DEPENDENT (n − n, not
@@ -164,9 +172,23 @@ def t_closeness_audit(
     counts = base.groupBy(*quasi_cols, "_v").agg(
         F.count("*").cast("long").alias("_c_gv")
     )
-    grid = groups.join(F.broadcast(gv), "_one").drop("_one")
-    grid = grid.join(counts, [*quasi_cols, "_v"], "left").withColumn(
-        "_c_gv", F.coalesce(F.col("_c_gv"), F.lit(0)).cast("long")
+    grid = groups.join(F.broadcast(gv), "_one").drop("_one").alias("_grid")
+    # NULL-SAFE per quasi column (groupBy keeps NULL as a group; a
+    # plain column-list join would never match a NULL-keyed group's
+    # own counts, zeroing its whole distribution — r16 review). _v is
+    # non-null here (NULL sensitive values are excluded above).
+    cnt = counts.alias("_cnt")
+    cond = F.col("_grid._v") == F.col("_cnt._v")
+    for c in quasi_cols:
+        cond = cond & F.col(f"_grid.{c}").eqNullSafe(F.col(f"_cnt.{c}"))
+    grid = grid.join(cnt, cond, "left").select(
+        *[F.col(f"_grid.{c}") for c in quasi_cols],
+        F.col("_grid._v").alias("_v"),
+        "_c_v",
+        "_N",
+        "_m",
+        "n",
+        F.coalesce(F.col("_cnt._c_gv"), F.lit(0)).cast("long").alias("_c_gv"),
     )
     w = Window.partitionBy(*quasi_cols).orderBy("_v")
     cum = grid.withColumn(
@@ -233,17 +255,21 @@ def k_generalize(
         unknown = set(overrides) - set(quasi_cols)
         if unknown:
             raise ValueError(f"level {lvl} generalizes non-quasi columns {sorted(unknown)}")
-        # persist each level's tagged frame: failing, the release, and
-        # the next level's remainder all read it, and without the cache
-        # level L's lineage would re-run every earlier level's joins
-        # (the plan audit showed 14 base scans for 3 levels)
+        # materialize each level's tagged frame (failing, the release,
+        # and the next level's remainder all read it; without this,
+        # level L's lineage re-runs every earlier level's joins — the
+        # plan audit showed 14 base scans for 3 levels). localCheckpoint,
+        # not persist: a cached frame has no unpersist handle after
+        # return and would pin len(levels) full-width copies in the
+        # CacheManager per call forever (r16 review); checkpointed RDDs
+        # are reclaimed by GC with the returned DataFrame.
         tagged = remaining.select(
             "*",
             *[
                 overrides.get(c, F.col(c)).alias(g)
                 for c, g in zip(quasi_cols, gcols)
             ],
-        ).persist()
+        ).localCheckpoint()
         failing = (
             tagged.groupBy(*gcols)
             .agg(F.count("*").alias("n"))

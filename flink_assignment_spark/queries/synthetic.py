@@ -7298,7 +7298,7 @@ def q149_corpus_manifest(spark, sf_dir):
 
 Q149_SQL = """
 WITH h AS (
-  SELECT CAST(CAST('0x' || substring(md5('manifest:' || CAST(doc_id AS VARCHAR)), 1, 15)
+  SELECT CAST(CAST('0x' || substring(md5('manifest:' || coalesce(chr(1) || CAST(doc_id AS VARCHAR), chr(0))), 1, 15)
               AS BIGINT) % 64 AS INT) AS bucket,
          CAST('0x' || substring(md5(
            coalesce(chr(1) || CAST(doc_id AS VARCHAR), chr(0)) || chr(31) ||
@@ -7443,12 +7443,12 @@ WITH pert AS (
          lang, source
   FROM documents WHERE doc_id % 101 <> 0),
 ga AS (
-  SELECT CAST(CAST('0x' || substring(md5('manifest:' || CAST(doc_id AS VARCHAR)), 1, 15)
+  SELECT CAST(CAST('0x' || substring(md5('manifest:' || coalesce(chr(1) || CAST(doc_id AS VARCHAR), chr(0))), 1, 15)
               AS BIGINT) % 64 AS INT) AS bucket,
          doc_id, {_Q151_DIGEST} AS h, CAST(count(*) AS BIGINT) AS n_a
   FROM documents GROUP BY 1, 2, 3),
 gb AS (
-  SELECT CAST(CAST('0x' || substring(md5('manifest:' || CAST(doc_id AS VARCHAR)), 1, 15)
+  SELECT CAST(CAST('0x' || substring(md5('manifest:' || coalesce(chr(1) || CAST(doc_id AS VARCHAR), chr(0))), 1, 15)
               AS BIGINT) % 64 AS INT) AS bucket,
          doc_id, {_Q151_DIGEST} AS h, CAST(count(*) AS BIGINT) AS n_b
   FROM pert GROUP BY 1, 2, 3)

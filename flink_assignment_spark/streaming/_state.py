@@ -229,6 +229,25 @@ def append_rows(out: DataFrame, table_path: str, part_col: str | None) -> None:
     w.parquet(table_path)
 
 
+def drop_if_drained(table_path: str, part_col: str = "bucket") -> None:
+    """Remove a partitioned state dir whose every partition was folded
+    away, leaving only a bare ``_SUCCESS`` marker — unreadable as
+    parquet, so the next ``read`` would crash instead of returning
+    None. One shared copy (r16 review: the k-anonymity and generalize
+    gates each carried a verbatim inline block, exactly the drift this
+    module exists to prevent). A no-op on the ManifestStateBackend's
+    layout (no ``_SUCCESS`` file), where an emptied table already
+    reads as None via its manifest."""
+    if (
+        os.path.isdir(table_path)
+        and os.path.exists(os.path.join(table_path, "_SUCCESS"))
+        and not any(
+            e.startswith(f"{part_col}=") for e in os.listdir(table_path)
+        )
+    ):
+        shutil.rmtree(table_path)
+
+
 def recover_replace(table_path: str) -> None:
     """Heal a crash inside :meth:`ParquetStateBackend.replace`'s
     two-rename swap. The swap is (1) rename the current table aside to

@@ -143,6 +143,20 @@ def merge_binpack_batch(
         # O(log bins) first-fit via the shared segment tree (leaf
         # index == local bin id — locals are allocated contiguously,
         # but tolerate holes by padding them unmatchable)
+        # refuse state written under the pre-r16 decimal id scheme
+        # (shard*1e6+local): those composites decode to absurd locals
+        # under the bit mask and would permanently corrupt the shard
+        # (every shard>0 old id has high bits 0 != shard, so this
+        # detects every corrupting case; shard-0 ids are identical in
+        # both schemes)
+        foreign = [b for b in bins if (b >> SHARD_SHIFT) != shard]
+        if foreign:
+            raise ValueError(
+                f"packstate shard {shard} holds bin ids {foreign[:3]} whose "
+                "shard bits do not match — state written under the old "
+                "decimal bin-id scheme; rebuild the state dir (no "
+                "in-place migration)"
+            )
         lc = {b & _LOCAL_MASK: cap for b, cap in bins.items()}
         real = set(lc)
         tree = FirstFitTree()

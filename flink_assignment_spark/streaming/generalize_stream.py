@@ -57,6 +57,7 @@ from ._state import (
     DEFAULT_BACKEND,
     applied_batch,
     commit_marker,
+    drop_if_drained,
     require_restart_checkpoint,
 )
 
@@ -196,15 +197,7 @@ def merge_generalize_batch(
     backend.fold(
         cand.dropDuplicates([id_col]), _pending_path(state_dir), "bucket", touched
     )
-    ppath = _pending_path(state_dir)
-    if (
-        os.path.isdir(ppath)
-        and os.path.exists(os.path.join(ppath, "_SUCCESS"))
-        and not any(e.startswith("bucket=") for e in os.listdir(ppath))
-    ):
-        import shutil
-
-        shutil.rmtree(ppath)
+    drop_if_drained(_pending_path(state_dir))
     rows.unpersist()
     for df in cached:
         df.unpersist()

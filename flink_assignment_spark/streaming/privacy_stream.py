@@ -43,6 +43,7 @@ from ._state import (
     DEFAULT_BACKEND,
     applied_batch,
     commit_marker,
+    drop_if_drained,
     require_restart_checkpoint,
 )
 
@@ -195,14 +196,7 @@ def merge_kanon_batch(
     if touched:
         ppath = _pending_path(state_dir)
         backend.fold(keep.dropDuplicates([id_col]), ppath, "bucket", touched)
-        # default backend: every bucket emptied → drop the bare-
-        # _SUCCESS dir (unreadable as parquet), the detector guard
-        if os.path.isdir(ppath) and os.path.exists(
-            os.path.join(ppath, "_SUCCESS")
-        ) and not any(e.startswith("bucket=") for e in os.listdir(ppath)):
-            import shutil
-
-            shutil.rmtree(ppath)
+        drop_if_drained(ppath)
     for df in (opening, held, rows):
         df.unpersist()
     if pend_touched is not None:

@@ -84,7 +84,7 @@ def test_manifest_null_rows_match_duckdb_oracle(spark):
                 """
         WITH h AS (
           SELECT CAST(CAST('0x' || substring(
-                   md5('manifest:' || CAST(doc_id AS VARCHAR)), 1, 15)
+                   md5('manifest:' || coalesce(chr(1) || CAST(doc_id AS VARCHAR), chr(0))), 1, 15)
                  AS BIGINT) % 64 AS INT) AS bucket,
                  CAST('0x' || substring(md5(
                    coalesce(chr(1) || CAST(doc_id AS VARCHAR), chr(0)) || chr(31) ||
@@ -454,7 +454,68 @@ def test_canonical_url_rules(spark):
         "http://h.com/a?utm_source=x&q=1&fbclid=y&gclid=z&ref=r": "http://h.com/a?q=1",
         "http://h.com/a?utm_source=x": "http://h.com/a",
         "http://h.com/a?refresh=1": "http://h.com/a?refresh=1",
+        # RFC 3986 §6.2.3: empty path ≡ '/' (the most common dup pair)
+        "http://h.com": "http://h.com/",
+        "http://H.com#x": "http://h.com/",
+        # tracking names are matched per-KEY, not by prefix
+        "http://h.com/p?gclidset=1": "http://h.com/p?gclidset=1",
+        "http://h.com/p?fbclid2=x": "http://h.com/p?fbclid2=x",
     }
     df = spark.createDataFrame([(u,) for u in cases], "u string")
     got = {r.u: r.c for r in df.select("u", canonical_url(F.col("u")).alias("c")).collect()}
     assert got == cases
+
+
+def test_manifest_repair_null_keys(spark):
+    """NULL row keys must neither escape the repair scan nor be
+    falsely flagged: an identical NULL-key row on both sides produces
+    NO delta, and a corrupted NULL-key row IS caught — with and
+    without the bucket restriction (r16 review: NULL keys used to
+    NULL-propagate into the bucket and fall out of both sides)."""
+    from flink_assignment_spark.operators.manifest import (
+        corpus_manifest,
+        manifest_diff,
+        manifest_repair,
+    )
+
+    rows_a = [(None, "same"), (1, "x"), (2, "y")]
+    rows_b = [(None, "CORRUPT"), (1, "x"), (2, "y")]
+    S = "k long, text string"
+    a = spark.createDataFrame(rows_a, S)
+    same = spark.createDataFrame(rows_a, S)
+    b = spark.createDataFrame(rows_b, S)
+    # identical copies: zero deltas even with NULL keys
+    assert manifest_repair(a, same, "k", ["k", "text"]).count() == 0
+    # corrupted NULL-key row: flagged by the diff AND named by repair
+    flagged = [
+        int(r.bucket)
+        for r in manifest_diff(
+            corpus_manifest(a, "k", ["k", "text"]),
+            corpus_manifest(b, "k", ["k", "text"]),
+        ).collect()
+    ]
+    assert flagged
+    rep = manifest_repair(a, b, "k", ["k", "text"], buckets=flagged).collect()
+    assert len(rep) == 2  # old digest + new digest of the NULL-key row
+    assert all(r.key is None for r in rep)
+
+
+def test_t_closeness_null_quasi_and_null_sensitive(spark):
+    """A NULL-keyed quasi group is audited against its OWN counts
+    (not zeroed — r16 review), and NULL sensitive values are excluded
+    from both distributions."""
+    from flink_assignment_spark.operators.privacy import t_closeness_audit
+
+    rows = [
+        (None, 0), (None, 1),  # NULL group, uniform over {0,1}
+        ("g", 0), ("g", 1),    # same distribution
+        ("h", None),           # NULL sensitive: excluded entirely
+        ("h", 0), ("h", 1),
+    ]
+    df = spark.createDataFrame(rows, "grp string, v long")
+    out = {r.grp: r for r in t_closeness_audit(df, ["grp"], F.col("v")).collect()}
+    # all three groups match the global distribution exactly → EMD 0
+    assert out[None].emd_num == 0 and out[None].t_ok == 1
+    assert out["g"].emd_num == 0
+    # h's NULL row is excluded: n counts only the 2 non-null rows
+    assert out["h"].n == 2 and out["h"].emd_num == 0
