@@ -174,12 +174,17 @@ def test_manifest_proves_erasure_cascade(spark):
     flagged = {r.bucket for r in d.collect()}
     from flink_assignment_spark.functions.text import hash60
 
+    # mirror _key_bucket's NULL-safe key encoding (r16: '\x01'+key /
+    # '\x00' sentinel) rather than the pre-r16 raw-key concat
+    enc = F.coalesce(
+        F.concat(F.lit("\x01"), F.col("doc_id").cast("string")), F.lit("\x00")
+    )
     want = {
         r.b
         for r in docs.filter(F.col("doc_id").isin(list(erase)))
         .select(
             F.pmod(
-                hash60(F.concat(F.lit("manifest:"), F.col("doc_id").cast("string"))),
+                hash60(F.concat(F.lit("manifest:"), enc)),
                 F.lit(64),
             ).cast("int").alias("b")
         )
