@@ -280,8 +280,13 @@ def main():
             break
         name = line.split(None, 1)[1]
         try:
-            df = REGISTRY[resolve(name)].spark(spark, SF_DIR)
+            # time BUILD + write, exactly like bench.py's main loop: for
+            # iterative trainers (BPE, PageRank, k-center) the build IS
+            # the query — the old write-only window under-measured them
+            # ~10x and hid build-side regressions/wins from the A/B
+            # attribution (r16 measurement-bug fix, OPTIMIZATION_r16.md)
             t0 = time.monotonic()
+            df = REGISTRY[resolve(name)].spark(spark, SF_DIR)
             df.write.format("noop").mode("overwrite").save()
             print("T %.4f" % (time.monotonic() - t0), flush=True)
         except Exception as exc:

@@ -97,6 +97,16 @@ def bpe_train_merges(
     # the delimiter must never appear inside a symbol (see _merge_rule)
     base = F.split(F.translate(txt, _SEP, ""), "")
     state = docs.select(base.alias("tk")).persist(StorageLevel.MEMORY_AND_DISK)
+    # ONE corpus pass per round (guide §1.2 — remove whole passes
+    # first): the round's top-pair aggregate is the action that
+    # materializes the PREVIOUS round's rewrite into the cache (the
+    # rewrite itself is a narrow string replace fused into the same
+    # job), replacing the old eager nxt.count() pass; the predecessor
+    # stays persisted until the fold has run so the rewrite reads the
+    # cache, not the full lineage. The final round's rewrite is never
+    # consumed (only the merge list leaves this function), so it is
+    # not built at all — k rounds cost k passes, down from 2k+... .
+    prev: DataFrame | None = None
     merges: list[tuple[int, str, str, int]] = []
     try:
         for rank in range(1, n_merges + 1):
@@ -116,18 +126,22 @@ def bpe_train_merges(
                 .limit(1)
                 .collect()
             )
+            if prev is not None:
+                prev.unpersist()
+                prev = None
             if not top or top[0].cnt < 2:
                 break
             left, right, cnt = top[0].l, top[0].r, int(top[0].cnt)
             merges.append((rank, left, right, cnt))
-            nxt = state.select(_merge_rule(tk, left, right).alias("tk")).persist(
-                StorageLevel.MEMORY_AND_DISK
-            )
-            nxt.count()
-            state.unpersist()
-            state = nxt
+            if rank < n_merges:
+                nxt = state.select(_merge_rule(tk, left, right).alias("tk")).persist(
+                    StorageLevel.MEMORY_AND_DISK
+                )
+                prev, state = state, nxt
     finally:
         state.unpersist()
+        if prev is not None:
+            prev.unpersist()
     return merges
 
 
@@ -162,6 +176,10 @@ def _bpe_train_word_level(
     state = words.select(F.split(F.col("w"), "").alias("tk"), "n").persist(
         StorageLevel.MEMORY_AND_DISK
     )
+    # same one-pass-per-round discipline as the byte-level loop above:
+    # the top-pair fold materializes the previous rewrite, and the
+    # never-consumed final rewrite is skipped
+    prev: DataFrame | None = None
     merges: list[tuple[int, str, str, int]] = []
     try:
         for rank in range(1, n_merges + 1):
@@ -181,18 +199,22 @@ def _bpe_train_word_level(
                 .limit(1)
                 .collect()
             )
+            if prev is not None:
+                prev.unpersist()
+                prev = None
             if not top or top[0].cnt < 2:
                 break
             left, right, cnt = top[0].l, top[0].r, int(top[0].cnt)
             merges.append((rank, left, right, cnt))
-            nxt = state.select(
-                _merge_rule(tk, left, right).alias("tk"), "n"
-            ).persist(StorageLevel.MEMORY_AND_DISK)
-            nxt.count()
-            state.unpersist()
-            state = nxt
+            if rank < n_merges:
+                nxt = state.select(
+                    _merge_rule(tk, left, right).alias("tk"), "n"
+                ).persist(StorageLevel.MEMORY_AND_DISK)
+                prev, state = state, nxt
     finally:
         state.unpersist()
+        if prev is not None:
+            prev.unpersist()
     return merges
 
 

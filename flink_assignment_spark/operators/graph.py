@@ -72,41 +72,57 @@ def weighted_pagerank(
     e = edges.select(
         F.col(src).alias("src"), F.col(dst).alias("dst"), w_col.alias("w")
     ).filter(F.col("w") > 0)
-    # collapse parallel edges ONCE and materialize via localCheckpoint
+    # collapse parallel edges ONCE, with each edge carrying its
+    # source's TOTAL out-weight, and materialize via localCheckpoint
     # (not persist: the CacheManager matches canonicalized plans, so a
     # persisted scan of a state path would serve STALE cached data to
     # a later call after the path's files changed — the streaming
     # read_pagerank case; localCheckpoint gives each call a unique
-    # materialized lineage)
-    e = e.groupBy("src", "dst").agg(F.sum("w").alias("w")).localCheckpoint()
+    # materialized lineage). Baking w_out onto the edge row here
+    # removes a per-iteration join + aggregate from the k-round loop
+    # (guide §2.4: establish a partitioning/derived column once, reuse
+    # it every round).
+    e = e.groupBy("src", "dst").agg(F.sum("w").alias("w"))
     out_w = e.groupBy("src").agg(F.sum("w").alias("w_out"))
+    e = e.join(out_w, "src").localCheckpoint()
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
         .distinct()
-        .join(out_w.withColumnRenamed("src", "node"), "node", "left")
+        .join(
+            e.select(F.col("src").alias("node"), "w_out").distinct(),
+            "node",
+            "left",
+        )
         .localCheckpoint()
     )
     n = nodes.count()  # |V| — a bounded scalar, not data
     d = int(damping_pct)
     base = ((100 - d) * scale // 100) // n
 
-    ranks = nodes.select("node", F.lit(scale // n).cast("long").alias("rank"))
+    # ranks carry the w_out null-marker so the per-iteration dangling
+    # aggregate reads ONE cached frame instead of re-joining nodes
+    ranks = nodes.select(
+        "node", "w_out", F.lit(scale // n).cast("long").alias("rank")
+    )
     for _ in range(n_iters):
-        # materialize each iteration (bounded |V| rows) — keeps the
-        # lineage flat instead of k-deep, same staleness-safe rationale
-        ranks = ranks.localCheckpoint()
-        # dangling mass: one tiny aggregate over |V| rows
-        dang = (
-            nodes.join(ranks, "node")
-            .filter(F.col("w_out").isNull())
-            .agg(F.coalesce(F.sum("rank"), F.lit(0)).cast("long").alias("s"))
-            .collect()[0]["s"]
-        )
-        dang_share = dang * d // (100 * n)
+        # ONE job per iteration, flat lineage: the LAZY localCheckpoint
+        # truncates the logical plan immediately (every downstream plan
+        # sees a LogicalRDD, not the k-deep iteration tree — an eager
+        # persist() chain measured a 101 KB final plan whose per-round
+        # re-optimization ate the job savings), and the dangling-mass
+        # aggregate (a bounded scalar, not data) is the action that
+        # materializes it — the former shape paid a checkpoint job AND
+        # a separate dangling collect job per round.
+        ranks = ranks.localCheckpoint(eager=False)
+        dang = ranks.agg(
+            F.coalesce(
+                F.sum(F.when(F.col("w_out").isNull(), F.col("rank"))), F.lit(0)
+            ).cast("long")
+        ).collect()[0][0]
+        dang_share = int(dang) * d // (100 * n)
         contrib = (
-            e.join(ranks.withColumnRenamed("node", "src"), "src")
-            .join(out_w, "src")
+            e.join(ranks.select(F.col("node").alias("src"), "rank"), "src")
             .select(
                 F.col("dst").alias("node"),
                 F.expr(f"(rank * {d} * w) DIV (100 * w_out)").alias("c"),
@@ -114,12 +130,13 @@ def weighted_pagerank(
             .groupBy("node")
             .agg(F.sum("c").cast("long").alias("in_sum"))
         )
-        ranks = nodes.select("node").join(contrib, "node", "left").select(
+        ranks = nodes.join(contrib, "node", "left").select(
             "node",
+            "w_out",
             (
                 F.lit(base).cast("long")
                 + F.lit(int(dang_share)).cast("long")
                 + F.coalesce(F.col("in_sum"), F.lit(0))
             ).alias("rank"),
         )
-    return ranks
+    return ranks.select("node", "rank")

@@ -802,6 +802,21 @@ def _self_block_pairs_exploded(
     src = vectors.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
     n = src.count()  # bounded driver action: one scalar
     n_blocks = max(1, math.ceil(n / block_rows))
+    # Parallelism floor (guide §2 — scale-adaptive partitioning, not a
+    # local[32] constant): ``block_rows`` bounds per-task MEMORY, so for
+    # small corpora the memory-bound block count can leave most of the
+    # cluster idle (e.g. 8k rows / 2048 = 4 blocks = 10 groups on 32
+    # slots). Lower the effective block size until the group count
+    # B(B+1)/2 reaches ~2x the configured shuffle parallelism, never
+    # shrinking blocks below 256 rows (Arrow batches must stay big
+    # enough to amortize the Python boundary — guide §4.2). At corpus
+    # scale ceil(N / block_rows) already exceeds the floor, so this is
+    # inert exactly where the memory bound matters; the result set is
+    # invariant to the block count (every unordered id pair still lives
+    # in exactly ONE group).
+    par = int(vectors.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    floor_blocks = math.ceil((math.sqrt(1 + 16 * par) - 1) / 2)
+    n_blocks = max(n_blocks, min(floor_blocks, max(1, n // 256)))
     blk = F.pmod(F.col("_id"), F.lit(n_blocks)).cast("int")
     # one (gi, gj) group key per unordered block pair this row's block
     # participates in — n_blocks keys per row, all distinct

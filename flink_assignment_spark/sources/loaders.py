@@ -19,6 +19,18 @@ from pyspark.sql import functions as F
 from ..schemas import ALL_TABLES, COMMIT, COMMIT_GEO
 
 
+# Schema memo keyed by (path, mtime, size): the RESOLVED read schema
+# plus the events nanos-ts flag. Schema inference is a driver-side
+# footer read on EVERY ``spark.read.parquet`` call — measured ~100 ms
+# per call at sf0.1 vs ~18 ms with an explicit schema (guide §1/§6:
+# repeated metadata work is per-query overhead, and with 150+ registry
+# queries each loading 1-3 tables it was the single largest fixed
+# cost in the bench). The memo caches METADATA only — every action
+# still scans the parquet data; a changed file (new mtime/size) takes
+# the cold inference path again, so staleness is self-correcting.
+_SCHEMA_MEMO: dict[tuple[str, float, int], tuple[object, bool]] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one synthetic table, e.g. ``load_table(spark, sf, "lineitem")``.
 
@@ -38,14 +50,33 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
+        # must be set before the scan is PLANNED (actions), not just
+        # before inference — so it stays outside the memo's warm path
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(path)
-        if dict(df.dtypes).get("ts") == "bigint":
-            return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    else:
-        df = spark.read.parquet(path)
-    if "timestamp_ntz" in dict(df.dtypes).values():
-        df = spark.read.schema(_force_ltz(df.schema)).parquet(path)
+    try:
+        st = os.stat(path)
+        # single regular files only: a directory layout can change
+        # contents without a reliable stat change, so always re-infer
+        key = (path, st.st_mtime, st.st_size) if os.path.isfile(path) else None
+    except OSError:
+        key = None
+    memo = _SCHEMA_MEMO.get(key) if key is not None else None
+    if memo is not None:
+        schema, ts_nanos = memo
+        df = spark.read.schema(schema).parquet(path)
+        if ts_nanos:
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
+    df = spark.read.parquet(path)
+    ts_nanos = name == "events" and dict(df.dtypes).get("ts") == "bigint"
+    schema = df.schema
+    if not ts_nanos and "timestamp_ntz" in dict(df.dtypes).values():
+        schema = _force_ltz(df.schema)
+        df = spark.read.schema(schema).parquet(path)
+    if key is not None:
+        _SCHEMA_MEMO[key] = (schema, ts_nanos)
+    if ts_nanos:
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
 
 
