@@ -536,10 +536,14 @@ def prefix_filter_jaccard_pairs(
     def _ceil(c):
         return F.ceil(c - F.lit(1e-9))
 
-    dfreq = sh.groupBy("h").agg(F.count("*").alias("df"))
+    # document frequency via a window over the SAME key instead of a
+    # groupBy + self-join: the agg+join form shuffles the corpus-scale
+    # index by h TWICE (once into the aggregate, once into the join);
+    # the window establishes the h-partitioning once and counts within
+    # it (guide §2.4) — value-identical df per (doc, h) row
     pos_w = Window.partitionBy("doc_id").orderBy(F.asc("df"), F.asc("h"))
     prefix = (
-        sh.join(dfreq, "h")
+        sh.withColumn("df", F.count("*").over(Window.partitionBy("h")))
         .withColumn("pos", F.row_number().over(pos_w))
         .filter(
             F.col("pos")
