@@ -814,7 +814,13 @@ def _self_block_pairs_exploded(
     # inert exactly where the memory bound matters; the result set is
     # invariant to the block count (every unordered id pair still lives
     # in exactly ONE group).
-    par = int(vectors.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    try:
+        par = int(vectors.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        # managed platforms may hold a non-integer here (e.g. "auto");
+        # fall back to the cluster's physical slot count rather than
+        # crashing the query (r16 ADVICE)
+        par = vectors.sparkSession.sparkContext.defaultParallelism
     floor_blocks = math.ceil((math.sqrt(1 + 16 * par) - 1) / 2)
     n_blocks = max(n_blocks, min(floor_blocks, max(1, n // 256)))
     blk = F.pmod(F.col("_id"), F.lit(n_blocks)).cast("int")

@@ -45,6 +45,19 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # coalescePartitions.parallelismFirst stays at its default
+        # (true). The r17 round MEASURED the Spark-docs-recommended
+        # `false` (+ explicit 64m advisory) against this tree with the
+        # paired A/B harness and REJECTED it: size-based coalescing
+        # serializes compute-DENSE, byte-LIGHT stages — the fuzzy-
+        # linkage variant join went 4.5x slower (q125 med 2.0 s -> 9.0 s
+        # DISJOINT), the shingle posting self-join 1.6-1.8x (q15/q94/
+        # q117), blocking joins 1.5x (q107/q121) — while none of the
+        # window/sketch rows it was meant to rescue improved beyond
+        # noise (q92/q95/q104/q110/q118 med-ratio 0.95-1.04 OVERLAP).
+        # Bytes are the only statistic AQE can see, and for these
+        # kernels CPU-per-row, not bytes, is the cost; details in
+        # OPTIMIZATION_r17.md ("AQE coalescing below parallelism").
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         # Let AQE replace a planned sort-merge join with a shuffled hash
         # join at runtime when the build side's per-partition map fits
