@@ -434,7 +434,7 @@ def minhash_lsh_pairs(
 
 
 def _verify_pairs_jaccard(
-    cand: DataFrame, sh: DataFrame, threshold: float
+    cand: DataFrame, sh: DataFrame, threshold: float, arrs: DataFrame | None = None
 ) -> DataFrame:
     """Exact-Jaccard verification of CANDIDATE PAIRS ONLY — shared by
     the LSH and prefix-filter candidate generators.
@@ -448,22 +448,48 @@ def _verify_pairs_jaccard(
     is linear in |cand|, per-row memory is bounded by doc length, and
     the Jaccard (array_intersect over the same sets) is
     value-identical to the index-join form (A/B-verified at sf0.1).
-    ``cand`` must be materialized (cached) by the caller — it feeds
-    three branches of this job.
+
+    The arrays attach through ONE join: the pair list is melted to
+    (doc_a, doc_b, doc_id) — two rows per pair — joined once against
+    the per-doc array frame, and folded back to one row per pair. The
+    former shape joined the array frame twice (once per pair side),
+    and Spark performs no common-subexpression elimination across join
+    sides, so the semi-join + collect_list over the shingle index
+    executed TWICE per action (r16 verdict item 3); the melt halves
+    the index-side work for the price of one pair-scale exchange.
+
+    ``arrs``: optional prebuilt ``(doc_id, hs)`` per-doc array frame
+    covering every candidate doc (the prefix-filter path derives one
+    as a by-product of prefix construction — the caller must have
+    MATERIALIZED it, since it also feeds candidate generation). When
+    None it is built here from ``sh`` restricted to candidate docs,
+    and ``cand`` must be materialized (cached) by the caller — it
+    feeds both the melt and the candidate-doc semi-join.
     """
-    cand_docs = (
-        cand.select(F.col("doc_a").alias("doc_id"))
-        .union(cand.select(F.col("doc_b").alias("doc_id")))
-        .distinct()
+    melted = cand.select(
+        "doc_a", "doc_b", F.explode(F.array("doc_a", "doc_b")).alias("doc_id")
     )
-    arrs = (
-        sh.join(cand_docs, "doc_id", "left_semi")
-        .groupBy("doc_id")
-        .agg(F.collect_list("h").alias("hs"))
+    if arrs is None:
+        cand_docs = (
+            cand.select(F.col("doc_a").alias("doc_id"))
+            .union(cand.select(F.col("doc_b").alias("doc_id")))
+            .distinct()
+        )
+        arrs = (
+            sh.join(cand_docs, "doc_id", "left_semi")
+            .groupBy("doc_id")
+            .agg(F.collect_list("h").alias("hs"))
+        )
+    # exactly one non-null per (pair, side): doc_a < doc_b always, so
+    # max() just picks the side's array back out of the two melt rows
+    paired = (
+        melted.join(arrs, "doc_id")
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.max(F.when(F.col("doc_id") == F.col("doc_a"), F.col("hs"))).alias("ha"),
+            F.max(F.when(F.col("doc_id") == F.col("doc_b"), F.col("hs"))).alias("hb"),
+        )
     )
-    paired = cand.join(
-        arrs.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("ha")), "doc_a"
-    ).join(arrs.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hb")), "doc_b")
     inter = F.size(F.array_intersect("ha", "hb")).cast("double")
     jac = inter / (
         F.size("ha") + F.size("hb") - F.size(F.array_intersect("ha", "hb"))
@@ -522,11 +548,8 @@ def prefix_filter_jaccard_pairs(
     (t·|x| <= |y| <= |x|/t) prunes pairs at expansion, before the
     distinct and the verify.
     """
-    sh = (
-        shingles
-        if shingles is not None
-        else doc_shingles(docs, text_col, id_col, n).cache()
-    )
+    sh = shingles if shingles is not None else doc_shingles(docs, text_col, id_col, n)
+
     # float-safe ceil: the prefix length, size filter, and positional
     # bound all compare integers against ceil(t * n). When t * n is
     # exactly integral, a one-ulp float overshoot would ceil one too
@@ -536,30 +559,51 @@ def prefix_filter_jaccard_pairs(
     def _ceil(c):
         return F.ceil(c - F.lit(1e-9))
 
-    # document frequency via a window over the SAME key instead of a
-    # groupBy + self-join: the agg+join form shuffles the corpus-scale
-    # index by h TWICE (once into the aggregate, once into the join);
-    # the window establishes the h-partitioning once and counts within
-    # it (guide §2.4) — value-identical df per (doc, h) row
-    pos_w = Window.partitionBy("doc_id").orderBy(F.asc("df"), F.asc("h"))
-    prefix = (
+    # ONE per-doc frame feeds BOTH halves of the query (r17; guide
+    # §2.4 — establish a partitioning once, reuse it): document
+    # frequency via a window over h (broadcast-independent, r16), then
+    # a single groupBy(doc_id) collects each doc's (df, h) rows sorted
+    # by the global prefix order (df asc, h asc — struct field order,
+    # and h is unique per doc so the order is strict). Candidate
+    # generation slices the PREFIX off the front of the sorted array;
+    # verification projects the full hash set out of the same rows.
+    # This replaces the former row_number window (an exchange + sort
+    # of the full index by doc_id) AND the verify step's semi-join +
+    # re-aggregation of the index — the index is now shuffled exactly
+    # twice (by h for df, by doc_id for the arrays) and scanned once.
+    # Materialized eagerly: the prefix subtree and the verify arrays
+    # are two branches of the final job and would race on a lazy cache.
+    docarr = (
         sh.withColumn("df", F.count("*").over(Window.partitionBy("h")))
-        .withColumn("pos", F.row_number().over(pos_w))
-        .filter(
-            F.col("pos")
-            <= F.col("n_shingles")
-            - _ceil(F.lit(threshold) * F.col("n_shingles"))
-            + 1
-        )
-        .select(
-            "df",
-            "h",
-            F.struct(
-                F.col("doc_id").alias("doc_id"),
-                F.col("n_shingles").alias("ns"),
-                F.col("pos").alias("pos"),
-            ).alias("x"),
-        )
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list(F.struct("df", "h"))).alias("dh"))
+        .withColumn("ns", F.size("dh"))
+        .cache()
+    )
+    docarr.count()
+    # prefix length |x| - ceil(t|x|) + 1 >= 1 for t <= 1, so the slice
+    # is always well-formed; posexplode positions are 0-based — +1
+    # restores the 1-based rank the positional filter's math uses
+    prefix = docarr.select(
+        "doc_id",
+        "ns",
+        F.posexplode(
+            F.slice(
+                F.col("dh"),
+                1,
+                (
+                    F.col("ns") - _ceil(F.lit(threshold) * F.col("ns")) + 1
+                ).cast("int"),
+            )
+        ).alias("pos0", "e"),
+    ).select(
+        F.col("e.df").alias("df"),
+        F.col("e.h").alias("h"),
+        F.struct(
+            F.col("doc_id").alias("doc_id"),
+            F.col("ns").alias("ns"),
+            (F.col("pos0") + 1).cast("int").alias("pos"),
+        ).alias("x"),
     )
     buckets = (
         prefix.groupBy("df", "h")
@@ -598,13 +642,17 @@ def prefix_filter_jaccard_pairs(
             F.col("m.na") - F.col("m.ia"), F.col("m.nb") - F.col("m.jb")
         )
     ).cast("double")
-    cand = (
-        first.filter(bound >= alpha - F.lit(1e-9))
-        .select("doc_a", "doc_b")
-        .cache()
+    cand = first.filter(bound >= alpha - F.lit(1e-9)).select("doc_a", "doc_b")
+    # verification reuses the materialized per-doc arrays instead of
+    # re-semi-joining the shingle index (arrs != None skips that), and
+    # with the arrays prebuilt `cand` has a single consumer — so the
+    # former cand.cache() + count() materialization job is gone too
+    return _verify_pairs_jaccard(
+        cand,
+        sh,
+        threshold,
+        arrs=docarr.select("doc_id", F.col("dh.h").alias("hs")),
     )
-    cand.count()
-    return _verify_pairs_jaccard(cand, sh, threshold)
 
 
 def _sized_bucket_pairs(xs_col) -> "F.Column":
