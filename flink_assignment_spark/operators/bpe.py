@@ -94,9 +94,24 @@ def bpe_train_merges(
     from pyspark import StorageLevel
 
     txt = F.lower(F.col(text_col)) if lowercase else F.col(text_col)
-    # the delimiter must never appear inside a symbol (see _merge_rule)
+    # State lives in the DELIMITED-STRING form between rounds (r17) —
+    # the same fixed-point representation bpe_apply chains its rules
+    # over: SEP s1 SEP SEP s2 SEP ... Per round that makes the rewrite
+    # ONE literal replace (no concat_ws back from an array) and the
+    # cached frame ONE string per doc instead of an array of 1-char
+    # strings (UnsafeArrayData overhead per element made the old char-
+    # array cache ~10x the text bytes; a 3x-text string persists and
+    # scans far cheaper). Pair counting splits the string back per
+    # round — the same split the old rewrite already paid — via an
+    # intermediate projection whose alias is used 4x (CollapseProject
+    # keeps non-cheap multi-referenced aliases in their own Project,
+    # so the split runs once per row). Counts and rewrites are
+    # value-identical to the array form by construction: the string is
+    # a bijective encoding of the symbol sequence (symbols cannot
+    # contain SEP — stripped at init).
     base = F.split(F.translate(txt, _SEP, ""), "")
-    state = docs.select(base.alias("tk")).persist(StorageLevel.MEMORY_AND_DISK)
+    s0 = F.concat(F.lit(_SEP), F.concat_ws(_SEP + _SEP, base), F.lit(_SEP))
+    state = docs.select(s0.alias("s")).persist(StorageLevel.MEMORY_AND_DISK)
     # ONE corpus pass per round (guide §1.2 — remove whole passes
     # first): the round's top-pair aggregate is the action that
     # materializes the PREVIOUS round's rewrite into the cache (the
@@ -110,22 +125,7 @@ def bpe_train_merges(
     merges: list[tuple[int, str, str, int]] = []
     try:
         for rank in range(1, n_merges + 1):
-            tk = F.col("tk")
-            pairs = F.transform(
-                F.slice(tk, 1, F.greatest(F.size(tk) - 1, F.lit(0))),
-                lambda x, i: F.struct(
-                    x.alias("l"), F.element_at(tk, i + 2).alias("r")
-                ),
-            )
-            top = (
-                state.select(F.explode_outer(pairs).alias("p"))
-                .filter(F.col("p").isNotNull())
-                .groupBy("p.l", "p.r")
-                .agg(F.count("*").alias("cnt"))
-                .orderBy(F.desc("cnt"), F.asc("l"), F.asc("r"))
-                .limit(1)
-                .collect()
-            )
+            top = _top_pair(state.select(_split_syms("s").alias("tk")))
             if prev is not None:
                 prev.unpersist()
                 prev = None
@@ -134,7 +134,7 @@ def bpe_train_merges(
             left, right, cnt = top[0].l, top[0].r, int(top[0].cnt)
             merges.append((rank, left, right, cnt))
             if rank < n_merges:
-                nxt = state.select(_merge_rule(tk, left, right).alias("tk")).persist(
+                nxt = state.select(_replace_rule("s", left, right).alias("s")).persist(
                     StorageLevel.MEMORY_AND_DISK
                 )
                 prev, state = state, nxt
@@ -143,6 +143,51 @@ def bpe_train_merges(
         if prev is not None:
             prev.unpersist()
     return merges
+
+
+def _split_syms(s: str) -> Column:
+    """Delimited string -> symbol array: strip the enclosing single
+    delimiters, split on the double delimiter. The exact inverse of
+    the encoding built at trainer init / maintained by
+    :func:`_replace_rule` (an empty symbol sequence round-trips as
+    [""] — zero adjacent pairs, exactly like the array form)."""
+    inner = F.substring(F.col(s), F.lit(2), F.length(s) - 2)
+    return F.split(inner, _SEP + _SEP)
+
+
+def _replace_rule(s: str, left: str, right: str) -> Column:
+    """One merge rule applied to the delimited-string state — the
+    string half of :func:`_merge_rule` (same pattern, same greedy
+    leftmost non-overlapping ``replace`` semantics), staying in string
+    form."""
+    return F.replace(
+        F.col(s),
+        F.lit(_SEP + left + _SEP + _SEP + right + _SEP),
+        F.lit(_SEP + left + right + _SEP),
+    )
+
+
+def _top_pair(state: DataFrame, weight: str | None = None):
+    """The round's winning adjacent pair over a (tk[, weight]) frame:
+    count (or weight-sum) every adjacent symbol pair, return the
+    (count desc, left asc, right asc) maximum — a bounded 1-row
+    driver action. Shared by both trainers."""
+    tk = F.col("tk")
+    pairs = F.transform(
+        F.slice(tk, 1, F.greatest(F.size(tk) - 1, F.lit(0))),
+        lambda x, i: F.struct(x.alias("l"), F.element_at(tk, i + 2).alias("r")),
+    )
+    cols = [F.explode_outer(pairs).alias("p")] + ([F.col(weight)] if weight else [])
+    agg = F.count("*") if weight is None else F.sum(weight)
+    return (
+        state.select(*cols)
+        .filter(F.col("p").isNotNull())
+        .groupBy("p.l", "p.r")
+        .agg(agg.alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("l"), F.asc("r"))
+        .limit(1)
+        .collect()
+    )
 
 
 def _bpe_train_word_level(
@@ -173,9 +218,12 @@ def _bpe_train_word_level(
         .groupBy("w")
         .agg(F.count("*").alias("n"))
     )
-    state = words.select(F.split(F.col("w"), "").alias("tk"), "n").persist(
-        StorageLevel.MEMORY_AND_DISK
+    # same delimited-STRING state as the byte-level trainer (r17): one
+    # replace per round, vocab cached as strings instead of char arrays
+    s0 = F.concat(
+        F.lit(_SEP), F.concat_ws(_SEP + _SEP, F.split(F.col("w"), "")), F.lit(_SEP)
     )
+    state = words.select(s0.alias("s"), "n").persist(StorageLevel.MEMORY_AND_DISK)
     # same one-pass-per-round discipline as the byte-level loop above:
     # the top-pair fold materializes the previous rewrite, and the
     # never-consumed final rewrite is skipped
@@ -183,21 +231,8 @@ def _bpe_train_word_level(
     merges: list[tuple[int, str, str, int]] = []
     try:
         for rank in range(1, n_merges + 1):
-            tk = F.col("tk")
-            pairs = F.transform(
-                F.slice(tk, 1, F.greatest(F.size(tk) - 1, F.lit(0))),
-                lambda x, i: F.struct(
-                    x.alias("l"), F.element_at(tk, i + 2).alias("r")
-                ),
-            )
-            top = (
-                state.select(F.explode_outer(pairs).alias("p"), "n")
-                .filter(F.col("p").isNotNull())
-                .groupBy("p.l", "p.r")
-                .agg(F.sum("n").alias("cnt"))
-                .orderBy(F.desc("cnt"), F.asc("l"), F.asc("r"))
-                .limit(1)
-                .collect()
+            top = _top_pair(
+                state.select(_split_syms("s").alias("tk"), "n"), weight="n"
             )
             if prev is not None:
                 prev.unpersist()
@@ -208,7 +243,7 @@ def _bpe_train_word_level(
             merges.append((rank, left, right, cnt))
             if rank < n_merges:
                 nxt = state.select(
-                    _merge_rule(tk, left, right).alias("tk"), "n"
+                    _replace_rule("s", left, right).alias("s"), "n"
                 ).persist(StorageLevel.MEMORY_AND_DISK)
                 prev, state = state, nxt
     finally:
