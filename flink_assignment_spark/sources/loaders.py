@@ -28,7 +28,7 @@ from ..schemas import ALL_TABLES, COMMIT, COMMIT_GEO
 # cost in the bench). The memo caches METADATA only — every action
 # still scans the parquet data; a changed file (new mtime/size) takes
 # the cold inference path again, so staleness is self-correcting.
-_SCHEMA_MEMO: dict[tuple[str, float, int], tuple[object, bool]] = {}
+_SCHEMA_MEMO: dict[tuple[str, int, int, int], tuple[object, bool]] = {}
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -56,8 +56,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     try:
         st = os.stat(path)
         # single regular files only: a directory layout can change
-        # contents without a reliable stat change, so always re-infer
-        key = (path, st.st_mtime, st.st_size) if os.path.isfile(path) else None
+        # contents without a reliable stat change, so always re-infer.
+        # mtime in NANOSECONDS + inode: float-seconds mtime let a
+        # same-size rewrite within one coarse-granularity tick serve a
+        # stale schema (r16 ADVICE); st_mtime_ns + st_ino shrinks that
+        # window to same-inode same-nanosecond rewrites.
+        key = (
+            (path, st.st_mtime_ns, st.st_ino, st.st_size)
+            if os.path.isfile(path)
+            else None
+        )
     except OSError:
         key = None
     memo = _SCHEMA_MEMO.get(key) if key is not None else None

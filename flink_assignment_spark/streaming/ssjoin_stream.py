@@ -120,7 +120,12 @@ def merge_ssjoin_batch(
         .withColumn("bucket", F.pmod(F.col("h"), F.lit(N_BUCKETS)).cast("int"))
         .cache()
     )
-    if sh.count() == 0:
+    # ONE action materializes the batch index AND fetches the touched
+    # buckets (bounded: <= N_BUCKETS rows) — the former count() +
+    # separate distinct().collect() paid two jobs per batch for one
+    # answer (r17; the BPE-trainer one-action-per-round discipline)
+    touched = [int(r.bucket) for r in sh.select("bucket").distinct().collect()]
+    if not touched:
         sh.unpersist()
         commit_marker(state_dir, batch_id)
         return
@@ -138,7 +143,6 @@ def merge_ssjoin_batch(
     )
     state = backend.read(spark, post_path, "bucket")
     if state is not None:
-        touched = [int(r.bucket) for r in sh.select("bucket").distinct().collect()]
         # PROBE-SIDE DEDUP is load-bearing, not hygiene: a replayed
         # batch whose crash fell between the postings append and the
         # marker leaves duplicate (h, doc) rows, and the pair kernel

@@ -76,21 +76,24 @@ def _pairs_cover_exactly_once(spark, n_rows: int, block_rows: int):
     by_group = defaultdict(set)
     for r in rows:
         by_group[(r.gi, r.gj)].add(r._id)
+    blk_of = {r._id: r._blk for r in rows}
     seen = {}
     for g, ids in by_group.items():
-        blocks = {r._blk for r in rows if (r.gi, r.gj) == g}
         for a in ids:
             for b in ids:
                 if a < b:
-                    key = (a, b)
-                    # a pair counts only when both sides' blocks are the
-                    # group's own blocks (the kernel scores gi-vs-gj)
-                    seen[key] = seen.get(key, 0) + 1
-    import math
-
+                    # a pair is SCORED only in the group equal to its
+                    # own two blocks (same-block pairs co-occur in
+                    # every (blk, q) group but the kernel scores them
+                    # in (blk, blk) alone) — count it there only, so
+                    # the assertion below is the real exactly-once
+                    # invariant, not >= 1 (r16 ADVICE)
+                    ba, bb = blk_of[a], blk_of[b]
+                    if (min(ba, bb), max(ba, bb)) == g:
+                        seen[(a, b)] = seen.get((a, b), 0) + 1
     for a in range(n_rows):
         for b in range(a + 1, n_rows):
-            assert seen.get((a, b), 0) >= 1, (a, b)
+            assert seen.get((a, b), 0) == 1, (a, b, seen.get((a, b), 0))
     return n_blocks
 
 
