@@ -113,10 +113,17 @@ def fuzzy_pairs(
         )
         .distinct()
     )
-    return cand.filter(F.levenshtein("name_a", "name_b") <= max_dist).select(
-        "id_a",
-        "id_b",
-        F.levenshtein("name_a", "name_b").cast("int").alias("dist"),
+    # compute the distance ONCE: filter and projection are separate
+    # operators with no cross-operator CSE, so the former filter-then-
+    # reproject shape ran levenshtein twice per surviving pair. (The
+    # bucket-groupBy candidate formulation was also measured here and
+    # REJECTED: collect_list + in-bucket struct expansion lost to the
+    # codegen'd self-join, q125 med-ratio 1.27-1.47 — see
+    # plans/r17/evidence/ab_linkage_bucket_*.json.)
+    return (
+        cand.withColumn("dist", F.levenshtein("name_a", "name_b").cast("int"))
+        .filter(F.col("dist") <= max_dist)
+        .select("id_a", "id_b", "dist")
     )
 
 
