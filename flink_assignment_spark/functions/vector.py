@@ -43,6 +43,31 @@ def dot_fixed(a: Column, b: Column, dim: int) -> Column:
     return acc
 
 
+def _dot_fixed_sql(a: str, b: str, dim: int) -> str:
+    """The :func:`dot_fixed` term chain as a SQL string over two NAMED
+    array columns — left-associated, term-identical to the Column
+    form (same casts, same op order, bit-identical doubles)."""
+    return " + ".join(
+        f"(CAST(element_at({a}, {i}) AS DOUBLE) * CAST(element_at({b}, {i}) AS DOUBLE))"
+        for i in range(1, dim + 1)
+    )
+
+
+def cosine_fixed(a: str, b: str, dim: int) -> Column:
+    """:func:`cosine` with a known dimension over two NAMED columns,
+    built as ONE parsed ``F.expr`` — the random_project lesson applied
+    to the cosine path: composing the 3 x dim-term tree column by
+    column costs ~11k py4j round-trips, which MEASURED as ~2.5 s of
+    driver time per plan build (q43 spent more time building its
+    DataFrame than executing it). The parsed tree is node-identical
+    to ``dot_fixed(a,b)/(sqrt(dot_fixed(a,a))*sqrt(dot_fixed(b,b)))``,
+    so results are bit-identical."""
+    return F.expr(
+        f"({_dot_fixed_sql(a, b, dim)})"
+        f" / (SQRT({_dot_fixed_sql(a, a, dim)}) * SQRT({_dot_fixed_sql(b, b, dim)}))"
+    )
+
+
 def make_pair_dot_udf():
     """See functions/_pandas_udfs.py (module without stringized
     annotations, which PySpark's type inference requires)."""

@@ -111,6 +111,14 @@ def bpe_train_merges(
     # contain SEP — stripped at init).
     base = F.split(F.translate(txt, _SEP, ""), "")
     s0 = F.concat(F.lit(_SEP), F.concat_ws(_SEP + _SEP, base), F.lit(_SEP))
+    # deliberately NOT spread(): the sampled local corpus arrives as
+    # one scan split and the per-round map (pair explode + partial
+    # agg) runs single-task — but fanning the cached state to 32
+    # partitions was MEASURED SLOWER (q135 A/B med-ratio 1.26,
+    # plans/r17/evidence/ab_q135_spread.json): at this state size the
+    # 32-task scheduling floor costs more per round than the work.
+    # At 100 TB the corpus arrives in many splits, so spread would be
+    # inert there anyway — it has no scale upside to buy.
     state = docs.select(s0.alias("s")).persist(StorageLevel.MEMORY_AND_DISK)
     # ONE corpus pass per round (guide §1.2 — remove whole passes
     # first): the round's top-pair aggregate is the action that

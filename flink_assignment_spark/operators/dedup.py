@@ -707,17 +707,25 @@ def simhash_fingerprints(
         .filter(F.col("tok").isNotNull())
         .withColumn("h", hash60(F.col("tok")))
     )
+    # each aggregate/bit term built as ONE parsed F.expr: the
+    # column-by-column form cost ~800 py4j round-trips — ~1.3 s of
+    # pure driver time per q17 plan build (the cosine_fixed lesson);
+    # the parsed trees are node-identical (same CASE/shift/cast
+    # shapes), so the fingerprints are bit-identical
     bit_sums = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), j).bitwiseAND(1) == 1, 1).otherwise(-1)
+        F.expr(
+            f"SUM(CASE WHEN (SHIFTRIGHT(h, {j}) & 1) = 1 THEN 1 ELSE -1 END)"
         ).alias(f"s{j}")
         for j in range(SIMHASH_BITS)
     ]
     summed = tok.groupBy("doc_id").agg(*bit_sums)
-    fp = None
-    for j in range(SIMHASH_BITS):
-        bit = F.when(F.col(f"s{j}") > 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long"))
-        fp = bit if fp is None else fp + bit
+    fp = F.expr(
+        " + ".join(
+            f"CASE WHEN s{j} > 0 THEN CAST({1 << j} AS BIGINT)"
+            " ELSE CAST(0 AS BIGINT) END"
+            for j in range(SIMHASH_BITS)
+        )
+    )
     return summed.select("doc_id", fp.alias("simhash"))
 
 

@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.vector import cosine, dot, dot_fixed, make_pair_dot_udf, norm
+from ..functions.vector import cosine, cosine_fixed, dot, dot_fixed, make_pair_dot_udf, norm
 from .spread import spread as _spread
 
 
@@ -781,7 +781,10 @@ def lsh_topk(
     scored = cand.select(
         "query_id",
         "neighbor_id",
-        F.round(cosine(F.col("qv"), F.col("cv"), dim), 6).alias("cos_sim"),
+        # one-expr cosine (bit-identical tree, see cosine_fixed): the
+        # per-column form rebuilt ~11k py4j calls per PROBE PLAN —
+        # ~2.5 s of pure driver time per call at dim=64
+        F.round(cosine_fixed("qv", "cv", dim), 6).alias("cos_sim"),
     ).groupBy("query_id", "neighbor_id").agg(F.max("cos_sim").alias("cos_sim"))
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
