@@ -96,7 +96,21 @@ def weighted_pagerank(
         )
         .localCheckpoint()
     )
-    n = nodes.count()  # |V| — a bounded scalar, not data
+    # |V| AND whether any dangling node exists, in the ONE setup job
+    # the node count already cost (both bounded scalars, not data).
+    # A dangling-free graph — every node has out-edges, e.g. the
+    # nation trade graph — has dang == 0 in EVERY iteration by
+    # construction, so the loop below can skip the per-iteration
+    # checkpoint + dangling-mass collect entirely and stay LAZY: the
+    # k-iteration plan executes as one job at the consumer's action
+    # (e and nodes are LogicalRDD leaves, so the tree is k joins +
+    # k aggregates — linear, planned once). Rank values are identical
+    # (dang_share = 0 is exactly what the collect would return).
+    stats = nodes.agg(
+        F.count("*"),
+        F.coalesce(F.sum(F.when(F.col("w_out").isNull(), 1)), F.lit(0)),
+    ).collect()[0]
+    n, has_dangling = int(stats[0]), int(stats[1]) > 0
     d = int(damping_pct)
     base = ((100 - d) * scale // 100) // n
 
@@ -106,21 +120,29 @@ def weighted_pagerank(
         "node", "w_out", F.lit(scale // n).cast("long").alias("rank")
     )
     for _ in range(n_iters):
-        # ONE job per iteration, flat lineage: the LAZY localCheckpoint
-        # truncates the logical plan immediately (every downstream plan
-        # sees a LogicalRDD, not the k-deep iteration tree — an eager
-        # persist() chain measured a 101 KB final plan whose per-round
-        # re-optimization ate the job savings), and the dangling-mass
-        # aggregate (a bounded scalar, not data) is the action that
-        # materializes it — the former shape paid a checkpoint job AND
-        # a separate dangling collect job per round.
-        ranks = ranks.localCheckpoint(eager=False)
-        dang = ranks.agg(
-            F.coalesce(
-                F.sum(F.when(F.col("w_out").isNull(), F.col("rank"))), F.lit(0)
-            ).cast("long")
-        ).collect()[0][0]
-        dang_share = int(dang) * d // (100 * n)
+        if has_dangling:
+            # ONE job per iteration, flat lineage: the LAZY
+            # localCheckpoint truncates the logical plan immediately
+            # (every downstream plan sees a LogicalRDD, not the k-deep
+            # iteration tree — an eager persist() chain measured a
+            # 101 KB final plan whose per-round re-optimization ate
+            # the job savings), and the dangling-mass aggregate (a
+            # bounded scalar, not data) is the action that
+            # materializes it — the former shape paid a checkpoint
+            # job AND a separate dangling collect job per round. The
+            # per-round driver round-trip is unavoidable here: the
+            # mass is a data-dependent scalar the next plan needs as
+            # a literal (the in-plan alternative is a constant-key
+            # join, which plans as the banned nested loop — r16).
+            ranks = ranks.localCheckpoint(eager=False)
+            dang = ranks.agg(
+                F.coalesce(
+                    F.sum(F.when(F.col("w_out").isNull(), F.col("rank"))), F.lit(0)
+                ).cast("long")
+            ).collect()[0][0]
+            dang_share = int(dang) * d // (100 * n)
+        else:
+            dang_share = 0
         contrib = (
             e.join(ranks.select(F.col("node").alias("src"), "rank"), "src")
             .select(
